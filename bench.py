@@ -1,0 +1,61 @@
+"""Benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes with a count() action (full plan, no driver-side
+collect of payloads).  A warm-up action runs first so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
+from tp_airflow_gtfs_snowflake_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_span_topk",   # scan+join+window+agg+topk
+    "b03_delay_join",       # big fact-fact equi join
+    "b04_broadcast_dim_join",  # star schema + broadcast dims
+    "b05_time_bucket_agg",  # time-bucketed agg + countDistinct
+    "b07_topk_by_aggregate",
+    "b10_span_per_group",   # window over sequence
+    "b11_latest_per_key",
+    "c01b_normalized_neardup",  # text normalize + hash groupBy
+    "c02_cosine_topk",      # vector similarity
+    "c04_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    # warm-up: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Parquet warehouse with BRONZE/SILVER namespaces (SURVEY §1.3-1.4).
+
+Replaces the reference's Snowflake DDL layer
+(dags/gtfs_static_daily.py:44-106, dags/gtfs_silver.py:22-120):
+- CREATE TABLE IF NOT EXISTS  -> directory + empty typed parquet write
+- insert_date DEFAULT CONVERT_TIMEZONE('Europe/Paris', CURRENT_TIMESTAMP())
+  -> injected by the writer (Spark has no column DEFAULT on write)
+- schema-on-write, never inferred.
+
+Scale: every table is a parquet directory; appends create new files
+(the reference's append-only INSERT INTO semantics,
+dags/gtfs_silver.py:125-213).  At 100 TB the big RT tables would be
+date-partitioned (partition_cols) so KPI recency filters prune
+partitions instead of scanning history (README.md:139).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tp_airflow_gtfs_snowflake_spark import schemas
+
+LAYERS = ("bronze", "silver")
+
+
+def paris_now() -> F.Column:
+    """Europe/Paris wall-clock 'now' as TIMESTAMP_NTZ — the engine
+    equivalent of the reference's column DEFAULT
+    (gtfs_static_daily.py:58, gtfs_silver.py:15)."""
+    return F.from_utc_timestamp(F.current_timestamp(), "Europe/Paris").cast(
+        T.TimestampNTZType())
+
+
+class Warehouse:
+    """create-if-not-exists parquet tables + typed reads + appends."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_cols: dict[str, list[str]] | None = None):
+        self.spark = spark
+        self.root = root
+        self.partition_cols = partition_cols or {}
+
+    def path(self, layer: str, name: str) -> str:
+        assert layer in LAYERS, layer
+        return os.path.join(self.root, layer, name)
+
+    def _schema(self, layer: str, name: str) -> T.StructType:
+        reg = schemas.BRONZE if layer == "bronze" else schemas.SILVER
+        if name not in reg:
+            raise KeyError(f"unknown {layer} table {name!r}")
+        return reg[name]
+
+    def exists(self, layer: str, name: str) -> bool:
+        p = self.path(layer, name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p))
+
+    def create_if_not_exists(self, layer: str, name: str) -> None:
+        """CREATE TABLE IF NOT EXISTS: write an empty, fully-typed
+        parquet footprint so downstream reads see the schema."""
+        if not self.exists(layer, name):
+            empty = self.spark.createDataFrame([], self._schema(layer, name))
+            empty.write.mode("overwrite").parquet(self.path(layer, name))
+
+    def create_all(self) -> None:
+        for name in schemas.BRONZE:
+            self.create_if_not_exists("bronze", name)
+        for name in schemas.SILVER:
+            self.create_if_not_exists("silver", name)
+
+    def table(self, layer: str, name: str) -> DataFrame:
+        return self.spark.read.schema(self._schema(layer, name)).parquet(
+            self.path(layer, name))
+
+    def append(self, layer: str, name: str, df: DataFrame,
+               stamp_insert_date: bool = True) -> None:
+        """Append with schema alignment + insert_date injection (A8/A9/A23).
+
+        Columns are matched by name and cast to the declared type
+        (mirrors the reference's positional COPY column list +
+        Snowflake implicit casts); missing columns become NULL.
+        """
+        schema = self._schema(layer, name)
+        cols = []
+        for field in schema.fields:
+            if field.name == "insert_date" and stamp_insert_date \
+                    and "insert_date" not in df.columns:
+                cols.append(paris_now().alias("insert_date"))
+            elif field.name in df.columns:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        out = df.select(*cols)
+        writer = out.write.mode("append")
+        parts = self.partition_cols.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(layer, name))
+
+    def register_views(self, prefix: str = "") -> None:
+        """Register every existing table as a temp view so the SQL API
+        (spark.sql) can address the catalog (A8)."""
+        for layer in LAYERS:
+            reg = schemas.BRONZE if layer == "bronze" else schemas.SILVER
+            for name in reg:
+                if self.exists(layer, name):
+                    self.table(layer, name).createOrReplaceTempView(
+                        f"{prefix}{name}")

@@ -1,0 +1,107 @@
+"""Streaming GTFS-RT ingestion (SURVEY §3.4, M5).
+
+Replaces the reference's 2-minute cron + PUT/COPY/PURGE loop
+(dags/gtfs_rt_minutely.py:225-257, schedule :262):
+
+- landing dir of minute-stamped feed snapshots (the reference's
+  `exports/rt/<name>_YYYYMMDD_HHMM.csv` convention, :29-31) becomes a
+  Structured Streaming *file source*;
+- `PATTERN='regex'` on COPY -> `pathGlobFilter`;
+- `PURGE=TRUE` exactly-once -> the streaming checkpoint (each file
+  processed exactly once across restarts), `cleanSource` optionally
+  archives consumed files;
+- the ExternalTaskSensor barrier (A24) disappears: the stream-static
+  join with the static tables just works once they exist.
+
+Scale: file-source listing is O(files) per trigger — at production
+scale set `maxFilesPerTrigger` and archive consumed snapshots to keep
+the listing bounded; state-store size for the windowed aggs is bounded
+by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tp_airflow_gtfs_snowflake_spark.catalog import Warehouse
+from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
+    flatten_trip_updates, flatten_vehicle_positions, parse_feed_json,
+)
+
+
+def read_feed_stream(spark: SparkSession, landing_dir: str, *,
+                     path_glob: str = "*.json",
+                     max_files_per_trigger: int | None = None,
+                     clean_source: str | None = None) -> DataFrame:
+    """Stream of feed snapshots: one row per landed snapshot file."""
+    reader = (spark.readStream
+              .format("text")
+              .option("wholetext", "true")
+              .option("pathGlobFilter", path_glob))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+    return reader.load(landing_dir).withColumnRenamed("value", "feed_json")
+
+
+def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
+                        checkpoint_dir: str, *,
+                        trigger_seconds: int | None = None,
+                        available_now: bool = False) -> StreamingQuery:
+    """readStream(snapshots) -> flatten -> append bronze RT tables.
+
+    foreachBatch gives exactly-once appends per source file via the
+    checkpoint: a re-delivered batch after crash replays with the same
+    epoch id against the idempotent append-only layout, mirroring the
+    reference's PURGE=TRUE one-shot loads.
+    """
+    feed_stream = read_feed_stream(spark, landing_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        feed = parse_feed_json(batch_df)
+        headers, stops = flatten_trip_updates(feed)
+        wh.append("bronze", "trip_updates_raw", headers)
+        wh.append("bronze", "trip_stop_times", stops)
+        wh.append("bronze", "vehicle_positions_raw",
+                  flatten_vehicle_positions(feed))
+
+    writer = (feed_stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_position_counts(feed_stream: DataFrame, *,
+                             window: str = "5 minutes",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """B5 streaming flavor: per-route vehicle-report counts in tumbling
+    event-time windows with late-data watermarking (the reference only
+    acknowledges late/incomplete feeds, README.md:137-138; the engine
+    handles them natively)."""
+    vp = flatten_vehicle_positions(parse_feed_json(feed_stream))
+    return (vp.withColumn("ts", F.timestamp_seconds("timestamp_epoch"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "route_id")
+            .agg(F.count("*").alias("n_reports"),
+                 F.approx_count_distinct("vehicle_id").alias("n_vehicles"))
+            .select(F.col("w.start").alias("window_start"), "route_id",
+                    "n_reports", "n_vehicles"))
+
+
+def run_silver_refresh_loop(wh: Warehouse, refresh: Callable[[], dict],
+                            iterations: int = 1) -> list[dict]:
+    """The 5-minute gtfs_silver cadence (gtfs_silver.py:219) as a plain
+    loop hook — scheduling stays outside the engine, matching the
+    reference's separation of cron from transform."""
+    return [refresh() for _ in range(iterations)]

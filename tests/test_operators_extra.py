@@ -1,0 +1,188 @@
+"""Unit tests for the as-of join, text-analysis functions, multimodal
+plumbing, and the dedup-suite edge cases the oracle queries don't hit
+(short documents, ties, tolerance windows, stub contracts)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.functions import text as T
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.operators.asof import asof_join
+from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+    decode_image_features, sample_frames)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2026-01-01T10:00:00"), "l1"),
+         (1, _ts("2026-01-01T12:00:00"), "l2"),
+         (2, _ts("2026-01-01T10:30:00"), "l3"),
+         (3, _ts("2026-01-01T09:00:00"), "l4")],
+        "k long, ts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, _ts("2026-01-01T09:59:00"), "r1"),
+         (1, _ts("2026-01-01T11:00:00"), "r2"),
+         (2, _ts("2026-01-01T10:30:00"), "r3"),   # exact tie with l3
+         (3, _ts("2026-01-01T09:30:00"), "r4")],  # after l4 only
+        "k long, ts timestamp, rval string")
+    return left, right
+
+
+def test_asof_backward_latest_match(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    assert got == {"l1": "r1",   # 09:59 <= 10:00
+                   "l2": "r2",   # latest of r1/r2
+                   "l3": "r3",   # equal timestamps match (<= semantics)
+                   "l4": None}   # right row is in the future
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    tolerance_seconds=120)
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    # l2's latest match (r2) is 3600s old -> nulled by the tolerance.
+    assert got == {"l1": "r1", "l2": None, "l3": "r3", "l4": None}
+
+
+def test_asof_preserves_left_rowcount(spark, asof_frames):
+    left, right = asof_frames
+    assert asof_join(left, right, on=["k"], left_ts="ts",
+                     right_ts="ts").count() == left.count()
+
+
+# --- text functions ---------------------------------------------------
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [("the cat of the house is big and in a box",),
+         ("le chat de la maison et les oiseaux des bois",),
+         ("xyzzy qwerty 12345",)],
+        "text string")
+    out = [r[0] for r in df.select(T.lang_id(F.col("text"))).collect()]
+    assert out == ["en", "fr", "und"]
+
+
+def test_bpe_token_count_matches_manual(spark):
+    df = spark.createDataFrame([("Ab, c12 d",)], "text string")
+    # lowercased: 'ab' ',' 'c' '12' 'd' -> 5 tokens
+    assert df.select(T.bpe_token_count(F.col("text"))).first()[0] == 5
+
+
+def test_winnow_fingerprint_short_doc_is_null(spark):
+    df = spark.createDataFrame([("one two three",), ("a b c d e",)],
+                               "text string")
+    rows = df.select(T.winnow_fingerprint(F.col("text"), k=4)).collect()
+    assert rows[0][0] is None          # 3 tokens < k=4 -> no windows
+    assert isinstance(rows[1][0], int)  # 5 tokens -> a fingerprint
+
+
+def test_quality_score_orders_texts_sensibly(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs away"
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(good,), (bad,)], "text string")
+    scores = [r[0] for r in df.select(T.quality_score(F.col("text"))).collect()]
+    assert scores[0] > scores[1]
+    assert 0.0 <= scores[1] <= scores[0] <= 1.0
+
+
+# --- dedup edge cases -------------------------------------------------
+
+def test_token_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("one two",), ("a b c",)], "text string")
+    rows = df.select(D.token_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == []
+    assert rows[1]["s"] == ["a b c"]
+
+
+def test_simhash_signature_forms_agree(spark):
+    """The per-row expression form and the explode+groupBy form must
+    produce identical signatures (same math, different physical shape)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs today")],
+        "doc_id long, text string")
+    expr_form = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", D.simhash64(F.col("text"), 2,
+                              hash_fn=D.portable_hash64).alias("sig")).collect()}
+    df_form = {r["doc_id"]: r["sig"] for r in D.simhash_signatures(
+        df, "doc_id", "text", shingle_n=2,
+        hash_fn=D.portable_hash64).collect()}
+    assert expr_form == df_form
+
+
+def test_minhash_finds_planted_neardup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, "totally different words "
+          "nothing shared here at all among these tokens")],
+        "doc_id long, text string")
+    out = D.minhash_near_duplicates(df, "doc_id", "text", num_hashes=16,
+                                    bands=4, shingle_n=3, threshold=0.5,
+                                    hash_fn=D.portable_hash64).collect()
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    assert pairs == {(1, 2)}
+
+
+# --- multimodal plumbing ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    return spark.createDataFrame(
+        [(1, b"x" * 300), (2, b"hello world " * 40), (3, b"")],
+        "doc_id long, payload binary")
+
+
+def test_decode_image_features_contract(spark, payload_df):
+    out = decode_image_features(payload_df, id_col="doc_id",
+                                payload_col="payload", fake=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    r = rows[1]
+    assert r["n_bytes"] == 300 and 64 <= r["width"] < 256
+    assert len(r["features"]) == 8
+    # 'x' = 0x78 -> bin 3; exact ppm
+    assert r["features"][3] == 1_000_000
+    assert sum(rows[3]["features"]) == 0  # empty payload, no div-by-zero
+
+
+def test_decode_image_features_deterministic(spark, payload_df):
+    a = decode_image_features(payload_df, id_col="doc_id",
+                              payload_col="payload", fake=True).collect()
+    b = decode_image_features(payload_df, id_col="doc_id",
+                              payload_col="payload", fake=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_decode_raises_without_codec(spark, payload_df):
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as exc:
+        decode_image_features(payload_df, id_col="doc_id",
+                              payload_col="payload", fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError)
+
+
+def test_sample_frames_counts_and_slices(spark, payload_df):
+    out = sample_frames(payload_df, id_col="doc_id", payload_col="payload",
+                        every_n_bytes=128, max_frames=8, fake=True)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # 300 bytes // 128 -> 2 frames; 480 -> 3; empty payload -> 1 empty frame
+    assert len(per_doc[1]) == 2 and len(per_doc[2]) == 3
+    assert len(per_doc[3]) == 1 and per_doc[3][0]["frame_bytes"] == b""
+    f0 = sorted(per_doc[1], key=lambda r: r["frame_idx"])[0]
+    assert bytes(f0["frame_bytes"]) == b"x" * 128

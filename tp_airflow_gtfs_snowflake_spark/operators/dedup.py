@@ -18,8 +18,26 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+HashFn = Callable[[Column], Column]
+
+
+def portable_hash64(c: Column) -> Column:
+    """60-bit hash both Spark and DuckDB compute identically:
+    first 15 hex chars of md5 parsed as an integer.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+    xxhash64 (the default hash below) is ~3x faster JVM-side but has no
+    DuckDB equivalent; use this one when an external oracle must
+    reproduce signatures bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def _tokens(text: Column) -> Column:
@@ -29,7 +47,11 @@ def _tokens(text: Column) -> Column:
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column (native)."""
     toks = _tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # sequence(0, -1) would yield a DESCENDING [0, -1] and element_at
+    # would hit index 0; texts shorter than n tokens get no shingles.
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(0), F.size(toks) - n)) \
+        .otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
     return F.array_distinct(grams)
@@ -82,20 +104,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       hash_fn: HashFn = F.xxhash64) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    xxhash64(i || shingle).  One narrow pass + one groupBy(doc).
+    hash(i || shingle).  One narrow pass + one groupBy(doc).
 
-    xxhash64 is Spark's built-in 64-bit hash (JVM, codegen) — the i-th
-    permutation is simulated by seeding the hash input with i.
+    Default hash is xxhash64, Spark's built-in 64-bit hash (JVM,
+    codegen) — the i-th permutation is simulated by seeding the hash
+    input with i.  Pass hash_fn=portable_hash64 when an external SQL
+    oracle must reproduce the signatures.
     """
     sh = df.select(F.col(id_col).alias("doc_id"),
                    F.explode(token_shingles(F.col(text_col), shingle_n))
                    .alias("sh"))
     hashes = sh.select(
-        "doc_id",
+        "doc_id", "sh",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).withColumn("h", F.xxhash64(F.concat_ws(":", "i", "sh")))
+    ).withColumn("h", hash_fn(F.concat_ws(":", "i", "sh")))
     sig = (hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
            .groupBy("doc_id")
            .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
@@ -128,13 +153,14 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
                             num_hashes: int = 32, bands: int = 8,
-                            shingle_n: int = 3,
-                            threshold: float = 0.5) -> DataFrame:
+                            shingle_n: int = 3, threshold: float = 0.5,
+                            hash_fn: HashFn = F.xxhash64) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of candidates only."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
+                             hash_fn)
     cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
 
     sh = df.select(F.col(id_col).alias("doc_id"),
@@ -157,36 +183,79 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
             .select("d1", "d2", "jaccard"))
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash of a text column, fully native.
+def simhash64(text: Column, shingle_n: int = 2, n_bits: int = 64,
+              hash_fn: HashFn = F.xxhash64) -> Column:
+    """n_bits-wide SimHash of a text column, fully native.
 
-    Each shingle votes +1/-1 on each of 64 bit positions according to
-    its xxhash64 bits; the signature sets bit k when the vote sum is
+    Each shingle votes +1/-1 on each bit position according to its
+    64-bit hash; the signature sets bit k when the vote sum is
     positive.  Built with transform/aggregate over the shingle array —
     no UDF, no shuffle (per-row expression).
     """
-    shingles = token_shingles(text, shingle_n)
+    # F.shiftright/F.shiftleft only take Python-int shift amounts; the
+    # shift amount here is the lambda-bound bit index (a Column), so go
+    # through the SQL functions, which accept column arguments.
+    def _shr(c: Column, k: Column) -> Column:
+        return F.call_function("shiftright", c, k)
+
+    def _shl(c: Column, k: Column) -> Column:
+        return F.call_function("shiftleft", c, k)
+
+    # Hash each shingle exactly once, THEN fan out to per-bit votes —
+    # hashing inside the per-bit lambda would recompute the hash
+    # n_bits times per shingle (md5 64x per shingle is minutes at
+    # corpus scale; this form is pure bit arithmetic per vote).
+    hashed = F.transform(token_shingles(text, shingle_n), hash_fn)
     votes = F.aggregate(
-        shingles,
-        F.expr("array_repeat(0L, 64)"),
-        lambda acc, sh: F.zip_with(
+        hashed,
+        F.expr(f"array_repeat(0L, {n_bits})"),
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda k: F.shiftright(F.xxhash64(sh), k).bitwiseAND(F.lit(1))
-                * 2 - 1),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda k: _shr(h, k).bitwiseAND(F.lit(1)) * 2 - 1),
             lambda a, v: a + v),
     )
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda k: F.when(F.element_at(votes, k + 1) > 0,
-                         F.shiftleft(F.lit(1).cast("long"), k)).otherwise(F.lit(0).cast("long")))
+                         _shl(F.lit(1).cast("long"), k)).otherwise(F.lit(0).cast("long")))
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                       shingle_n: int = 2, n_bits: int = 64,
+                       hash_fn: HashFn = F.xxhash64) -> DataFrame:
+    """(doc_id, sig) SimHash signatures via explode + groupBy.
+
+    Same math as simhash64() but a different physical shape: one row
+    per (doc, shingle), one hash per shingle, then n_bits SUM columns
+    in a single hash aggregate — all whole-stage codegen.  The
+    higher-order-function form (simhash64) evaluates interpreted array
+    lambdas per shingle and is ~100x slower on a real corpus; this is
+    the shape to use at scale.  Docs with zero shingles (< shingle_n
+    tokens) produce no row here (vs an all-zero signature there).
+    """
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(token_shingles(F.col(text_col), shingle_n))
+                   .alias("sh"))
+    h = sh.select("doc_id", hash_fn(F.col("sh")).alias("h"))
+    votes = h.groupBy("doc_id").agg(*[
+        F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"v{k}") for k in range(n_bits)])
+    sig = None
+    for k in range(n_bits):
+        bit = F.when(F.col(f"v{k}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), k)) \
+            .otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select("doc_id", sig.alias("sig"))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
                             radius: int = 3, prefix_bits: int = 16,
-                            shingle_n: int = 2) -> DataFrame:
+                            shingle_n: int = 2,
+                            hash_fn: HashFn = F.xxhash64) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= radius.
 
     Candidate generation buckets on the top `prefix_bits` of the
@@ -195,8 +264,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
     variant uses several rotated prefix tables — one table is enough
     for the test corpus and keeps the example readable).
     """
-    sig = df.select(F.col(id_col).alias("doc_id"),
-                    simhash64(F.col(text_col), shingle_n).alias("sig"))
+    sig = simhash_signatures(df, id_col, text_col, shingle_n=shingle_n,
+                             hash_fn=hash_fn)
     sig = sig.withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

@@ -905,6 +905,12 @@ def c05_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Extension batch (as-of/range joins, grouping sets, set ops, dedup
+# suite, IVF ANN, text analysis, multimodal) registers itself into
+# REGISTRY on import; import at the bottom so _register/_t exist.
+from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_ext  # noqa: E402,F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,578 @@
+"""Extension queries beyond the first registry batch: as-of / range
+joins, grouping sets, set operations (SURVEY §2.4 "engine gets them
+free — declare only what we test"), the full C-tier dedup suite
+(MinHash-LSH, SimHash, n-gram Jaccard), IVF-bucketed ANN, text
+analysis (language-ID, quality score, BPE-ish token count, winnowing
+fingerprint), and the multimodal mapInPandas plumbing.
+
+Registered into driver_queries.REGISTRY so the driver sees one flat
+queries()/oracle_sql() surface.  Same engine-parity conventions as
+driver_queries (BIGINT casts, identical aliases, deterministic
+orders, double arithmetic only where both engines see identical
+inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.functions import text as T
+from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.operators.asof import asof_join
+from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+    decode_image_features, sample_frames)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
+
+
+# =====================================================================
+# B-tier extensions: as-of join, range join, grouping sets, set ops
+# =====================================================================
+
+@_register(
+    "b14_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, event_id AS click_event_id,
+                      value AS click_value
+               FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           r.click_event_id, r.click_value, epoch_us(r.ts) AS asof_ts_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "as-of join (generalizes B11 latest-per-key, README.md:127): "
+    "per purchase, the user's most recent click at-or-before it; "
+    "union+window plan, one shuffle of |l|+|r| rows",
+)
+def b14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("click_event_id"),
+                F.col("value").alias("click_value"))
+    out = asof_join(left, right, on=["user_id"], left_ts="ts",
+                    right_ts="ts",
+                    right_payload=["click_event_id", "click_value"])
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value",
+        "click_event_id", "click_value",
+        F.unix_micros("asof_ts").alias("asof_ts_us"))
+
+
+@_register(
+    "b15_range_bucket_join",
+    """
+    WITH b(lo, hi, bucket) AS (VALUES
+      (0.0, 1.0, 'xs'), (1.0, 10.0, 's'), (10.0, 50.0, 'm'),
+      (50.0, 100.0, 'l'), (100.0, 1e9, 'xl'))
+    SELECT b.bucket, CAST(count(*) AS BIGINT) AS n,
+           min(e.value) AS min_value, max(e.value) AS max_value
+    FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket
+    """,
+    "range (interval) join: fact value binned against a broadcast "
+    "range dimension — BroadcastNestedLoopJoin; at 100 TB the dim "
+    "stays tiny so the join is still a narrow map per fact row",
+)
+def b15_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0.0, 1.0, "xs"), (1.0, 10.0, "s"), (10.0, 50.0, "m"),
+         (50.0, 100.0, "l"), (100.0, 1e9, "xl")],
+        "lo double, hi double, bucket string")
+    # min/max/count only: exact and order-independent (a double SUM
+    # would be summation-order-sensitive and diverge from the oracle).
+    return (ev.join(F.broadcast(buckets),
+                    (ev.value >= buckets.lo) & (ev.value < buckets.hi))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+@_register(
+    "b16_rollup_agg",
+    """
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(grouping(dayofweek(ts)) AS BIGINT) AS g_dow,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, dayofweek(ts))
+    """,
+    "ROLLUP grouping sets with GROUPING() disambiguation (B8 family); "
+    "Spark computes all sets in one pass via Expand, no re-scan",
+)
+def b16_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # DuckDB dayofweek: Sunday=0..Saturday=6; Spark dayofweek: Sun=1..7.
+    dow = (F.dayofweek("ts") - 1).cast("long")
+    return (ev.select("event_type", dow.alias("dow"))
+            .rollup("event_type", "dow")
+            .agg(F.grouping("event_type").cast("long").alias("g_type"),
+                 F.grouping("dow").cast("long").alias("g_dow"),
+                 F.count("*").cast("long").alias("n")))
+
+
+@_register(
+    "b17_cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE over order dims with a distinct-count per cell; Expand + "
+    "two-phase distinct agg, all one shuffle round at scale",
+)
+def b17_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("long").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+                 F.count("*").cast("long").alias("n"),
+                 F.countDistinct("o_custkey").cast("long")
+                 .alias("n_customers")))
+
+
+@_register(
+    "b18_set_ops",
+    """
+    SELECT user_id FROM (
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       UNION
+       SELECT user_id FROM events WHERE event_type = 'view')
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "set operations (UNION / EXCEPT / INTERSECT distinct): engaged "
+    "non-erroring purchasers; each op is a shuffle on user_id — at "
+    "scale pre-aggregate per side so only distinct keys shuffle",
+)
+def b18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    return (users("click").union(users("view")).distinct()
+            .subtract(users("error"))
+            .intersect(users("purchase")))
+
+
+# =====================================================================
+# C-tier: text analysis (charter "text analysis" — language ID,
+# quality scoring, token counting, fingerprinting)
+# =====================================================================
+
+def _duck_toks(src: str = "text") -> str:
+    return f"string_split_regex(trim(lower({src})), ' +')"
+
+
+_STOP_SQL = {lang: ", ".join(f"'{w}'" for w in words)
+             for lang, words in T.STOPWORDS.items()}
+
+@_register(
+    "c03c_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['de']}))) AS s_de,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['en']}))) AS s_en,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['es']}))) AS s_es,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['fr']}))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    "C3 language-ID: stopword-hit argmax, ties broken by language code "
+    "order — pure native expressions, narrow map at any scale",
+)
+def c03c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_register(
+    "c03d_quality_score",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             trim(text) AS raw,
+             string_split_regex(trim(lower(text)), ' +') AS toks,
+             length(regexp_replace(trim(lower(text)), ' +', '', 'g')) AS n_alpha
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             length(raw) AS n_chars,
+             len(toks) AS n_tokens,
+             (length(raw) - length(regexp_replace(raw, '[^a-z0-9 ]', '', 'g')))
+               * 1.0 / length(raw) AS punct_ratio,
+             len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','in','to','is')))
+               * 1.0 / len(toks) AS stopword_ratio,
+             n_alpha * 1.0 / len(toks) AS mean_token_len
+      FROM q
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(least(stopword_ratio * 4, 1.0) * 0.5
+                 + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                        THEN 1.0 ELSE 0.0 END * 0.3
+                 + (1 - least(punct_ratio * 10, 1.0)) * 0.2,
+                 6) AS quality
+    FROM f
+    """,
+    "C3 quality scoring: stopword/punctuation/token-length heuristic "
+    "blend (the C4-style web-text filters), all JVM-side expressions",
+)
+def c03d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"))
+
+
+@_register(
+    "c03e_bpe_token_count",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(lower(text),
+                '{T.BPE_TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(max(len(regexp_extract_all(lower(text),
+                '{T.BPE_TOKEN_RE}'))) AS BIGINT) AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    "C3 token counting under a BPE-ish pre-tokenizer regex (corpus "
+    "token budget accounting); regexp_extract_all is codegen'd JVM",
+)
+def c03e_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = T.bpe_token_count(F.col("text"))
+    return (docs.select("source", n.alias("n"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n").cast("long").alias("total_bpe_tokens"),
+                 F.max("n").cast("long").alias("max_bpe_tokens")))
+
+
+# Rabin-Karp powers for k=4, base 31 mod 1e9+7 (functions/text.py).
+_WINNOW_POWERS = [pow(31, 3 - j, 1_000_000_007) for j in range(4)]
+
+@_register(
+    "c03f_winnow_fingerprint",
+    f"""
+    WITH v AS (
+      SELECT doc_id,
+             list_transform({_duck_toks()},
+               t -> (length(t) * 131 + ascii(substr(t, 1, 1)) * 31
+                     + ascii(substr(t, -1, 1))) % 1000000007) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(vals) >= 4 THEN
+        list_min(list_transform(range(0, len(vals) - 3), i ->
+          ((vals[i+1] * {_WINNOW_POWERS[0]}) % 1000000007
+           + (vals[i+2] * {_WINNOW_POWERS[1]}) % 1000000007
+           + (vals[i+3] * {_WINNOW_POWERS[2]}) % 1000000007
+           + (vals[i+4] * {_WINNOW_POWERS[3]}) % 1000000007) % 1000000007))
+      ELSE NULL END AS fingerprint
+    FROM v
+    """,
+    "C3 document fingerprinting: winnowing-style min rolling hash "
+    "(Rabin-Karp over token values) — per-row expression, no shuffle",
+)
+def c03f_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.winnow_fingerprint(F.col("text"), k=4).alias("fingerprint"))
+
+
+# =====================================================================
+# C-tier: near-dup dedup suite (MinHash-LSH, SimHash, n-gram Jaccard)
+# on the documents corpus.  All use the md5-derived portable hash so
+# DuckDB reproduces signatures bit-for-bit; the operators default to
+# xxhash64 (faster JVM path) outside the oracle harness.
+# =====================================================================
+
+# DuckDB equivalent of operators.dedup.portable_hash64
+def _duck_hash64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _duck_shingles(n: int, src: str = "toks") -> str:
+    """Distinct token n-gram list (mirrors dedup.token_shingles);
+    `src` names a list-typed column in scope."""
+    parts = " || ' ' || ".join(f"{src}[i+{j}]" for j in range(n))
+    return (f"list_distinct(list_transform(range(1, len({src}) - {n - 2}), "
+            f"i -> {parts}))")
+
+
+@_register(
+    "c06_minhash_neardup",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    hx AS (SELECT doc_id, r.i AS i,
+                  min({_duck_hash64("r.i || ':' || sh")}) AS mh
+           FROM sh, range(0, 16) r(i) GROUP BY doc_id, r.i),
+    sig AS (SELECT doc_id, list(mh ORDER BY i) AS signature
+            FROM hx GROUP BY doc_id),
+    banded AS (SELECT doc_id, b.band AS band,
+                      md5(array_to_string(
+                        signature[b.band*4 + 1 : b.band*4 + 4], ',')) AS bucket
+               FROM sig, range(0, 4) b(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+    common AS (SELECT c.d1, c.d2, count(*) AS n_common
+               FROM cand c
+               JOIN sh s1 ON s1.doc_id = c.d1
+               JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+               GROUP BY c.d1, c.d2),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT d1, d2,
+           n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common JOIN sizes x ON x.doc_id = d1
+                JOIN sizes y ON y.doc_id = d2
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
+    """,
+    "C1 MinHash+LSH near-dup: shingle->minhash->band->bucket-join, "
+    "exact Jaccard verify on candidates only — O(docs x shingles) + "
+    "O(collided pairs), never O(docs^2)",
+)
+def c06_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5, hash_fn=D.portable_hash64)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"), "jaccard")
+
+
+@_register(
+    "c07_simhash_neardup",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform({_duck_shingles(2)},
+                                x -> {_duck_hash64('x')}) AS hs
+          FROM t),
+    g AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 64), k ->
+                   CASE WHEN list_sum(list_transform(hs,
+                          h -> ((h >> k) & 1) * 2 - 1)) > 0
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                   AS BIGINT) AS sig
+          FROM h)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM g a JOIN g b
+      ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """,
+    "C1 SimHash near-dup: 64-bit bit-vote signature (per-row native "
+    "expression), prefix-bucket LSH candidates, Hamming<=6 verify",
+)
+def c07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash_near_duplicates(
+        docs, "doc_id", "text", radius=6, prefix_bits=16, shingle_n=2,
+        hash_fn=D.portable_hash64)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"),
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+@_register(
+    "c08_ngram_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+           n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common JOIN sizes x ON x.doc_id = d1
+                JOIN sizes y ON y.doc_id = d2
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
+    """,
+    "C1 exact n-gram Jaccard via inverted-index join (pairs sharing "
+    ">=1 shingle only) — the exact verifier behind the LSH paths",
+)
+def c08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"),
+                      F.col("n_common").cast("long").alias("n_common"),
+                      "jaccard")
+
+
+# =====================================================================
+# C-tier: IVF-bucketed approximate nearest neighbor (scale path for
+# c02's brute-force baseline: partition the corpus into Voronoi cells
+# around centroids, probe only the cells nearest the query)
+# =====================================================================
+
+@_register(
+    "c09_ivf_ann",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+    asg AS (SELECT vec_id, label, emb, cent_id FROM (
+              SELECT e.vec_id, e.label, e.emb, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+                                DESC, c.cent_id) AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+    probe AS (SELECT cent_id FROM (
+                SELECT c.cent_id,
+                       row_number() OVER (
+                         ORDER BY round(list_cosine_similarity(
+                                    (SELECT qemb FROM q), c.cemb), 6)
+                                  DESC, c.cent_id) AS rn
+                FROM c) WHERE rn <= 2)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(emb, (SELECT qemb FROM q)), 6)
+             AS cos_sim
+    FROM asg WHERE cent_id IN (SELECT cent_id FROM probe)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+    "C2 IVF-bucketed ANN: assign vectors to nearest of 8 centroids "
+    "(broadcast), probe the 2 cells nearest the query — at 100 TB the "
+    "assignment is one narrow pass and search touches ~2/8 of data",
+)
+def c09_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"))
+
+    # Assignment: argmax over 8 broadcast centroids; rounded to 6dp
+    # before the argmax so float ulp noise can't flip cells vs oracle.
+    sims = e.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col("embedding"), F.col("cemb")), 6))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    asg = (sims.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("vec_id", "label", "embedding", "cent_id"))
+
+    probe = (cents.crossJoin(F.broadcast(qv))
+             .withColumn("sim", F.round(cosine(F.col("cemb"),
+                                               F.col("qemb")), 6))
+             .orderBy(F.desc("sim"), "cent_id").limit(2).select("cent_id"))
+
+    return (asg.join(F.broadcast(probe), "cent_id")
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", "label",
+                    F.round(cosine(F.col("embedding"), F.col("qemb")), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(20))
+
+
+# =====================================================================
+# C-tier: multimodal mapInPandas plumbing, oracle-checked end to end
+# (text bytes stand in for image payloads; the fake decode is exact
+# integer arithmetic both engines reproduce)
+# =====================================================================
+
+@_register(
+    "c05b_image_features",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS dig,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)) // 32) AS bins
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(64 + ('0x' || substr(dig, 1, 2))::INT % 192 AS BIGINT) AS width,
+           CAST(64 + ('0x' || substr(dig, 3, 2))::INT % 192 AS BIGINT) AS height,
+           CAST(1 + ('0x' || substr(dig, 5, 2))::INT % 3 AS BIGINT) AS n_channels,
+           CAST(len(list_filter(bins, b -> b = 1)) * 1000000 // n_bytes AS BIGINT) AS f1,
+           CAST(len(list_filter(bins, b -> b = 2)) * 1000000 // n_bytes AS BIGINT) AS f2,
+           CAST(len(list_filter(bins, b -> b = 3)) * 1000000 // n_bytes AS BIGINT) AS f3
+    FROM d
+    """,
+    "charter multimodal: binary payload -> Arrow-batched mapInPandas "
+    "decode (stub) -> typed metadata + feature bins; value-checked "
+    "against integer-exact oracle (printable ASCII lands in bins 1-3)",
+)
+def c05b_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = decode_image_features(src, id_col="doc_id",
+                                  payload_col="payload", fake=True)
+    return feats.select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.element_at("features", 2).alias("f1"),
+        F.element_at("features", 3).alias("f2"),
+        F.element_at("features", 4).alias("f3"))
+
+
+@_register(
+    "c05c_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, least(8, greatest(1, length(text) // 128))))
+               AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, i * 128 + 1, 128)) AS frame_md5
+    FROM f
+    """,
+    "charter multimodal: frame-sampling contract — one output row per "
+    "sampled frame via explode-shaped mapInPandas (ffmpeg slot stubbed "
+    "with deterministic byte slices)",
+)
+def c05c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = sample_frames(src, id_col="doc_id", payload_col="payload",
+                           every_n_bytes=128, max_frames=8, fake=True)
+    return frames.select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5("frame_bytes").alias("frame_md5"))
+

@@ -28,6 +28,12 @@ HEADLINE = [
     "c01b_normalized_neardup",  # text normalize + hash groupBy
     "c02_cosine_topk",      # vector similarity
     "c04_json_extract",
+    "b14_asof_join",        # union+window as-of join
+    "b16_rollup_agg",       # grouping sets via Expand
+    "c06_minhash_neardup",  # shingle->minhash->LSH->verify
+    "c07_simhash_neardup",  # bit-vote signature + prefix buckets
+    "c09_ivf_ann",          # bucketed approximate NN
+    "c05b_image_features",  # Arrow mapInPandas decode path
 ]
 
 

@@ -44,17 +44,43 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), " +")
 
 
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of an ALREADY-TOKENIZED array column.
+
+    Built as an elementwise zip_with over n shifted slices of the
+    token array — bulk array ops, no per-index element_at.  (The
+    transform(sequence)+element_at formulation measured ~5x slower in
+    interpreted HOF evaluation, and >10x slower again if `toks` is an
+    inline split() rather than a materialized attribute — callers
+    should tokenize behind a projection first, see _shingle_rows.)
+
+    Texts shorter than n tokens yield an empty array (slice length
+    greatest(size-n+1, 0) guards the degenerate case).
+    """
+    if n < 2:
+        return F.array_distinct(toks)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, n, m)
+    for j in range(n - 2, -1, -1):
+        acc = F.zip_with(F.slice(toks, j + 1, m), acc,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(acc)
+
+
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Distinct token n-gram shingles of a text column (native)."""
-    toks = _tokens(text)
-    # sequence(0, -1) would yield a DESCENDING [0, -1] and element_at
-    # would hit index 0; texts shorter than n tokens get no shingles.
-    idx = F.when(F.size(toks) >= n,
-                 F.sequence(F.lit(0), F.size(toks) - n)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
-    return F.array_distinct(grams)
+    return shingles_of_tokens(_tokens(text), n)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(doc_id, sh) exploded shingle rows, tokenizing each text exactly
+    once behind a projection boundary."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     _tokens(F.col(text_col)).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(shingles_of_tokens(F.col("toks"), n)).alias("sh"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -84,8 +110,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     MinHash path below is the remedy; this operator is the exact
     verifier / small-corpus tool.
     """
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.explode(token_shingles(F.col(text_col), n)).alias("sh"))
+    sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -103,29 +128,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("d1", "d2", "n_common", "jaccard"))
 
 
+# MinHash universal-hash family: sig[i] = min over shingles of
+# (a_i * h + b_i) mod P, h = base_hash(shingle) mod P.  One base hash
+# per shingle (the expensive part), num_hashes cheap affine
+# transforms — vs hashing num_hashes times per shingle, this is a
+# num_hashes-fold cut in hash work at identical statistical quality.
+# P < 2^30 keeps a_i * h < 2^60: exact in 64-bit on any engine.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine hash family
+    (Knuth-multiplicative spread, a_i forced nonzero)."""
+    return [((2654435761 * (i + 1) + 104729) % MINHASH_P or 1,
+             (40503 * (i + 1) + 12345) % MINHASH_P)
+            for i in range(num_hashes)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
                        hash_fn: HashFn = F.xxhash64) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    hash(i || shingle).  One narrow pass + one groupBy(doc).
+    """Per-doc MinHash signature (doc_id, signature array<long>).
 
-    Default hash is xxhash64, Spark's built-in 64-bit hash (JVM,
-    codegen) — the i-th permutation is simulated by seeding the hash
-    input with i.  Pass hash_fn=portable_hash64 when an external SQL
-    oracle must reproduce the signatures.
+    One narrow pass: explode shingles, one base hash per shingle, then
+    num_hashes MIN aggregates in a single groupBy(doc) — whole-stage
+    codegen end to end, shuffle carries only (doc_id, h).
+
+    Default base hash is xxhash64 (JVM); pass hash_fn=portable_hash64
+    when an external SQL oracle must reproduce signatures bit-for-bit.
     """
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.explode(token_shingles(F.col(text_col), shingle_n))
-                   .alias("sh"))
-    hashes = sh.select(
-        "doc_id", "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-    ).withColumn("h", hash_fn(F.concat_ws(":", "i", "sh")))
-    sig = (hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-           .groupBy("doc_id")
-           .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
-           .select("doc_id", F.transform("s", lambda x: x["mh"]).alias("signature")))
-    return sig
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    # pmod: xxhash64 is signed; the affine family needs h in [0, P).
+    h = sh.select("doc_id",
+                  F.pmod(hash_fn(F.col("sh")), F.lit(MINHASH_P)).alias("h"))
+    coeffs = minhash_coefficients(num_hashes)
+    mins = h.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)])
+    return mins.select(
+        "doc_id",
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"))
 
 
 def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
@@ -163,15 +205,15 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
                              hash_fn)
     cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
 
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.explode(token_shingles(F.col(text_col), shingle_n))
-                   .alias("sh"))
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # count shared shingles per candidate pair
+    # Count shared shingles per candidate pair.  The second join keys
+    # on (d2, sh) — shingle equality must be an equi-join key, not a
+    # post-join filter, or the intermediate is |sh_a| x |sh_b| rows
+    # per candidate pair instead of |sh_a ∩ sh_b|.
     common = (cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
-              .join(sh.select(F.col("doc_id").alias("d2"),
-                              F.col("sh").alias("sh_b")), "d2")
-              .filter(F.col("sh") == F.col("sh_b"))
+              .join(sh.select(F.col("doc_id").alias("d2"), "sh"),
+                    ["d2", "sh"])
               .groupBy("d1", "d2").agg(F.count("*").alias("n_common")))
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
@@ -236,9 +278,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     the shape to use at scale.  Docs with zero shingles (< shingle_n
     tokens) produce no row here (vs an all-zero signature there).
     """
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.explode(token_shingles(F.col(text_col), shingle_n))
-                   .alias("sh"))
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
     h = sh.select("doc_id", hash_fn(F.col("sh")).alias("h"))
     votes = h.groupBy("doc_id").agg(*[
         F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1)) * 2 - 1)

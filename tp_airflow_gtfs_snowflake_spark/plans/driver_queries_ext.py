@@ -176,6 +176,15 @@ def b18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality scoring, token counting, fingerprinting)
 # =====================================================================
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a small-file table across all cores before
+    compute-heavy per-row work.  The test corpus is one parquet file
+    (one input task); at production scale inputs arrive pre-split and
+    this becomes a no-op-sized shuffle of pointers, never a bottleneck.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _duck_toks(src: str = "text") -> str:
     return f"string_split_regex(trim(lower({src})), ' +')"
 
@@ -206,7 +215,7 @@ _STOP_SQL = {lang: ", ".join(f"'{w}'" for w in words)
     "order — pure native expressions, narrow map at any scale",
 )
 def c03c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang",
                        T.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -245,7 +254,7 @@ def c03c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blend (the C4-style web-text filters), all JVM-side expressions",
 )
 def c03d_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     feats = T.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -305,7 +314,7 @@ _WINNOW_POWERS = [pow(31, 3 - j, 1_000_000_007) for j in range(4)]
     "(Rabin-Karp over token values) — per-row expression, no shuffle",
 )
 def c03f_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", T.winnow_fingerprint(F.col("text"), k=4).alias("fingerprint"))
 
@@ -330,20 +339,35 @@ def _duck_shingles(n: int, src: str = "toks") -> str:
             f"i -> {parts}))")
 
 
+def _duck_minhash_mins(num_hashes: int) -> str:
+    """min((a_i*h + b_i) % P) select-list mirroring
+    dedup.minhash_coefficients / minhash_signatures."""
+    return ",\n                ".join(
+        f"min((h * {a} + {b}) % {D.MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(D.minhash_coefficients(num_hashes)))
+
+
+def _duck_minhash_band_case(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    whens = []
+    for band in range(bands):
+        cols = " || ',' || ".join(f"m{band * rows + j}" for j in range(rows))
+        whens.append(f"WHEN {band} THEN {cols}")
+    return f"CASE b.band {' '.join(whens)} END"
+
+
 @_register(
     "c06_minhash_neardup",
     f"""
     WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
-    hx AS (SELECT doc_id, r.i AS i,
-                  min({_duck_hash64("r.i || ':' || sh")}) AS mh
-           FROM sh, range(0, 16) r(i) GROUP BY doc_id, r.i),
-    sig AS (SELECT doc_id, list(mh ORDER BY i) AS signature
-            FROM hx GROUP BY doc_id),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {D.MINHASH_P} AS h FROM sh),
+    m AS (SELECT doc_id,
+                {_duck_minhash_mins(16)}
+          FROM hx GROUP BY doc_id),
     banded AS (SELECT doc_id, b.band AS band,
-                      md5(array_to_string(
-                        signature[b.band*4 + 1 : b.band*4 + 4], ',')) AS bucket
-               FROM sig, range(0, 4) b(band)),
+                      md5({_duck_minhash_band_case(16, 4)}) AS bucket
+               FROM m, range(0, 4) b(band)),
     cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
              FROM banded a JOIN banded b
                ON a.band = b.band AND a.bucket = b.bucket
@@ -365,7 +389,7 @@ def _duck_shingles(n: int, src: str = "toks") -> str:
     "O(collided pairs), never O(docs^2)",
 )
 def c06_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = D.minhash_near_duplicates(
         docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3,
         threshold=0.5, hash_fn=D.portable_hash64)
@@ -398,7 +422,7 @@ def c06_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression), prefix-bucket LSH candidates, Hamming<=6 verify",
 )
 def c07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = D.simhash_near_duplicates(
         docs, "doc_id", "text", radius=6, prefix_bits=16, shingle_n=2,
         hash_fn=D.portable_hash64)
@@ -427,7 +451,7 @@ def c07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ">=1 shingle only) — the exact verifier behind the LSH paths",
 )
 def c08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return out.select(F.col("d1").cast("long").alias("d1"),
                       F.col("d2").cast("long").alias("d2"),
@@ -536,6 +560,8 @@ def c09_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against integer-exact oracle (printable ASCII lands in bins 1-3)",
 )
 def c05b_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No repartition here: shuffling opaque payload bytes is pure cost.
+    # At scale, decode parallelism comes from input file splits.
     docs = _t(spark, sf_dir, "documents")
     src = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     feats = decode_image_features(src, id_col="doc_id",

@@ -82,3 +82,87 @@ def test_windowed_counts_with_watermark(spark, landing, tmp_path):
     # early) -> they still land in their event-time window
     total = sum(r.n_reports for r in rows)
     assert total == 36  # 12 vehicles x 3 snapshots
+
+
+def test_session_windows_per_vehicle(spark, landing, tmp_path):
+    snaps = fixtures_gtfs.make_feed_snapshots(3)  # 2 min apart
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"vp_20240304060{i}.json", s)
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        sessionized_vehicle_activity)
+    stream = read_feed_stream(spark, str(landing))
+    agg = sessionized_vehicle_activity(stream, gap="10 minutes",
+                                       watermark="15 minutes")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("vp_sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt_s")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM vp_sessions").collect()
+    # 6 distinct vehicle ids (V0..V5), reports 2 min apart with a 10 min
+    # gap -> exactly ONE session per vehicle spanning all its reports
+    assert len(rows) == 6
+    assert sum(r.n_reports for r in rows) == 36
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stream_dedup_within_watermark(spark, landing, tmp_path):
+    snaps = fixtures_gtfs.make_feed_snapshots(1)
+    # same snapshot content re-delivered as two different files
+    _write_snapshot(landing, "vp_202403040600.json", snaps[0])
+    _write_snapshot(landing, "vp_202403040600_redelivery.json", snaps[0])
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        deduped_position_reports)
+    stream = read_feed_stream(spark, str(landing))
+    dedup = deduped_position_reports(stream, watermark="15 minutes")
+    q = (dedup.writeStream.outputMode("append").format("memory")
+         .queryName("vp_dedup")
+         .option("checkpointLocation", str(tmp_path / "ckpt_d")).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT vehicle_id, timestamp_epoch FROM vp_dedup")
+    total = out.count()
+    distinct = out.distinct().count()
+    assert total == distinct  # re-delivered reports dropped
+    # one snapshot has 12 reports but duplicate (vehicle,ts) pairs can
+    # occur within it too; dedup keeps exactly the distinct set
+    assert 1 <= total <= 12
+
+
+def test_vehicle_odometer_state_across_batches(spark, landing, tmp_path):
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        vehicle_odometer)
+    snaps = fixtures_gtfs.make_feed_snapshots(2)
+
+    # One continuous query; files landed between processAllAvailable()
+    # calls arrive as separate micro-batches, so per-vehicle state must
+    # carry across them.  (The memory sink cannot restart from a
+    # checkpoint, so cross-restart recovery is covered by
+    # test_exactly_once_across_restart instead.)
+    stream = read_feed_stream(spark, str(landing))
+    q = (vehicle_odometer(stream).writeStream
+         .outputMode("update").format("memory").queryName("vp_odo")
+         .option("checkpointLocation", str(tmp_path / "ckpt_o")).start())
+
+    def snapshot_state():
+        # update-mode memory sink appends each batch's updated rows;
+        # the latest state per vehicle is the max report count.
+        rows = spark.sql(
+            "SELECT vehicle_id, max(n_reports) AS n_reports, "
+            "max(path_degrees) AS path_degrees "
+            "FROM vp_odo GROUP BY vehicle_id").collect()
+        return {r.vehicle_id: r for r in rows}
+
+    _write_snapshot(landing, "vp_202403040600.json", snaps[0])
+    q.processAllAvailable()
+    first = snapshot_state()
+    assert len(first) == 6  # V0..V5
+    assert all(r.n_reports >= 1 for r in first.values())
+
+    _write_snapshot(landing, "vp_202403040602.json", snaps[1])
+    q.processAllAvailable()
+    q.stop()
+    second = snapshot_state()
+    for vid, r in second.items():
+        assert r.n_reports > first[vid].n_reports
+        assert r.path_degrees >= first[vid].path_degrees

@@ -465,6 +465,25 @@ def c08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # around centroids, probe only the cells nearest the query)
 # =====================================================================
 
+def _ivf_assign(emb: DataFrame, n_cents: int = 8) -> DataFrame:
+    """Assign every vector to its nearest of the first n_cents vectors
+    (stand-in centroids): (vec_id, label, embedding, cent_id).
+
+    Centroids are broadcast; assignment is argmax over similarities
+    rounded to 6dp BEFORE the argmax so float ulp noise can't flip
+    cells vs an external oracle; ties break to the lowest cent_id.
+    """
+    e = emb.select("vec_id", "label", "embedding")
+    cents = emb.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
+    sims = e.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col("embedding"), F.col("cemb")), 6))
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "embedding", "cent_id"))
+
+
 @_register(
     "c09_ivf_ann",
     """
@@ -505,14 +524,7 @@ def c09_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qemb"))
 
-    # Assignment: argmax over 8 broadcast centroids; rounded to 6dp
-    # before the argmax so float ulp noise can't flip cells vs oracle.
-    sims = e.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col("embedding"), F.col("cemb")), 6))
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
-    asg = (sims.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1)
-           .select("vec_id", "label", "embedding", "cent_id"))
+    asg = _ivf_assign(emb)
 
     probe = (cents.crossJoin(F.broadcast(qv))
              .withColumn("sim", F.round(cosine(F.col("cemb"),
@@ -602,3 +614,42 @@ def c05c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
         F.md5("frame_bytes").alias("frame_md5"))
 
+
+
+@_register(
+    "c10_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, emb, cent_id FROM (
+              SELECT e.vec_id, e.emb, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+                                DESC, c.cent_id) AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM asg a JOIN asg b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+    """,
+    "C1/C2 embedding-cosine near-dup, IVF-cell blocked: pairs are only "
+    "compared within their assigned centroid cell — O(sum cell^2) not "
+    "O(n^2); at 100 TB cells shard across executors and the cross "
+    "product stays per-cell-local",
+)
+def c10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = _ivf_assign(emb)
+    a = asg.select("cent_id", F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("e1"))
+    b = asg.select("cent_id", F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("e2"))
+    return (a.join(b, "cent_id")
+            .filter(F.col("d1") < F.col("d2"))
+            .withColumn("cos_sim",
+                        F.round(cosine(F.col("e1"), F.col("e2")), 6))
+            .filter(F.col("cos_sim") >= 0.35)
+            .select("d1", "d2", "cos_sim"))

@@ -1,0 +1,127 @@
+"""Stateful / advanced streaming operators (SURVEY M5 beyond the
+basics): session windows, in-stream dedup, and a custom stateful
+operator via applyInPandasWithState.
+
+The reference never gets past permissive loads for late or duplicate
+feed data (README.md:137-138); these are the Structured-Streaming-
+native treatments:
+
+- session windows bound gap-based activity without a fixed grid;
+- dropDuplicatesWithinWatermark removes re-sent reports while keeping
+  dedup state bounded by the watermark horizon (a plain
+  dropDuplicates on a stream grows state forever);
+- applyInPandasWithState holds per-key state across micro-batches for
+  logic no built-in aggregate expresses (here: per-vehicle odometer —
+  cumulative report count + path length from successive positions).
+
+Scale notes: all three shuffle on their key exactly once per
+micro-batch; state lives in the executor state store (RocksDB-backed
+in production) and is bounded by watermark/timeout, so a 1000-executor
+cluster shards state by key range with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
+    flatten_vehicle_positions, parse_feed_json,
+)
+
+
+def _positions(feed_stream: DataFrame) -> DataFrame:
+    vp = flatten_vehicle_positions(parse_feed_json(feed_stream))
+    return vp.withColumn("ts", F.timestamp_seconds("timestamp_epoch"))
+
+
+def sessionized_vehicle_activity(feed_stream: DataFrame, *,
+                                 gap: str = "10 minutes",
+                                 watermark: str = "15 minutes") -> DataFrame:
+    """Per-vehicle activity sessions: reports closer than `gap` merge
+    into one session (dynamic-width windows — the 'trip burst' view a
+    fixed tumbling grid can't express)."""
+    return (_positions(feed_stream)
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("s"), "vehicle_id")
+            .agg(F.count("*").alias("n_reports"))
+            .select("vehicle_id",
+                    F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_reports"))
+
+
+def deduped_position_reports(feed_stream: DataFrame, *,
+                             watermark: str = "15 minutes") -> DataFrame:
+    """Drop re-delivered (vehicle_id, timestamp) reports with state
+    bounded by the watermark — the streaming analogue of the
+    reference's first-wins snapshot dedup (gtfs_rt_minutely.py:98-100),
+    which only deduped *within* one snapshot and silently kept
+    cross-snapshot duplicates."""
+    return (_positions(feed_stream)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["vehicle_id", "timestamp_epoch"]))
+
+
+ODOMETER_SCHEMA = StructType([
+    StructField("vehicle_id", StringType()),
+    StructField("n_reports", LongType()),
+    StructField("path_degrees", DoubleType()),
+    StructField("last_lat", DoubleType()),
+    StructField("last_lon", DoubleType()),
+])
+
+_ODO_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("dist", DoubleType()),
+    StructField("lat", DoubleType()),
+    StructField("lon", DoubleType()),
+])
+
+
+def vehicle_odometer(feed_stream: DataFrame, *,
+                     watermark: str = "15 minutes") -> DataFrame:
+    """Custom stateful operator: per-vehicle cumulative report count
+    and coordinate-space path length across micro-batches.
+
+    No built-in streaming aggregate can reference the PREVIOUS row's
+    value (the position delta), so this is the applyInPandasWithState
+    slot: state = (n, dist, last position), updated in event order
+    within each batch.  Distance is in coordinate degrees — swap in a
+    haversine for meters; the state machinery is the point here.
+    """
+
+    def update(key: tuple[str], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, dist, lat, lon = state.get
+        else:
+            n, dist, lat, lon = 0, 0.0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp_epoch")
+            for _, row in pdf.iterrows():
+                if lat is not None:
+                    dist += float(((row.latitude - lat) ** 2
+                                   + (row.longitude - lon) ** 2) ** 0.5)
+                lat, lon = float(row.latitude), float(row.longitude)
+                n += 1
+        state.update((n, dist, lat, lon))
+        yield pd.DataFrame([{"vehicle_id": key[0], "n_reports": n,
+                             "path_degrees": dist,
+                             "last_lat": lat, "last_lon": lon}])
+
+    pos = _positions(feed_stream).select(
+        "vehicle_id", "timestamp_epoch", "latitude", "longitude", "ts")
+    return (pos.withWatermark("ts", watermark)
+            .groupBy("vehicle_id")
+            .applyInPandasWithState(
+                update, ODOMETER_SCHEMA, _ODO_STATE, "update",
+                GroupStateTimeout.NoTimeout))

@@ -1,0 +1,96 @@
+"""Physical-plan quality gates (SURVEY §4): these queries must not
+regress into plans that fall over at 100 TB.  Each assertion encodes a
+scale property: filters/projections reach the parquet scan, small dims
+broadcast, top-k avoids global sorts, the as-of join stays a
+single-shuffle plan, and hot paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_ORACLE)
+    jqe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return jqe.explainString(mode)
+
+
+def test_filter_and_projection_reach_scan(spark):
+    p = _plan(spark, "a18_projection_filter")
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in p, "filter not pushed"
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    n_cols = read.split("struct<")[1].count(":")
+    assert n_cols == 3, f"scan reads extra columns: {read}"
+
+
+def test_flagship_prunes_columns_through_join(spark):
+    p = _plan(spark, "flagship_span_topk")
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    for r in reads:
+        # lineitem has 16 columns, orders 6; both scans must be pruned
+        assert r.split("struct<")[1].count(":") <= 3, f"unpruned scan: {r}"
+
+
+def test_dimension_joins_broadcast(spark):
+    p = _plan(spark, "b04_broadcast_dim_join")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    for name in ("b07_topk_by_aggregate", "c02_cosine_topk"):
+        p = _plan(spark, name)
+        assert "TakeOrderedAndProject" in p, f"{name}: global sort+limit"
+
+
+def test_asof_join_is_single_shuffle(spark):
+    p = _plan(spark, "b14_asof_join")
+    # union + one window over (key): exactly one logical repartition;
+    # formatted mode may print the exchange node twice (reuse), so
+    # bound the count rather than demanding equality.
+    n_exchanges = sum(1 for l in p.splitlines()
+                      if ") Exchange" in l or l.strip().startswith("Exchange"))
+    assert n_exchanges <= 2, f"asof join shuffles too much:\n{p}"
+    assert "Window" in p
+
+
+def test_range_join_broadcasts_the_dim(spark):
+    p = _plan(spark, "b15_range_bucket_join")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hot_paths_are_codegened(spark):
+    # AQE only materializes codegen stages at execution time, so run
+    # the query and inspect the final adaptive plan.
+    for name in ("flagship_span_topk", "b03_delay_join",
+                 "b05_time_bucket_agg"):
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        df.collect()  # count() would wrap a new plan; collect finalizes THIS one
+        qe = df._jdf.queryExecution()
+        p = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "isFinalPlan=true" in p
+        assert "codegen id" in p, \
+            f"{name}: no whole-stage codegen spans:\n{p[:800]}"
+
+
+def test_set_ops_avoid_cartesian(spark):
+    p = _plan(spark, "b18_set_ops")
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_bucket_join_is_equi(spark):
+    # LSH candidate generation and Jaccard verify must be hash joins
+    # on (band,bucket)/(doc,shingle) — a nested-loop here is the
+    # O(docs^2) failure mode the design exists to avoid.
+    p = _plan(spark, "c06_minhash_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -653,3 +653,113 @@ def c10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(cosine(F.col("e1"), F.col("e2")), 6))
             .filter(F.col("cos_sim") >= 0.35)
             .select("d1", "d2", "cos_sim"))
+
+
+@_register(
+    "b19_pivot",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (dayofweek(ts) = 0) AS BIGINT) AS d0,
+           CAST(count(*) FILTER (dayofweek(ts) = 1) AS BIGINT) AS d1,
+           CAST(count(*) FILTER (dayofweek(ts) = 2) AS BIGINT) AS d2,
+           CAST(count(*) FILTER (dayofweek(ts) = 3) AS BIGINT) AS d3,
+           CAST(count(*) FILTER (dayofweek(ts) = 4) AS BIGINT) AS d4,
+           CAST(count(*) FILTER (dayofweek(ts) = 5) AS BIGINT) AS d5,
+           CAST(count(*) FILTER (dayofweek(ts) = 6) AS BIGINT) AS d6
+    FROM events GROUP BY event_type
+    """,
+    "B8 literal pivot: day-of-week columns per event type.  Explicit "
+    "pivot values matter at scale — omitting them forces an extra "
+    "distinct-scan job just to discover the column set",
+)
+def b19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("int")
+    piv = (ev.select("event_type", dow.alias("dow"))
+           .groupBy("event_type")
+           .pivot("dow", list(range(7)))
+           .count())
+    return piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(d)), F.lit(0)).cast("long").alias(f"d{d}")
+          for d in range(7)])
+
+
+@_register(
+    "b21_window_suite",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w_det AS BIGINT) AS rn,
+           CAST(rank() OVER w_val AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w_val AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w_det AS BIGINT) AS quartile,
+           lag(value) OVER w_det AS prev_value,
+           lead(value) OVER w_det AS next_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS DOUBLE) AS running_spend
+    FROM events
+    WINDOW w_det AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_val AS (PARTITION BY user_id ORDER BY value)
+    """,
+    "window-function suite: ranking (row_number/rank/dense_rank/"
+    "ntile), offsets (lag/lead), and a running decimal sum with an "
+    "explicit rows frame — one shuffle on user_id serves all frames",
+)
+def b21_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_det = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = W.partitionBy("user_id").orderBy("value")
+    w_run = w_det.rowsBetween(W.unboundedPreceding, W.currentRow)
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w_det).cast("long").alias("rn"),
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
+        F.ntile(4).over(w_det).cast("long").alias("quartile"),
+        F.lag("value").over(w_det).alias("prev_value"),
+        F.lead("value").over(w_det).alias("next_value"),
+        F.sum(dec).over(w_run).cast("decimal(38,2)").cast("double")
+        .alias("running_spend"))
+
+
+@_register(
+    "c04b_from_json_struct",
+    """
+    SELECT event_id, user_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+    "C4 schema-full JSON parse (from_json to a typed struct, vs c04's "
+    "path extraction); the parsed filter prunes before any shuffle",
+)
+def c04b_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (parsed.filter(F.col("p.k") > 50)
+            .select("event_id", "user_id", F.col("p.k").alias("k")))
+
+
+@_register(
+    "b20_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    "exact interpolated percentiles per group (both engines use the "
+    "same linear interpolation).  Exact percentile materializes the "
+    "group's values — at 100 TB switch to approx_percentile (t-digest "
+    "sketch, mergeable map-side), which the oracle can't replicate",
+)
+def b20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+                 F.count("*").cast("long").alias("n")))

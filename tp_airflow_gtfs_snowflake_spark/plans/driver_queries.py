@@ -115,23 +115,20 @@ def _register(name: str, oracle: str | None, note: str):
 def flagship_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    # Window over the per-order line sequence (reference semantics:
-    # time(last stop) - time(first stop) per trip, gtfs KPI README.md:126).
-    # l_shipdate tiebreaker: l_linenumber is not unique per order in the
-    # testdata, and only the shipdate is extracted, so ties are harmless.
-    w = (W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_shipdate")
-         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-    spans = (
-        li.select(
-            "l_orderkey",
-            F.first("l_shipdate").over(w).alias("first_ship"),
-            F.last("l_shipdate").over(w).alias("last_ship"),
-        )
-        .groupBy("l_orderkey")
-        .agg(
-            F.datediff(F.max("last_ship"), F.max("first_ship")).cast("long").alias("span_days"),
-            F.count("*").cast("long").alias("n_lines"),
-        )
+    # Per-order span = ship(last line) - ship(first line) in the
+    # (l_linenumber, l_shipdate) sequence (reference semantics:
+    # time(last stop) - time(first stop) per trip, gtfs KPI
+    # README.md:126).  min_by/max_by over a composite sequence key is
+    # ONE partially-aggregatable hash agg — map-side combine, no
+    # per-key sort, no window exchange.  (The window formulation costs
+    # an extra Sort inside the shuffle and ran ~2x slower; the window
+    # family itself is covered by b10_span_per_group.)
+    seq = (F.col("l_linenumber").cast("long") * F.lit(10_000_000_000)
+           + F.unix_timestamp("l_shipdate"))
+    spans = li.groupBy("l_orderkey").agg(
+        F.datediff(F.max_by("l_shipdate", seq),
+                   F.min_by("l_shipdate", seq)).cast("long").alias("span_days"),
+        F.count("*").cast("long").alias("n_lines"),
     )
     return (
         spans.join(o, spans.l_orderkey == o.o_orderkey)
@@ -755,7 +752,10 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C1 near-dup via text normalization fingerprint",
 )
 def c01b_normalized_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # repartition: the test corpus is one parquet file (one input
+    # task); the double regex pass is the cost here, spread it.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "))
     return (

@@ -186,3 +186,40 @@ def test_sample_frames_counts_and_slices(spark, payload_df):
     assert len(per_doc[3]) == 1 and per_doc[3][0]["frame_bytes"] == b""
     f0 = sorted(per_doc[1], key=lambda r: r["frame_idx"])[0]
     assert bytes(f0["frame_bytes"]) == b"x" * 128
+
+
+# --- skew operators ---------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.skew import salted_join
+    # hot key: 90% of left rows share k=1
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, v long")
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")],
+                                  "k long, name string")
+    plain = left.join(right, "k").select("k", "v", "name")
+    salted = salted_join(left, right, on=["k"], salt_buckets=4) \
+        .select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.skew import salted_join
+    left = spark.createDataFrame([(1, 10), (9, 90)], "k long, v long")
+    right = spark.createDataFrame([(1, "a")], "k long, name string")
+    out = {tuple(r) for r in
+           salted_join(left, right, on=["k"], how="left",
+                       salt_buckets=3).collect()}
+    assert out == {(1, 10, "a"), (9, 90, None)}
+
+
+def test_salted_count_distinct_exact(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.skew import (
+        salted_count_distinct)
+    df = spark.createDataFrame(
+        [("hot", i % 37) for i in range(5000)]
+        + [("cold", i) for i in range(11)], "g string, u long")
+    got = {r["g"]: r["n_distinct"] for r in salted_count_distinct(
+        df, group_cols=["g"], distinct_col="u", salt_buckets=8).collect()}
+    assert got == {"hot": 37, "cold": 11}

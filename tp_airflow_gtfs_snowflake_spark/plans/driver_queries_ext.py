@@ -763,3 +763,23 @@ def b20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
                  F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
                  F.count("*").cast("long").alias("n")))
+
+
+@_register(
+    "b22_salted_distinct_agg",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "skew-safe exact count-distinct: two-phase salted aggregation "
+    "(value-hash buckets partition the distinct space, per-bucket "
+    "counts sum exactly) — no single reducer ever holds a hot "
+    "group's full distinct set",
+)
+def b22_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.skew import (
+        salted_count_distinct)
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(ev, group_cols=["event_type"],
+                                 distinct_col="user_id", salt_buckets=8)

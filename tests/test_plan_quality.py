@@ -8,6 +8,7 @@ single-shuffle plan, and hot paths stay inside whole-stage codegen.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
@@ -94,3 +95,35 @@ def test_minhash_bucket_join_is_equi(spark):
     p = _plan(spark, "c06_minhash_neardup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables: the equi-join on the bucket key must
+    not shuffle either side (the 'pay the shuffle once at write time'
+    strategy for repeatedly-joined 100 TB facts)."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import write_bucketed
+    # (warehouse dir is a static conf; managed tables land in the
+    # default spark-warehouse and are dropped in the finally block)
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_bkt", bucket_col="l_orderkey", n_buckets=8)
+    write_bucketed(o, "o_bkt", bucket_col="o_orderkey", n_buckets=8)
+    try:
+        joined = (spark.table("li_bkt")
+                  .join(spark.table("o_bkt"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_orderpriority")
+                  .agg(F.sum("l_quantity")))
+        p = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        join_section = p.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, \
+            f"bucketed join still shuffles:\n{p[:1200]}"
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+            or "BroadcastHashJoin" in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")

@@ -110,3 +110,21 @@ class Warehouse:
                 if self.exists(layer, name):
                     self.table(layer, name).createOrReplaceTempView(
                         f"{prefix}{name}")
+
+
+def write_bucketed(df: DataFrame, table_name: str, *, bucket_col: str,
+                   n_buckets: int = 32,
+                   sorted_within: bool = True) -> None:
+    """Materialize df as a bucketed (and optionally sorted) catalog
+    table: co-locates rows by hash(bucket_col) at WRITE time so later
+    equi-joins and aggregations on that key need no Exchange — the
+    'pay the shuffle once' strategy for fact tables that are joined on
+    the same key query after query (stop_times ⋈ trips at 100 TB).
+
+    Bucketing metadata lives in the session catalog (saveAsTable);
+    path-based reads of the same files will NOT see it.
+    """
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sorted_within:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").mode("overwrite").saveAsTable(table_name)

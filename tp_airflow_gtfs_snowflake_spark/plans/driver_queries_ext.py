@@ -783,3 +783,21 @@ def b22_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return salted_count_distinct(ev, group_cols=["event_type"],
                                  distinct_col="user_id", salt_buckets=8)
+
+
+@_register(
+    "b23_approx_sketches",
+    None,  # rows-only: sketch estimates differ per implementation
+    "approximate sketches for 100 TB interactive profiling: HLL++ "
+    "distinct-count and t-digest percentile per group — mergeable "
+    "map-side, O(sketch) memory vs O(group) for the exact forms "
+    "(b17/b20/b22 are the exact counterparts the oracle verifies)",
+)
+def b23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).cast("long")
+                 .alias("approx_users"),
+                 F.percentile_approx("value", 0.95, 10000)
+                 .alias("approx_p95"),
+                 F.count("*").cast("long").alias("n")))

@@ -801,3 +801,74 @@ def b23_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile_approx("value", 0.95, 10000)
                  .alias("approx_p95"),
                  F.count("*").cast("long").alias("n")))
+
+
+@_register(
+    "b24_full_outer_join",
+    """
+    WITH purch AS (SELECT user_id, count(*) AS n_purchases
+                   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         err AS (SELECT user_id, count(*) AS n_errors
+                 FROM events WHERE event_type = 'error' GROUP BY user_id)
+    SELECT coalesce(purch.user_id, err.user_id) AS user_id,
+           CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors
+    FROM purch FULL OUTER JOIN err ON purch.user_id = err.user_id
+    """,
+    "full outer join over pre-aggregated sides: activity ledger "
+    "keeping users present on either side only — pre-aggregation "
+    "first means the join shuffles distinct keys, not raw events",
+)
+def b24_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def side(t: str, out: str) -> DataFrame:
+        return (ev.filter(F.col("event_type") == t)
+                .groupBy("user_id").agg(F.count("*").alias(out)))
+
+    p, r = side("purchase", "n_purchases"), side("error", "n_errors")
+    return (p.withColumnRenamed("user_id", "pu")
+            .join(r.withColumnRenamed("user_id", "eu"),
+                  F.col("pu") == F.col("eu"), "full_outer")
+            .select(F.coalesce("pu", "eu").alias("user_id"),
+                    F.coalesce("n_purchases", F.lit(0)).cast("long")
+                    .alias("n_purchases"),
+                    F.coalesce("n_errors", F.lit(0)).cast("long")
+                    .alias("n_errors")))
+
+
+@_register(
+    "c11_map_functions",
+    """
+    WITH m AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS n
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ), packed AS (
+      SELECT event_type, map(list(dow ORDER BY dow), list(n ORDER BY dow)) AS by_dow
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(cardinality(by_dow) AS BIGINT) AS n_days,
+           CAST(list_sum(map_values(by_dow)) AS BIGINT) AS total,
+           CAST(map_extract(by_dow, 0)[1] AS BIGINT) AS sunday_n
+    FROM packed
+    """,
+    "map-typed columns: build per-group maps (map_from_entries), "
+    "inspect with size/map_values/element_at — the typed-dictionary "
+    "column pattern for per-entity feature bundles",
+)
+def c11_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("long")
+    m = (ev.select("event_type", dow.alias("dow"))
+         .groupBy("event_type", "dow").agg(F.count("*").alias("n")))
+    packed = (m.groupBy("event_type")
+              .agg(F.map_from_entries(
+                   F.array_sort(F.collect_list(F.struct("dow", "n"))))
+                   .alias("by_dow")))
+    return packed.select(
+        "event_type",
+        F.size("by_dow").cast("long").alias("n_days"),
+        F.aggregate(F.map_values("by_dow"), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total"),
+        F.element_at("by_dow", F.lit(0)).cast("long").alias("sunday_n"))

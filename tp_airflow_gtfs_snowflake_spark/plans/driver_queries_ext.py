@@ -872,3 +872,26 @@ def c11_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.map_values("by_dow"), F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("total"),
         F.element_at("by_dow", F.lit(0)).cast("long").alias("sunday_n"))
+
+
+@_register(
+    "b25_tumbling_window",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    "B5 tumbling event-time windows in batch mode (F.window; the "
+    "streaming flavor with watermarks is windowed_position_counts in "
+    "streaming/rt_stream.py) — hour buckets align on the epoch in "
+    "both engines",
+)
+def b25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"))
+            .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                    "event_type", "n", "n_users"))

@@ -151,14 +151,15 @@ def b17_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
        UNION
        SELECT user_id FROM events WHERE event_type = 'view')
       EXCEPT
-      SELECT user_id FROM events WHERE event_type = 'error'
+      SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
     )
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
     "set operations (UNION / EXCEPT / INTERSECT distinct): engaged "
-    "non-erroring purchasers; each op is a shuffle on user_id — at "
-    "scale pre-aggregate per side so only distinct keys shuffle",
+    "purchasers without a severe error; each op is a shuffle on "
+    "user_id — at scale pre-aggregate per side so only distinct keys "
+    "shuffle",
 )
 def b18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -166,8 +167,11 @@ def b18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def users(t: str) -> DataFrame:
         return ev.filter(F.col("event_type") == t).select("user_id").distinct()
 
+    severe = (ev.filter((F.col("event_type") == "error")
+                        & (F.col("value") > 200))
+              .select("user_id").distinct())
     return (users("click").union(users("view")).distinct()
-            .subtract(users("error"))
+            .subtract(severe)
             .intersect(users("purchase")))
 
 

@@ -74,13 +74,17 @@ def quality_features(text: Column) -> dict[str, Column]:
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     n_tok = F.size(toks)
+    # nullif guards: ANSI mode (Spark 4 default) turns x/0 into a task
+    # failure, not a null — empty/whitespace-only text must yield null
+    # ratios, not crash the stage.
     return {
         "n_chars": n_chars,
         "n_tokens": n_tok,
-        "punct_ratio": n_punct / n_chars,
-        "stopword_ratio": n_stop / n_tok,
+        "punct_ratio": n_punct / F.nullif(n_chars, F.lit(0)),
+        "stopword_ratio": n_stop / F.nullif(n_tok, F.lit(0)),
         "mean_token_len": (F.length(F.regexp_replace(F.trim(F.lower(text)),
-                                                     " +", "")) / n_tok),
+                                                     " +", ""))
+                           / F.nullif(n_tok, F.lit(0))),
     }
 
 

@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (charter C2): brute-force
+cosine top-k as the correctness baseline, IVF cell assignment as the
+scale path, and cell-blocked near-duplicate pairing.
+
+Scale design (100 TB of vectors):
+- the query vector / centroid set is always broadcast — scoring is a
+  narrow per-row map, no shuffle;
+- brute-force top-k ends in TakeOrderedAndProject (per-partition heap
+  + driver merge), never a global sort;
+- IVF: vectors are assigned once to their nearest centroid (narrow
+  map over a broadcast centroid table) and only the probed cells are
+  scanned at query time — cells shard across executors, and the
+  near-dup cross product stays per-cell-local (O(sum cell^2), not
+  O(n^2));
+- all similarity math is `functions.vectors` (JVM higher-order
+  expressions, doubles); similarities are rounded to 6dp BEFORE any
+  argmax/threshold so float ulp noise cannot flip assignments between
+  runs or engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+
+
+def brute_force_topk(vectors: DataFrame, query: DataFrame, *,
+                     vec_col: str = "embedding", k: int = 20,
+                     payload: list[str] | None = None) -> DataFrame:
+    """Exact cosine top-k of `vectors` against a 1-row `query` frame
+    (column `qemb`).  Baseline and recall oracle for the IVF path."""
+    payload = payload if payload is not None else [
+        c for c in vectors.columns if c != vec_col]
+    return (vectors.crossJoin(F.broadcast(query))
+            .select(*payload,
+                    F.round(cosine(F.col(vec_col), F.col("qemb")), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), *payload[:1])
+            .limit(k))
+
+
+def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               n_cents: int = 8) -> DataFrame:
+    """Assign every vector to its nearest of the first n_cents vectors
+    (stand-in centroids; production trains k-means): input columns +
+    `cent_id`.  Ties break to the lowest cent_id."""
+    cents = emb.filter(F.col(id_col) < n_cents).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
+    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine(F.col(vec_col), F.col("cemb")), 6))
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cent_id")
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "sim", "cemb"))
+
+
+def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_cents: int = 8,
+             n_probe: int = 2, k: int = 20,
+             payload: list[str] | None = None) -> DataFrame:
+    """Approximate top-k: score only vectors whose cell is among the
+    n_probe cells nearest the query."""
+    cents = emb.filter(F.col(id_col) < n_cents).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
+    probe = (cents.crossJoin(F.broadcast(query))
+             .withColumn("sim", F.round(cosine(F.col("cemb"),
+                                               F.col("qemb")), 6))
+             .orderBy(F.desc("sim"), "cent_id")
+             .limit(n_probe).select("cent_id"))
+    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents)
+    candidates = asg.join(F.broadcast(probe), "cent_id")
+    return brute_force_topk(candidates.drop("cent_id"), query,
+                            vec_col=vec_col, k=k, payload=payload)
+
+
+def cell_blocked_neardup(emb: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", n_cents: int = 8,
+                         threshold: float = 0.35) -> DataFrame:
+    """(d1, d2, cos_sim) pairs with cosine >= threshold, compared only
+    within each vector's assigned IVF cell."""
+    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents)
+    a = asg.select("cent_id", F.col(id_col).alias("d1"),
+                   F.col(vec_col).alias("e1"))
+    b = asg.select("cent_id", F.col(id_col).alias("d2"),
+                   F.col(vec_col).alias("e2"))
+    return (a.join(b, "cent_id")
+            .filter(F.col("d1") < F.col("d2"))
+            .withColumn("cos_sim",
+                        F.round(cosine(F.col("e1"), F.col("e2")), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("d1", "d2", "cos_sim"))

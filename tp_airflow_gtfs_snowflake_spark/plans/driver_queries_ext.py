@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from tp_airflow_gtfs_snowflake_spark.functions import text as T
 from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
 from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
 from tp_airflow_gtfs_snowflake_spark.operators.asof import asof_join
 from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
     decode_image_features, sample_frames)
@@ -469,25 +470,6 @@ def c08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # around centroids, probe only the cells nearest the query)
 # =====================================================================
 
-def _ivf_assign(emb: DataFrame, n_cents: int = 8) -> DataFrame:
-    """Assign every vector to its nearest of the first n_cents vectors
-    (stand-in centroids): (vec_id, label, embedding, cent_id).
-
-    Centroids are broadcast; assignment is argmax over similarities
-    rounded to 6dp BEFORE the argmax so float ulp noise can't flip
-    cells vs an external oracle; ties break to the lowest cent_id.
-    """
-    e = emb.select("vec_id", "label", "embedding")
-    cents = emb.filter(F.col("vec_id") < n_cents).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
-    sims = e.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col("embedding"), F.col("cemb")), 6))
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
-    return (sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "label", "embedding", "cent_id"))
-
-
 @_register(
     "c09_ivf_ann",
     """
@@ -522,26 +504,10 @@ def _ivf_assign(emb: DataFrame, n_cents: int = 8) -> DataFrame:
 )
 def c09_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", "embedding")
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
-    qv = e.filter(F.col("vec_id") == 0).select(
+    qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qemb"))
-
-    asg = _ivf_assign(emb)
-
-    probe = (cents.crossJoin(F.broadcast(qv))
-             .withColumn("sim", F.round(cosine(F.col("cemb"),
-                                               F.col("qemb")), 6))
-             .orderBy(F.desc("sim"), "cent_id").limit(2).select("cent_id"))
-
-    return (asg.join(F.broadcast(probe), "cent_id")
-            .crossJoin(F.broadcast(qv))
-            .select("vec_id", "label",
-                    F.round(cosine(F.col("embedding"), F.col("qemb")), 6)
-                    .alias("cos_sim"))
-            .orderBy(F.desc("cos_sim"), "vec_id")
-            .limit(20))
+    return SIM.ivf_topk(emb, qv, n_cents=8, n_probe=2, k=20,
+                        payload=["vec_id", "label"])
 
 
 # =====================================================================
@@ -646,17 +612,7 @@ def c05c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    asg = _ivf_assign(emb)
-    a = asg.select("cent_id", F.col("vec_id").alias("d1"),
-                   F.col("embedding").alias("e1"))
-    b = asg.select("cent_id", F.col("vec_id").alias("d2"),
-                   F.col("embedding").alias("e2"))
-    return (a.join(b, "cent_id")
-            .filter(F.col("d1") < F.col("d2"))
-            .withColumn("cos_sim",
-                        F.round(cosine(F.col("e1"), F.col("e2")), 6))
-            .filter(F.col("cos_sim") >= 0.35)
-            .select("d1", "d2", "cos_sim"))
+    return SIM.cell_blocked_neardup(emb, n_cents=8, threshold=0.35)
 
 
 @_register(

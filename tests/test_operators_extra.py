@@ -223,3 +223,29 @@ def test_salted_count_distinct_exact(spark):
     got = {r["g"]: r["n_distinct"] for r in salted_count_distinct(
         df, group_cols=["g"], distinct_col="u", salt_buckets=8).collect()}
     assert got == {"hot": 37, "cold": 11}
+
+
+# --- similarity search ------------------------------------------------
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    from tests.conftest import SF_ORACLE
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qemb"))
+    bf = {r["vec_id"] for r in SIM.brute_force_topk(
+        emb, qv, k=20, payload=["vec_id"]).collect()}
+
+    def recall(n_probe):
+        iv = {r["vec_id"] for r in SIM.ivf_topk(
+            emb, qv, n_cents=8, n_probe=n_probe, k=20,
+            payload=["vec_id"]).collect()}
+        return len(bf & iv) / len(bf)
+
+    # probing every cell IS exact search; fewer probes degrade
+    # monotonically (allowing ties in the middle).
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r8 == 1.0
+    assert r2 <= r4 + 1e-9 <= r8 + 1e-9
+    assert r2 > 0.0

@@ -855,3 +855,105 @@ def b25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").cast("long").alias("n_users"))
             .select(F.unix_micros(F.col("w.start")).alias("window_start_us"),
                     "event_type", "n", "n_users"))
+
+
+@_register(
+    "c12_string_suite",
+    """
+    SELECT doc_id,
+           CAST(levenshtein(substr(text, 1, 12), 'the quick fox') AS BIGINT)
+             AS lev,
+           translate(substr(text, 1, 20), 'aeiou', '12345') AS tr,
+           lpad(source, 12, '*') AS padded,
+           reverse(lang) AS rlang,
+           CAST(strpos(lower(text), 'the') AS BIGINT) AS first_the
+    FROM documents
+    """,
+    "string-function suite: levenshtein, translate, lpad, reverse, "
+    "instr — all codegen'd JVM expressions (levenshtein is the "
+    "classic DP, identical in both engines)",
+)
+def c12_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 12), F.lit("the quick fox"))
+        .cast("long").alias("lev"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "12345").alias("tr"),
+        F.lpad("source", 12, "*").alias("padded"),
+        F.reverse("lang").alias("rlang"),
+        F.instr(F.lower("text"), "the").cast("long").alias("first_the"))
+
+
+@_register(
+    "c13_array_suite",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT a.doc_id, a.toks AS ta, b.toks AS tb
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT doc_id,
+           CAST(len(ta) AS BIGINT) AS n_a,
+           CAST(len(list_filter(ta, x -> list_contains(tb, x))) AS BIGINT)
+             AS n_common,
+           CAST(len(list_filter(ta, x -> NOT list_contains(tb, x))) AS BIGINT)
+             AS n_only_a,
+           list_min(ta) AS min_tok,
+           list_max(ta) AS max_tok
+    FROM s
+    """,
+    "array-function suite: distinct token sets per doc, intersection/"
+    "difference cardinalities against the next doc, array min/max — "
+    "order-insensitive outputs so engine-specific array ordering "
+    "can't flake the comparison",
+)
+def c13_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.array_distinct(
+        F.split(F.trim(F.lower("text")), " +")).alias("toks"))
+    a = t.select("doc_id", F.col("toks").alias("ta"))
+    b = t.select((F.col("doc_id") - 1).alias("doc_id"),
+                 F.col("toks").alias("tb"))
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    F.size("ta").cast("long").alias("n_a"),
+                    F.size(F.array_intersect("ta", "tb")).cast("long")
+                    .alias("n_common"),
+                    F.size(F.array_except("ta", "tb")).cast("long")
+                    .alias("n_only_a"),
+                    F.array_min("ta").alias("min_tok"),
+                    F.array_max("ta").alias("max_tok")))
+
+
+@_register(
+    "b26_datetime_suite",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(dayofyear(ts) AS BIGINT) AS doy,
+           CAST(weekofyear(ts) AS BIGINT) AS iso_week,
+           CAST(last_day(ts) AS VARCHAR) AS month_end,
+           strftime(ts, '%Y-%m') AS ym,
+           CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+             AS days_since_2024
+    FROM events
+    """,
+    "datetime-function suite: calendar extraction (ISO week, day of "
+    "year), month boundaries, formatting, date arithmetic — all "
+    "native exprs over event time",
+)
+def b26_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        F.last_day("ts").cast("string").alias("month_end"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("days_since_2024"))

@@ -957,3 +957,30 @@ def b26_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM").alias("ym"),
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long").alias("days_since_2024"))
+
+
+@_register(
+    "b27_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    ) WHERE l_orderkey <= 1000
+    """,
+    "unpivot/melt: wide metric columns to long (entity, metric, value) "
+    "rows — the inverse of b19's pivot; Spark's unpivot is an Expand "
+    "node (one pass, no join), vs the UNION ALL triple-scan a naive "
+    "SQL translation would run",
+)
+def b27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric", valueColumnName="value",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))

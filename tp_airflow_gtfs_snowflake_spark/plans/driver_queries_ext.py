@@ -984,3 +984,41 @@ def b27_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["l_quantity", "l_extendedprice", "l_discount"],
         variableColumnName="metric", valueColumnName="value",
     ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+@_register(
+    "b28_semi_anti_join",
+    """
+    WITH purchasers AS (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase')
+    SELECT 'converted' AS cohort, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type = 'view'
+      AND user_id IN (SELECT user_id FROM purchasers)
+    UNION ALL
+    SELECT 'window_shoppers', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events WHERE event_type = 'view'
+      AND user_id NOT IN (SELECT user_id FROM purchasers)
+    """,
+    "left-semi and left-anti joins (B12 family): view events split by "
+    "purchaser membership — semi/anti shuffle only the key column and "
+    "never duplicate left rows, vs the inner-join+distinct a naive "
+    "formulation would pay",
+)
+def b28_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchasers = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id")
+
+    def cohort(label: str, how: str) -> DataFrame:
+        side = views.join(purchasers, "user_id", how)
+        return side.agg(
+            F.lit(label).alias("cohort"),
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        ).select("cohort", "n_events", "n_users")
+
+    return cohort("converted", "left_semi") \
+        .unionByName(cohort("window_shoppers", "left_anti"))

@@ -30,8 +30,11 @@ HEADLINE = [
     "c04_json_extract",
     "b14_asof_join",        # union+window as-of join
     "b16_rollup_agg",       # grouping sets via Expand
-    "c06_minhash_neardup",  # shingle->minhash->LSH->verify
-    "c07_simhash_neardup",  # bit-vote signature + prefix buckets
+    "c06f_minhash_neardup_fast",  # shingle->minhash->LSH->verify (xxhash64)
+    "c07f_simhash_neardup_fast",  # bit-vote signature + prefix buckets
+    "q01_pricing_summary",  # TPC-H Q1 wide agg
+    "q03_shipping_priority",  # TPC-H Q3 star join + top-k
+    "q06_forecast_revenue",  # TPC-H Q6 scan-filter-agg
     "c09_ivf_ann",          # bucketed approximate NN
     "c05b_image_features",  # Arrow mapInPandas decode path
 ]

@@ -1022,3 +1022,155 @@ def b28_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cohort("converted", "left_semi") \
         .unionByName(cohort("window_shoppers", "left_anti"))
+
+
+# =====================================================================
+# TPC-H-shaped analytics (the canonical OLAP shapes on the same star
+# schema; decimal arithmetic per the module's engine-parity rules)
+# =====================================================================
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: the canonical wide-agg scan — partial+"
+    "final hash agg over 4 decimal sums, pushdown shipdate filter",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= "2001-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)")
+                 .cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("decimal(38,2)")
+                 .cast("double").alias("sum_base_price"),
+                 F.sum(disc_price).cast("decimal(38,4)")
+                 .cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("decimal(38,6)")
+                 .cast("double").alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+@_register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           epoch_us(o_orderdate) AS o_orderdate_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shipping priority: 3-way star join (broadcast customer "
+    "dim), decimal revenue agg, deterministic top-10",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(revenue).cast("decimal(38,4)").cast("double")
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    .alias("o_orderdate_us"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecast revenue: pure scan-filter-agg, every predicate "
+    "pushed to the parquet reader — the minimal full-scan shape",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(dec("l_extendedprice") * dec("l_discount"))
+                 .cast("decimal(38,4)").cast("double").alias("revenue"),
+                 F.count("*").cast("long").alias("n")))
+
+
+# xxhash64 fast-path variants of the near-dup pipelines: identical
+# algorithm, JVM hash instead of the md5-derived portable hash the
+# DuckDB oracle requires (~3x less hash cost).  rows-only check; the
+# portable twins (c06/c07) carry the value-level verification.
+
+@_register(
+    "c06f_minhash_neardup_fast", None,
+    "c06 with the xxhash64 base hash (engine fast path; oracle can't "
+    "reproduce JVM xxhash64, value check covered by c06)",
+)
+def c06f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = D.minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16,
+                                    bands=4, shingle_n=3, threshold=0.5)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"), "jaccard")
+
+
+@_register(
+    "c07f_simhash_neardup_fast", None,
+    "c07 with the xxhash64 base hash (engine fast path; value check "
+    "covered by c07)",
+)
+def c07f_simhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = D.simhash_near_duplicates(docs, "doc_id", "text", radius=6,
+                                    prefix_bits=16, shingle_n=2)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"),
+                      F.col("hamming").cast("long").alias("hamming"))

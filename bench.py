@@ -34,6 +34,7 @@ HEADLINE = [
     "c07f_simhash_neardup_fast",  # bit-vote signature + prefix buckets
     "q01_pricing_summary",  # TPC-H Q1 wide agg
     "q03_shipping_priority",  # TPC-H Q3 star join + top-k
+    "q05_local_supplier_volume",  # TPC-H Q5 6-table join
     "q06_forecast_revenue",  # TPC-H Q6 scan-filter-agg
     "c09_ivf_ann",          # bucketed approximate NN
     "c05b_image_features",  # Arrow mapInPandas decode path

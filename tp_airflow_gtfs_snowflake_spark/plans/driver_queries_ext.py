@@ -1174,3 +1174,52 @@ def c07f_simhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("d1").cast("long").alias("d1"),
                       F.col("d2").cast("long").alias("d2"),
                       F.col("hamming").cast("long").alias("hamming"))
+
+
+@_register(
+    "q05_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 local supplier volume: the capstone 6-table join — two "
+    "big facts plus four broadcast dims, same-nation customer/supplier "
+    "constraint, decimal revenue per nation.  Only the two fact joins "
+    "shuffle; every dim is broadcast",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+            .join(F.broadcast(su),
+                  (li.l_suppkey == su.s_suppkey)
+                  & (cu.c_nationkey == su.s_nationkey))
+            .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+            .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(revenue).cast("decimal(38,4)").cast("double")
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items")))

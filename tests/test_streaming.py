@@ -166,3 +166,23 @@ def test_vehicle_odometer_state_across_batches(spark, landing, tmp_path):
     for vid, r in second.items():
         assert r.n_reports > first[vid].n_reports
         assert r.path_degrees >= first[vid].path_degrees
+
+
+def test_stream_stream_join_within_window(spark, landing, tmp_path):
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        trip_position_attribution)
+    snaps = fixtures_gtfs.make_feed_snapshots(3)  # 2 min apart
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"vp_20240304060{i}.json", s)
+    stream = read_feed_stream(spark, str(landing))
+    joined = trip_position_attribution(stream, join_window_seconds=300)
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("vp_attrib")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ss")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM vp_attrib").collect()
+    assert rows, "expected matches: same vehicles report 2 min apart"
+    for r in rows:
+        delta = (r.cur_ts - r.prev_ts).total_seconds()
+        assert 0 < delta <= 300

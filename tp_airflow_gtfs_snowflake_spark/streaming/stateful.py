@@ -125,3 +125,36 @@ def vehicle_odometer(feed_stream: DataFrame, *,
             .applyInPandasWithState(
                 update, ODOMETER_SCHEMA, _ODO_STATE, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def trip_position_attribution(feed_stream: DataFrame, *,
+                              join_window_seconds: int = 300,
+                              watermark: str = "15 minutes") -> DataFrame:
+    """Watermarked stream-stream self-join: for each position report,
+    the SAME vehicle's earlier reports within the last
+    join_window_seconds (movement attribution — which prior fix does a
+    report follow).
+
+    Both sides carry a watermark and the join predicate bounds event
+    time on both ends, so each side's state store holds only the
+    window horizon — the required shape for an unbounded stream-stream
+    join (an unbounded predicate would grow state forever).
+    """
+    base = _positions(feed_stream).withWatermark("ts", watermark)
+    cur = base.select(F.col("vehicle_id").alias("v"),
+                      F.col("ts").alias("cur_ts"),
+                      F.col("latitude").alias("cur_lat"),
+                      F.col("longitude").alias("cur_lon"))
+    prev = base.select(F.col("vehicle_id").alias("pv"),
+                       F.col("ts").alias("prev_ts"),
+                       F.col("latitude").alias("prev_lat"),
+                       F.col("longitude").alias("prev_lon"))
+    cond = ((F.col("v") == F.col("pv"))
+            & (F.col("prev_ts") < F.col("cur_ts"))
+            & (F.col("prev_ts") >= F.col("cur_ts")
+               - F.expr(f"INTERVAL {join_window_seconds} SECONDS")))
+    return (cur.join(prev, cond)
+            .select("v", "cur_ts", "prev_ts",
+                    (F.abs(F.col("cur_lat") - F.col("prev_lat"))
+                     + F.abs(F.col("cur_lon") - F.col("prev_lon")))
+                    .alias("l1_move")))

@@ -1223,3 +1223,50 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(revenue).cast("decimal(38,4)").cast("double")
                  .alias("revenue"),
                  F.count("*").cast("long").alias("n_items")))
+
+
+@_register(
+    "q18_large_volume_customer",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+    FROM orders
+      JOIN big ON o_orderkey = big.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 large-volume customers: HAVING-filtered aggregate "
+    "feeding a join (the filtered key set acts as a semi-join "
+    "reducer before the wide join), deterministic top-100",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec_qty).alias("q"))
+           .filter(F.col("q") > 250)
+           .select("l_orderkey"))
+    return (li.join(big, "l_orderkey")
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+            .groupBy("c_name", "o_orderkey", "o_orderdate")
+            .agg(F.sum(dec_qty).cast("decimal(38,2)").cast("double")
+                 .alias("total_qty"))
+            .select("c_name", F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                    .alias("o_orderdate_us"),
+                    "total_qty")
+            .orderBy(F.desc("total_qty"), "o_orderkey")
+            .limit(100))

@@ -1270,3 +1270,32 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_qty")
             .orderBy(F.desc("total_qty"), "o_orderkey")
             .limit(100))
+
+
+@_register(
+    "q04_exists_subquery",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: correlated EXISTS subquery — Catalyst rewrites "
+    "it to a left-semi join, so the subquery costs one semi-join "
+    "shuffle, not a per-row probe",
+)
+def q04_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q04_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q04_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM q04_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM q04_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        GROUP BY o_orderpriority
+    """)

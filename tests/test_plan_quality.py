@@ -127,3 +127,11 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_exists_subquery_rewrites_to_semi_join(spark):
+    # a correlated EXISTS that stays a per-row subquery probe would be
+    # catastrophic at scale; Catalyst must rewrite it to a semi join.
+    p = _plan(spark, "q04_exists_subquery")
+    assert "LeftSemi" in p or "left_semi" in p.lower()
+    assert "CartesianProduct" not in p

@@ -129,6 +129,23 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
+def test_ivf_assign_has_no_exchange(spark):
+    """Centroid assignment is a pure per-row argmax over an inlined
+    centroid literal: the plan must be scan -> project, no Exchange,
+    no Window, no join (the old crossJoin+row_number form shuffled
+    n_cents x |emb| rows)."""
+    from tp_airflow_gtfs_snowflake_spark.operators.similarity import (
+        ivf_assign)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    asg = ivf_assign(emb, n_cents=8)
+    p = asg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Exchange" not in p, f"ivf_assign shuffles:\n{p[:1200]}"
+    assert "Window" not in p
+    assert "Join" not in p
+
+
 def test_exists_subquery_rewrites_to_semi_join(spark):
     # a correlated EXISTS that stays a per-row subquery probe would be
     # catastrophic at scale; Catalyst must rewrite it to a semi join.

@@ -20,7 +20,7 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
@@ -46,15 +46,47 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
                n_cents: int = 8) -> DataFrame:
     """Assign every vector to its nearest of the first n_cents vectors
     (stand-in centroids; production trains k-means): input columns +
-    `cent_id`.  Ties break to the lowest cent_id."""
-    cents = emb.filter(F.col(id_col) < n_cents).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
-    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine(F.col(vec_col), F.col("cemb")), 6))
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), "cent_id")
-    return (sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "sim", "cemb"))
+    `cent_id`.  Ties break to the lowest cent_id.
+
+    Centroid assignment is a pure per-row function, so the <=n_cents
+    centroids are collected once (tiny: a pushed-down `id < n` scan)
+    and inlined as an array-of-structs literal; the argmax is a single
+    narrow projection over that literal -- ZERO exchanges, regardless
+    of |emb|.  The previous form (crossJoin(broadcast(cents)) then
+    row_number over a window partitioned by vec_id) exploded every row
+    x n_cents and shuffled the whole blow-up just to keep rank 1; at
+    100 TB of vectors that shuffle IS the job.  Pinned by
+    tests/test_plan_quality.py::test_ivf_assign_has_no_exchange.
+    """
+    cent_rows = sorted(
+        emb.filter(F.col(id_col) < n_cents)
+           .select(F.col(id_col).cast("long").alias("cent_id"),
+                   F.col(vec_col).cast("array<double>").alias("cemb"))
+           .collect(),
+        key=lambda r: r["cent_id"])
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
+            F.array(*[F.lit(float(x)) for x in r["cemb"]])
+             .cast("array<double>").alias("cemb"))
+        for r in cent_rows])
+    # score each centroid (same 6dp rounding as before, so assignments
+    # are bit-identical to the old plan), then fold to the argmax; the
+    # tie-break mirrors ORDER BY sim DESC, cent_id ASC.
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(cosine(F.col(vec_col), c["cemb"]), 6).alias("sim"),
+            c["cent_id"].alias("cent_id")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("-inf")).alias("sim"),
+                 F.lit(-1).cast("long").alias("cent_id")),
+        lambda acc, x: F.when(
+            (x["sim"] > acc["sim"])
+            | ((x["sim"] == acc["sim"]) & (x["cent_id"] < acc["cent_id"])),
+            x).otherwise(acc))
+    return emb.withColumn("cent_id", best["cent_id"])
 
 
 def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",

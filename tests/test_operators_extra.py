@@ -122,6 +122,56 @@ def test_simhash_signature_forms_agree(spark):
     assert expr_form == df_form
 
 
+def test_simhash_multitable_finds_prefix_breaking_pair(spark):
+    """Full-recall regression for the multi-table block LSH: docs 0/1
+    ('...mu' vs '...nu') have Hamming distance 6 with differing bits in
+    the TOP 16 bits of the signature (verified below), so the previous
+    single-16-bit-prefix candidate table missed the pair; the
+    radius+1-block scheme must find it (pigeonhole guarantee)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+    df = spark.createDataFrame(
+        [(0, base + "mu"), (1, base + "nu"),
+         (2, "totally different words nothing shared here at all")],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in D.simhash_signatures(
+        df, "doc_id", "text", shingle_n=2,
+        hash_fn=D.portable_hash64).collect()}
+    x = (sigs[0] ^ sigs[1]) & 0xFFFFFFFFFFFFFFFF
+    assert bin(x).count("1") <= 6, "fixture drifted: pair not in radius"
+    assert (x >> 48) != 0, "fixture drifted: pair no longer prefix-breaking"
+    out = D.simhash_near_duplicates(df, "doc_id", "text", radius=6,
+                                    shingle_n=2,
+                                    hash_fn=D.portable_hash64).collect()
+    assert {(r["d1"], r["d2"]) for r in out} == {(0, 1)}
+
+
+def test_simhash_multitable_full_recall_vs_brute_force(spark):
+    """On a corpus of single-token perturbations, the block-LSH output
+    must equal the exact all-pairs Hamming filter (100% recall AND no
+    duplicate pairs from multi-table collisions)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+    words = ["mu", "nu", "xi", "omicron", "pi", "rho", "sigma", "tau",
+             "upsilon", "phi", "chi", "psi", "omega", "one", "two"]
+    df = spark.createDataFrame(
+        [(i, base + w) for i, w in enumerate(words)],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in D.simhash_signatures(
+        df, "doc_id", "text", shingle_n=2,
+        hash_fn=D.portable_hash64).collect()}
+    expect = set()
+    for i in sigs:
+        for j in sigs:
+            if i < j and bin((sigs[i] ^ sigs[j])
+                             & 0xFFFFFFFFFFFFFFFF).count("1") <= 6:
+                expect.add((i, j))
+    out = D.simhash_near_duplicates(df, "doc_id", "text", radius=6,
+                                    shingle_n=2,
+                                    hash_fn=D.portable_hash64).collect()
+    got = [(r["d1"], r["d2"]) for r in out]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == expect
+
+
 def test_minhash_finds_planted_neardup(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame(

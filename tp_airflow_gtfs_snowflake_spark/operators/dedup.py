@@ -293,25 +293,54 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
-                            radius: int = 3, prefix_bits: int = 16,
+                            radius: int = 3, n_tables: int | None = None,
                             shingle_n: int = 2,
                             hash_fn: HashFn = F.xxhash64) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= radius.
+    """Near-dup pairs by SimHash Hamming distance <= radius — FULL
+    recall, still bucketed.
 
-    Candidate generation buckets on the top `prefix_bits` of the
-    signature (documents differing only in low bits still collide on
-    the prefix with high probability for small radii; a production
-    variant uses several rotated prefix tables — one table is enough
-    for the test corpus and keeps the example readable).
+    Candidate generation splits the 64-bit signature into `n_tables`
+    disjoint bit blocks (default radius+1).  By pigeonhole, any pair
+    within Hamming distance `radius` differs in at most `radius`
+    blocks, so it agrees EXACTLY on at least one block — the union of
+    the per-block equi-joins has 100% recall at the radius (the
+    multi-table scheme of Manku et al., WWW'07, built here as one
+    explode + one self-equi-join on (table, block) instead of
+    n_tables separate joins).  A single prefix table (the previous
+    form) misses pairs whose differing bits fall inside the prefix.
+
+    Scale: signatures are 16 bytes/doc; the explode is x n_tables on
+    that narrow frame, the join is hash-partitioned on (table, block),
+    and only colliding candidates reach the popcount verify.  No
+    all-pairs product anywhere.
     """
+    if n_tables is None:
+        n_tables = radius + 1
+    if not 1 <= n_tables <= 64:
+        raise ValueError(f"n_tables must be in [1, 64], got {n_tables}")
     sig = simhash_signatures(df, id_col, text_col, shingle_n=shingle_n,
                              hash_fn=hash_fn)
-    sig = sig.withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    # block i covers `sizes[i]` bits starting at bit `offs[i]` (LSB=0);
+    # sizes differ by at most 1 so no block is trivially hot.
+    sizes = [64 // n_tables + (1 if i < 64 % n_tables else 0)
+             for i in range(n_tables)]
+    offs = [sum(sizes[:i]) for i in range(n_tables)]
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("tbl"),
+            F.shiftrightunsigned("sig", offs[i])
+             .bitwiseAND(F.lit((1 << sizes[i]) - 1).cast("long"))
+             .alias("blk"))
+        for i in range(n_tables)])
+    ex = (sig.select("doc_id", "sig", F.explode(blocks).alias("b"))
+          .select("doc_id", "sig", "b.tbl", "b.blk"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.blk") == F.col("b.blk"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("d1"),
                      F.col("b.doc_id").alias("d2"),
                      F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
                      .alias("hamming")))
-    return pairs.filter(F.col("hamming") <= radius)
+    # a pair can collide in several tables -> dedupe after the verify
+    return pairs.filter(F.col("hamming") <= radius).distinct()

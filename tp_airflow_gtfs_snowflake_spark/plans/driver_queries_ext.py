@@ -419,17 +419,18 @@ def c06_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM h)
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-    FROM g a JOIN g b
-      ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= 6
     """,
     "C1 SimHash near-dup: 64-bit bit-vote signature (per-row native "
-    "expression), prefix-bucket LSH candidates, Hamming<=6 verify",
+    "expression), multi-table block-LSH candidates (full recall at the "
+    "radius, so the oracle is the exact all-pairs spec), Hamming<=6 "
+    "verify",
 )
 def c07_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = D.simhash_near_duplicates(
-        docs, "doc_id", "text", radius=6, prefix_bits=16, shingle_n=2,
+        docs, "doc_id", "text", radius=6, shingle_n=2,
         hash_fn=D.portable_hash64)
     return out.select(F.col("d1").cast("long").alias("d1"),
                       F.col("d2").cast("long").alias("d2"),
@@ -1170,7 +1171,7 @@ def c06f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c07f_simhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     out = D.simhash_near_duplicates(docs, "doc_id", "text", radius=6,
-                                    prefix_bits=16, shingle_n=2)
+                                    shingle_n=2)
     return out.select(F.col("d1").cast("long").alias("d1"),
                       F.col("d2").cast("long").alias("d2"),
                       F.col("hamming").cast("long").alias("hamming"))

@@ -112,6 +112,13 @@ def make_feed_snapshots(n_snapshots: int = 3) -> list[str]:
                 entities.append({"id": f"tu-{i}-dup",
                                  "trip_update": {"trip": dict(trip, route_id="DUP"),
                                                  "stop_time_update": stus[:1]}})
+        # entity without trip_id: no header row, but its stop rows land
+        # with NULL trip_id (gtfs_rt_minutely.py:93,109)
+        entities.append({"id": "tu-null",
+                         "trip_update": {"trip": {"route_id": "R0"},
+                                         "stop_time_update": [
+                                             {"stop_sequence": 1,
+                                              "arrival": {"time": base_epoch}}]}})
         for v in range(12):
             i = (v * 5) % N_TRIPS
             veh = {

@@ -71,6 +71,10 @@ def test_rt_explode_null_semantics(wh):
     # absent optional proto fields -> NULL (HasField guards, A14)
     assert ts.filter(F.col("stop_id").isNull()).count() > 0
     assert ts.filter(F.col("departure_time").isNull()).count() > 0
+    # stop rows are NOT gated by seen_trips: null-trip_id entities
+    # contribute stop rows (gtfs_rt_minutely.py:103-109), one per
+    # snapshot from the tu-null fixture entity
+    assert ts.filter(F.col("trip_id").isNull()).count() == 3
     vp = wh.table("bronze", "vehicle_positions_raw")
     assert vp.filter(F.col("bearing").isNull()).count() > 0
     # A17: bearing is integer-valued after rounding

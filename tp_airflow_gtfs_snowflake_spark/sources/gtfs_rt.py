@@ -13,10 +13,10 @@ are already NULL after parsing, which reproduces the reference's
 
 Parse layer options:
 - JSON feed snapshots -> `parse_feed_json` (from_json, fully native).
-- Protobuf bytes -> `parse_feed_protobuf`, gated on the
-  gtfs-realtime-bindings package (NOT in this container). It raises
-  NotImplementedError with a clear message if absent; when available
-  it is an Arrow-batched mapInPandas, never per-row Python.
+- Protobuf bytes -> `parse_feed_protobuf`: gtfs-realtime-bindings when
+  installed, else the minimal pure-Python wire decoder in
+  `sources/gtfs_rt_pb.py` (public gtfs-realtime.proto field numbers).
+  Both are Arrow-batched mapInPandas, never per-row Python.
 """
 
 from __future__ import annotations
@@ -77,33 +77,48 @@ def parse_feed_json(df: DataFrame, json_col: str = "feed_json") -> DataFrame:
 
 def parse_feed_protobuf(spark: SparkSession, df: DataFrame,
                         pb_col: str = "content") -> DataFrame:
-    """Protobuf FeedMessage bytes -> nested rows.
+    """Protobuf FeedMessage bytes -> nested rows (A4, the reference's
+    actual wire format: gtfs_rt_minutely.py:37-41,79,137).
 
-    Requires gtfs-realtime-bindings (absent in this container) — the
-    Spark plumbing (mapInPandas over Arrow batches) is real; only the
-    decode library is gated.
+    Prefers gtfs-realtime-bindings when installed (byte-faithful to
+    the reference); otherwise decodes with the minimal pure-Python
+    wire-format parser in sources/gtfs_rt_pb.py (public field numbers
+    from gtfs-realtime.proto — covers exactly the subset the reference
+    reads).  Either way the decode is an Arrow-batched mapInPandas,
+    never per-row Python UDF, and the downstream flatten is shared
+    with the JSON path.
     """
     try:
         from google.transit import gtfs_realtime_pb2  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without bindings
-        raise NotImplementedError(
-            "gtfs-realtime-bindings not installed; land feeds as JSON and "
-            "use parse_feed_json, or install the bindings") from exc
+        have_bindings = True
+    except ImportError:
+        have_bindings = False
 
-    import pandas as pd  # pragma: no cover - exercised only with bindings
+    import pandas as pd
 
     out_schema = T.StructType([T.StructField("feed_json", T.StringType())])
 
-    def decode(batches):
-        from google.protobuf.json_format import MessageToJson
-        from google.transit import gtfs_realtime_pb2
-        for pdf in batches:
-            msgs = []
-            for raw in pdf[pb_col]:
-                m = gtfs_realtime_pb2.FeedMessage()
-                m.ParseFromString(bytes(raw))
-                msgs.append(MessageToJson(m))
-            yield pd.DataFrame({"feed_json": msgs})
+    if have_bindings:  # pragma: no cover - env without bindings
+        def decode(batches):
+            from google.protobuf.json_format import MessageToJson
+            from google.transit import gtfs_realtime_pb2
+            for pdf in batches:
+                msgs = []
+                for raw in pdf[pb_col]:
+                    m = gtfs_realtime_pb2.FeedMessage()
+                    m.ParseFromString(bytes(raw))
+                    msgs.append(MessageToJson(m))
+                yield pd.DataFrame({"feed_json": msgs})
+    else:
+        def decode(batches):
+            import json
+
+            from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt_pb import (
+                decode_feed_message)
+            for pdf in batches:
+                msgs = [json.dumps(decode_feed_message(bytes(raw)))
+                        for raw in pdf[pb_col]]
+                yield pd.DataFrame({"feed_json": msgs})
 
     return parse_feed_json(df.mapInPandas(decode, out_schema))
 
@@ -113,12 +128,15 @@ def flatten_trip_updates(feed: DataFrame,
                          ) -> tuple[DataFrame, DataFrame]:
     """One FeedMessage row -> (trip_updates_raw, trip_stop_times).
 
-    reference: gtfs_rt_minutely.py:83-109 — the seen_trips guard keeps
-    only the FIRST entity per trip_id within one snapshot, and that
-    guard covers the whole entity: duplicate trips contribute neither a
-    header row nor stop_time_update rows.  Dedup is scoped per feed
+    reference: gtfs_rt_minutely.py:83-109 — the seen_trips guard gates
+    ONLY the header rows: the first entity per non-null trip_id within
+    a snapshot emits `(trip_id, route_id, direction_id)` (`:98-100`).
+    stop_time_update rows are appended for EVERY trip_update entity
+    (`:103-109`) — duplicate-trip entities and entities whose trip_id
+    is null/empty still contribute stop rows (`trip_id or None` at
+    `:93` maps empty string to NULL).  Dedup is scoped per feed
     snapshot (one FeedMessage = one snapshot), so a DataFrame holding
-    several snapshots dedups within each, not across.
+    several snapshots dedups headers within each, not across.
 
     dropDuplicates is nondeterministic across partitions (SURVEY §7
     hard parts) -> rank by the entity's position in the feed.
@@ -129,21 +147,28 @@ def flatten_trip_updates(feed: DataFrame,
     ent = feed.select(F.col(snapshot_col).alias("_snap"),
                       F.posexplode("feed.entity").alias("_pos", "e"))
     tu = (ent.filter(F.col("e.trip_update").isNotNull())
-          .withColumn("trip_id", F.col("e.trip_update.trip.trip_id"))
-          .where(F.col("trip_id").isNotNull()))
+          .withColumn("trip_id",
+                      F.nullif(F.col("e.trip_update.trip.trip_id"),
+                               F.lit("")))
+          .withColumn("route_id",
+                      F.nullif(F.col("e.trip_update.trip.route_id"),
+                               F.lit(""))))
+
     w = W.partitionBy("_snap", "trip_id").orderBy("_pos")
-    first = (tu.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1))
+    headers = (tu.where(F.col("trip_id").isNotNull())
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1)
+               .select(
+                   "trip_id",
+                   "route_id",
+                   F.col("e.trip_update.trip.direction_id")
+                    .alias("direction_id"),
+               ))
 
-    headers = first.select(
-        "trip_id",
-        F.col("e.trip_update.trip.route_id").alias("route_id"),
-        F.col("e.trip_update.trip.direction_id").alias("direction_id"),
-    )
-
-    # A13 explode; explode_outer would keep update-less trips, the
-    # reference's loop drops them (no rows appended) -> plain explode.
-    stops = first.select(
+    # A13 explode over ALL trip_update entities (no dedup, null trip_id
+    # kept); explode_outer would keep update-less trips, the reference's
+    # loop drops them (no rows appended) -> plain explode.
+    stops = tu.select(
         "trip_id",
         F.explode("e.trip_update.stop_time_update").alias("stu"),
     ).select(

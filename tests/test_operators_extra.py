@@ -216,12 +216,71 @@ def test_decode_image_features_deterministic(spark, payload_df):
 
 
 def test_decode_raises_without_codec(spark, payload_df):
+    # non-BMP payloads still raise on the real path (no codec library)
     from py4j.protocol import Py4JJavaError
     with pytest.raises(Exception) as exc:
         decode_image_features(payload_df, id_col="doc_id",
                               payload_col="payload", fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, Py4JJavaError)
+
+
+def _make_bmp(width: int, height: int, pixel_rows: list[bytes], *,
+              bpp: int = 24, top_down: bool = False) -> bytes:
+    """Hand-assemble an uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER) from top-to-bottom pixel rows."""
+    channels = bpp // 8
+    stride = (width * channels + 3) // 4 * 4
+    data_off = 14 + 40
+    stored = pixel_rows if top_down else list(reversed(pixel_rows))
+    body = b"".join(r + b"\x00" * (stride - len(r)) for r in stored)
+    hdr = (b"BM" + (data_off + len(body)).to_bytes(4, "little")
+           + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little")
+           + width.to_bytes(4, "little", signed=True)
+           + (-height if top_down else height).to_bytes(4, "little",
+                                                        signed=True)
+           + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+           + b"\x00" * 16)
+    return hdr + dib + body
+
+
+def test_real_bmp_decode_through_spark(spark):
+    """fake=False really decodes: a generated 3x2 24bpp BMP (odd width
+    -> padded rows) comes back with the right dims, channel count and
+    exact pixel histogram; the padding bytes must NOT pollute it."""
+    rows_top = [bytes([0, 0, 0, 255, 255, 255, 32, 32, 32]),
+                bytes([64, 96, 128, 200, 220, 240, 10, 20, 30])]
+    bmp = _make_bmp(3, 2, rows_top)
+    pixels = b"".join(reversed(rows_top))  # decoder emits bottom-up scan
+    expect_hist = [0] * 8
+    for b in pixels:
+        expect_hist[b >> 5] += 1
+    expect_hist = [h * 1_000_000 // len(pixels) for h in expect_hist]
+
+    df = spark.createDataFrame([(7, bmp)], "doc_id long, payload binary")
+    out = decode_image_features(df, id_col="doc_id", payload_col="payload",
+                                fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["n_channels"]) == (3, 2, 3)
+    assert r["n_bytes"] == len(bmp)
+    assert r["features"] == expect_hist
+
+
+def test_real_bmp_decode_top_down_equals_bottom_up(spark):
+    rows_top = [bytes(range(12)), bytes(range(100, 112)),
+                bytes(range(200, 212))]
+    df = spark.createDataFrame(
+        [(1, _make_bmp(4, 3, rows_top, top_down=False)),
+         (2, _make_bmp(4, 3, rows_top, top_down=True))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image_features(
+        df, id_col="doc_id", payload_col="payload", fake=False).collect()}
+    assert out[1]["features"] == out[2]["features"]
+    assert out[1]["width"] == out[2]["width"] == 4
+    assert out[1]["height"] == out[2]["height"] == 3
 
 
 def test_sample_frames_counts_and_slices(spark, payload_df):

@@ -2,12 +2,17 @@
 opaque `binary` columns with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-The container has no image/audio codecs, so the actual decode is
-STUBBED: `decode_image`/`decode_audio` raise NotImplementedError unless
-a caller passes `fake=True`, which substitutes a deterministic fake
-decoder (byte-statistics standing in for pixels/samples).  Everything
-Spark-side — schema contract, Arrow batch shape, partition sizing,
-UDF signatures — is real and tested.
+Decode paths:
+- `fake=True`: deterministic fake decoder (byte statistics standing in
+  for pixels) — used by the oracle-checked registry queries, since the
+  driver's synthetic payloads are not real images.
+- `fake=False`: a REAL decoder.  The container has no codec libraries,
+  so the built-in real path is a pure-Python uncompressed-BMP decoder
+  (public Windows BITMAPINFOHEADER layout): header parse, bottom-up /
+  top-down row order, 8/24/32 bpp, row padding.  Other formats raise
+  NotImplementedError at task time until PIL/ffmpeg is plugged in.
+Everything Spark-side — schema contract, Arrow batch shape, partition
+sizing, UDF signatures — is identical between the two paths.
 
 Scale design:
 - payloads stay in executors end-to-end (never .collect()ed);
@@ -69,23 +74,72 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, channels, [h * 1_000_000 // total for h in hist]
 
 
+def _hist_ppm(data: bytes | bytearray) -> list[int]:
+    """8-bin histogram as exact parts-per-million (floor) — integer
+    arithmetic so any SQL oracle can reproduce it."""
+    hist = [0] * 8
+    for b in data:
+        hist[b >> 5] += 1
+    total = max(len(data), 1)
+    return [h * 1_000_000 // total for h in hist]
+
+
+def _bmp_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Uncompressed BMP (BITMAPINFOHEADER et seq.) -> (width, height,
+    channels, 8-bin pixel-value histogram in ppm).  Handles 8/24/32 bpp,
+    bottom-up and top-down (negative height) row order, and 4-byte row
+    padding; palette/compressed variants raise."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (8, 24, 32) or width <= 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, "
+                         f"compression={compression})")
+    top_down = height < 0
+    h = abs(height)
+    channels = bpp // 8
+    row_stride = (width * channels + 3) // 4 * 4
+    pixels = bytearray()
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        start = data_off + src * row_stride
+        row = payload[start:start + width * channels]
+        if len(row) != width * channels:
+            raise ValueError("truncated BMP pixel data")
+        pixels += row
+    return width, h, channels, _hist_ppm(pixels)
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Dispatch on magic bytes.  BMP decodes natively; other formats
+    need a codec library this container doesn't ship."""
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
+    raise NotImplementedError(
+        "only uncompressed BMP decode is built in (no codec libraries "
+        "in this container); plug PIL/torchvision in _real_decode for "
+        "JPEG/PNG/WebP")
+
+
 def decode_image_features(df: DataFrame, *, id_col: str, payload_col: str,
                           media_type: str = "image",
                           fake: bool = False) -> DataFrame:
     """binary payload -> (dims, channels, feature vector) via
-    Arrow-batched mapInPandas.  `fake=False` raises at task time until a
-    real codec is wired in (keeps the contract honest in CI)."""
+    Arrow-batched mapInPandas.  `fake=False` really decodes (BMP
+    natively; other formats raise at task time until a codec library
+    is plugged in)."""
+    decode = _fake_decode if fake else _real_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "no image codec in this environment; pass fake=True "
-                    "or plug a real decoder into _fake_decode's slot")
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, c, feats = _fake_decode(payload)
+                w, h, c, feats = decode(payload)
                 rows.append((int(doc_id), media_type, len(payload),
                              w, h, c, feats))
             yield pd.DataFrame(rows, columns=[f.name for f in

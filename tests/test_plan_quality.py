@@ -129,6 +129,32 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
+def test_rt_bronze_recency_filter_prunes_partitions(spark, tmp_path):
+    """README.md:139: KPI queries must be filtered on a recent time
+    window.  The RT bronze tables are date-partitioned by default, so a
+    B13-style recency predicate must appear as a PartitionFilter on the
+    scan (pruning whole directories), not just a row-group filter."""
+    import datetime as dt
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [("V1", 1700000000 + d * 86400,
+             dt.date(2024, 3, 1) + dt.timedelta(days=d)) for d in range(5)]
+    df = spark.createDataFrame(
+        rows, "vehicle_id string, timestamp_epoch long, event_date date")
+    wh.append_epoch("bronze", "vehicle_positions_raw", df, epoch_id=1)
+
+    recent = wh.table("bronze", "vehicle_positions_raw").filter(
+        F.col("event_date") >= dt.date(2024, 3, 4))
+    p = recent._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    pf = next((l for l in p.splitlines() if "PartitionFilters" in l), "")
+    assert "event_date" in pf, f"no partition filter:\n{p[:1200]}"
+    # and the pruning actually works: only 2 of 5 daily partitions read
+    assert recent.count() == 2
+
+
 def test_ivf_assign_has_no_exchange(spark):
     """Centroid assignment is a pure per-row argmax over an inlined
     centroid literal: the plan must be scan -> project, no Exchange,

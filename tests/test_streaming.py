@@ -63,6 +63,42 @@ def test_exactly_once_across_restart(spark, tmp_path, landing):
     assert wh.table("bronze", "trip_stop_times").count() == n2
 
 
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the three bronze
+    writes replays the whole epoch.  append_epoch must make the replay
+    overwrite its own partitions, not duplicate rows — including the
+    partial-write case."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_if_not_exists("bronze", "vehicle_positions_raw")
+    rows = spark.createDataFrame(
+        [("T1", "R1", "V1", 43.5, 7.25, 90.0, "S1", 1700000000),
+         ("T2", "R1", "V2", 43.6, 7.26, 10.0, "S2", 1700000060)],
+        "trip_id string, route_id string, vehicle_id string, "
+        "latitude double, longitude double, bearing double, "
+        "stop_id string, timestamp_epoch long")
+    wh.append_epoch("bronze", "vehicle_positions_raw", rows, epoch_id=7)
+    assert wh.table("bronze", "vehicle_positions_raw").count() == 2
+
+    # full replay of the same epoch: count unchanged
+    wh.append_epoch("bronze", "vehicle_positions_raw", rows, epoch_id=7)
+    assert wh.table("bronze", "vehicle_positions_raw").count() == 2
+
+    # partial-crash replay: epoch 7 replays with MORE rows (e.g. the
+    # first attempt died after writing a subset) -> end state is the
+    # replay's rows, not the union
+    wh.append_epoch("bronze", "vehicle_positions_raw",
+                    rows.limit(1), epoch_id=7)
+    assert wh.table("bronze", "vehicle_positions_raw").count() == 1
+
+    # a different epoch appends
+    wh.append_epoch("bronze", "vehicle_positions_raw", rows, epoch_id=8)
+    assert wh.table("bronze", "vehicle_positions_raw").count() == 3
+    # and rows carry their epoch + derived event_date partition keys
+    got = wh.table("bronze", "vehicle_positions_raw")
+    assert got.filter(F.col("ingest_epoch").isNull()).count() == 0
+    assert got.filter(F.col("event_date").isNull()).count() == 0
+
+
 def test_windowed_counts_with_watermark(spark, landing, tmp_path):
     snaps = fixtures_gtfs.make_feed_snapshots(3)
     for i, s in enumerate(snaps):

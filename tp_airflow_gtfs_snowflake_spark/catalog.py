@@ -9,9 +9,13 @@ Replaces the reference's Snowflake DDL layer
 
 Scale: every table is a parquet directory; appends create new files
 (the reference's append-only INSERT INTO semantics,
-dags/gtfs_silver.py:125-213).  At 100 TB the big RT tables would be
-date-partitioned (partition_cols) so KPI recency filters prune
-partitions instead of scanning history (README.md:139).
+dags/gtfs_silver.py:125-213).  The high-volume RT bronze tables are
+date-partitioned BY DEFAULT (DEFAULT_PARTITION_COLS) so KPI recency
+filters prune partitions instead of scanning history (README.md:139),
+and sub-partitioned by ingest_epoch so streaming micro-batch replay is
+idempotent (append_epoch: dynamic partition overwrite replaces exactly
+the replayed epoch's files — the engine's equivalent of Snowflake's
+per-file COPY load history).
 """
 
 from __future__ import annotations
@@ -25,6 +29,14 @@ from pyspark.sql import types as T
 from tp_airflow_gtfs_snowflake_spark import schemas
 
 LAYERS = ("bronze", "silver")
+
+# event_date first so recency filters prune at the top directory level;
+# ingest_epoch second so one micro-batch epoch maps to whole leaf dirs.
+DEFAULT_PARTITION_COLS: dict[str, list[str]] = {
+    "trip_updates_raw": ["event_date", "ingest_epoch"],
+    "trip_stop_times": ["event_date", "ingest_epoch"],
+    "vehicle_positions_raw": ["event_date", "ingest_epoch"],
+}
 
 
 def paris_now() -> F.Column:
@@ -42,7 +54,8 @@ class Warehouse:
                  partition_cols: dict[str, list[str]] | None = None):
         self.spark = spark
         self.root = root
-        self.partition_cols = partition_cols or {}
+        self.partition_cols = {**DEFAULT_PARTITION_COLS,
+                               **(partition_cols or {})}
 
     def path(self, layer: str, name: str) -> str:
         assert layer in LAYERS, layer
@@ -61,10 +74,17 @@ class Warehouse:
 
     def create_if_not_exists(self, layer: str, name: str) -> None:
         """CREATE TABLE IF NOT EXISTS: write an empty, fully-typed
-        parquet footprint so downstream reads see the schema."""
+        parquet footprint so downstream reads see the schema.  For
+        partitioned tables the empty write goes through partitionBy so
+        no root-level data file ever conflicts with the hive-style
+        partition directories appends create later."""
         if not self.exists(layer, name):
             empty = self.spark.createDataFrame([], self._schema(layer, name))
-            empty.write.mode("overwrite").parquet(self.path(layer, name))
+            writer = empty.write.mode("overwrite")
+            parts = self.partition_cols.get(name)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(self.path(layer, name))
 
     def create_all(self) -> None:
         for name in schemas.BRONZE:
@@ -84,6 +104,15 @@ class Warehouse:
         (mirrors the reference's positional COPY column list +
         Snowflake implicit casts); missing columns become NULL.
         """
+        out = self._aligned(layer, name, df, stamp_insert_date)
+        writer = out.write.mode("append")
+        parts = self.partition_cols.get(name)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(self.path(layer, name))
+
+    def _aligned(self, layer: str, name: str, df: DataFrame,
+                 stamp_insert_date: bool = True) -> DataFrame:
         schema = self._schema(layer, name)
         cols = []
         for field in schema.fields:
@@ -95,11 +124,34 @@ class Warehouse:
             else:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         out = df.select(*cols)
-        writer = out.write.mode("append")
-        parts = self.partition_cols.get(name)
-        if parts:
-            writer = writer.partitionBy(*parts)
-        writer.parquet(self.path(layer, name))
+        # partition key for the RT tables: derive from the ingestion
+        # timestamp when the caller didn't supply one (README.md:139
+        # recency pruning wants a date, whatever the write path)
+        if "event_date" in schema.fieldNames() \
+                and "event_date" not in df.columns:
+            out = out.withColumn("event_date", F.to_date("insert_date"))
+        return out
+
+    def append_epoch(self, layer: str, name: str, df: DataFrame,
+                     epoch_id: int) -> None:
+        """Idempotent micro-batch append: rows are stamped with
+        `ingest_epoch` and written with DYNAMIC partition overwrite, so
+        a replayed epoch (foreachBatch is at-least-once after a crash
+        mid-batch) overwrites exactly its own partition directories
+        instead of duplicating rows.  Requires ingest_epoch among the
+        table's partition columns."""
+        parts = self.partition_cols.get(name) or []
+        if "ingest_epoch" not in parts:
+            raise ValueError(
+                f"append_epoch needs ingest_epoch in partition_cols of "
+                f"{name!r}; got {parts}")
+        out = self._aligned(layer, name,
+                            df.withColumn("ingest_epoch",
+                                          F.lit(int(epoch_id)).cast("long")))
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*parts)
+         .parquet(self.path(layer, name)))
 
     def register_views(self, prefix: str = "") -> None:
         """Register every existing table as a temp view so the SQL API

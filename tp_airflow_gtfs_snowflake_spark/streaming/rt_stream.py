@@ -55,10 +55,15 @@ def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
                         available_now: bool = False) -> StreamingQuery:
     """readStream(snapshots) -> flatten -> append bronze RT tables.
 
-    foreachBatch gives exactly-once appends per source file via the
-    checkpoint: a re-delivered batch after crash replays with the same
-    epoch id against the idempotent append-only layout, mirroring the
-    reference's PURGE=TRUE one-shot loads.
+    Exactly-once semantics, honestly: the checkpoint guarantees each
+    source FILE enters exactly one epoch, but foreachBatch itself is
+    at-least-once — a crash between the three table writes replays the
+    whole epoch.  Replay is made idempotent by append_epoch: every
+    write lands under the epoch's own partition directories via dynamic
+    partition overwrite, so the replay overwrites its previous
+    (possibly partial) output instead of appending duplicates.  This is
+    the engine's equivalent of the reference's per-file COPY INTO load
+    history + PURGE=TRUE one-shot loads.
     """
     feed_stream = read_feed_stream(spark, landing_dir)
 
@@ -67,10 +72,10 @@ def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
             return
         feed = parse_feed_json(batch_df)
         headers, stops = flatten_trip_updates(feed)
-        wh.append("bronze", "trip_updates_raw", headers)
-        wh.append("bronze", "trip_stop_times", stops)
-        wh.append("bronze", "vehicle_positions_raw",
-                  flatten_vehicle_positions(feed))
+        wh.append_epoch("bronze", "trip_updates_raw", headers, epoch_id)
+        wh.append_epoch("bronze", "trip_stop_times", stops, epoch_id)
+        wh.append_epoch("bronze", "vehicle_positions_raw",
+                        flatten_vehicle_positions(feed), epoch_id)
 
     writer = (feed_stream.writeStream
               .foreachBatch(process)

@@ -323,6 +323,15 @@ def test_salted_join_left_outer(spark):
     assert out == {(1, 10, "a"), (9, 90, None)}
 
 
+def test_salted_join_rejects_right_preserving_joins(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.skew import salted_join
+    left = spark.createDataFrame([(1, 10)], "k long, v long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, on=["k"], how=how)
+
+
 def test_salted_count_distinct_exact(spark):
     from tp_airflow_gtfs_snowflake_spark.operators.skew import (
         salted_count_distinct)

@@ -60,7 +60,14 @@ def incremental_append(
     out = transform(fresh)
     n = out.count()
     if n:
-        # keep the source insert_date (the reference re-inserts the
-        # bronze value, not a new default: INSERT ... SELECT insert_date)
+        # DELIBERATE DEVIATION: carry the BRONZE insert_date into
+        # silver.  The reference's silver INSERTs omit insert_date, so
+        # the column DEFAULT stamps silver-load time
+        # (gtfs_silver.py:126-213) — but then a bronze row committed
+        # between a silver run's watermark read and its insert could be
+        # skipped forever (watermark already advanced past it).  Keying
+        # the watermark on the carried bronze timestamp removes that
+        # missed-row race; consumers reading silver insert_date get
+        # bronze-ingest recency, not silver-load recency.
         wh.append(dst_layer, dst_name, out, stamp_insert_date=False)
     return n

@@ -36,7 +36,20 @@ def salted_join(left: DataFrame, right: DataFrame, *, on: list[str],
 
     Cost model: right side is exploded x salt_buckets before its
     shuffle — use when |right| * salt_buckets << |left's hot keys|.
+
+    Only left-preserving join types are allowed: the right side is
+    replicated per salt bucket, so right/full outer joins would emit
+    salt_buckets null-extended rows for each unmatched right row —
+    those semantics cannot be patched up after the drop('_salt').
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only "
+            f"({sorted(allowed)}); got how={how!r} — an unmatched right "
+            f"row would be duplicated once per salt bucket")
     if left_salt_source is None:
         src = F.xxhash64(*[F.col(c) for c in left.columns])
     else:

@@ -122,7 +122,13 @@ SILVER: dict[str, T.StructType] = {
         ("stop_lat", _D), ("stop_lon", _D), ("parent_station", _S),
         ("wheelchair_boarding", _I), INSERT_DATE,
     ),
-    # + intermediate_stop = COALESCE(arrival,departure) (gtfs_silver.py:72-82,:173)
+    # + intermediate_stop = COALESCE(arrival,departure) (gtfs_silver.py:72-82,:173).
+    # DELIBERATE EXTENSION: the reference silver DDL keeps only
+    # intermediate_stop and drops arrival_time/departure_time
+    # (gtfs_silver.py:72-104); this engine's silver keeps both raw
+    # columns because the KPI layer (plans/kpis.py) computes per-stop
+    # delays from the separate arrival/departure values, which
+    # COALESCE destroys.  Same applies to trip_stop_times_silver below.
     "stop_times_static_silver": _st(
         ("trip_id", _S), ("arrival_time", _S), ("departure_time", _S),
         ("intermediate_stop", _S), ("stop_id", _S), ("stop_sequence", _L),

@@ -178,3 +178,15 @@ def test_exists_subquery_rewrites_to_semi_join(spark):
     p = _plan(spark, "q04_exists_subquery")
     assert "LeftSemi" in p or "left_semi" in p.lower()
     assert "CartesianProduct" not in p
+
+
+def test_scalar_subquery_is_decorrelated(spark):
+    # the correlated scalar AVG (Q17 shape) must be rewritten into a
+    # per-key aggregate joined back — a surviving per-row subquery node
+    # would re-scan lineitem once per outer row.
+    p = _plan(spark, "q17_small_qty_revenue")
+    assert "Subquery" not in p, f"subquery survived decorrelation:\n{p[:1200]}"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the decorrelated aggregate joins on the correlation key
+    assert p.count("HashAggregate") >= 2  # avg-per-part + final group-by

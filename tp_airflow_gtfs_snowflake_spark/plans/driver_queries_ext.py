@@ -1300,3 +1300,37 @@ def q04_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
         GROUP BY o_orderpriority
     """)
+
+
+@_register(
+    "q17_small_qty_revenue",
+    """
+    SELECT p_brand,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS small_qty_revenue,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    """,
+    "TPC-H Q17 shape: correlated scalar AVG subquery per part — "
+    "Catalyst decorrelates it into one per-partkey aggregate joined "
+    "back to the fact (two shuffles total), never a per-row subquery "
+    "probe.  l_quantity is integer-valued so the avg threshold is "
+    "bit-identical across engines",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql("""
+        SELECT p_brand,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS small_qty_revenue,
+               CAST(count(*) AS BIGINT) AS n_small
+        FROM q17_lineitem JOIN q17_part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM q17_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        GROUP BY p_brand
+    """)

@@ -70,7 +70,43 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "streaming": _stream_slo(spark),
     }))
+
+
+def _stream_slo(spark) -> dict:
+    """Measured RT micro-batch durations (one file per trigger over the
+    GTFS fixture snapshots) vs the reference's 120 s trigger budget
+    (gtfs_rt_minutely.py:262).  Round-over-round regression signal for
+    the streaming path."""
+    import tempfile
+
+    from tests import fixtures_gtfs
+    from tp_airflow_gtfs_snowflake_spark.catalog import Warehouse
+    from tp_airflow_gtfs_snowflake_spark.streaming.rt_stream import (
+        batch_durations, start_bronze_ingest)
+
+    with tempfile.TemporaryDirectory() as td:
+        landing = os.path.join(td, "landing")
+        os.makedirs(landing)
+        for i, s in enumerate(fixtures_gtfs.make_feed_snapshots(5)):
+            with open(os.path.join(landing, f"snap_06{i:02d}.json"), "w") as f:
+                f.write(s)
+        wh = Warehouse(spark, os.path.join(td, "wh"))
+        for t in ("trip_updates_raw", "trip_stop_times",
+                  "vehicle_positions_raw"):
+            wh.create_if_not_exists("bronze", t)
+        q = start_bronze_ingest(spark, landing, wh,
+                                os.path.join(td, "ckpt"),
+                                available_now=True, max_files_per_trigger=1)
+        q.awaitTermination(300)
+        durs = batch_durations(q)
+    return {
+        "n_batches": len(durs),
+        "batch_seconds_mean": round(sum(durs) / max(len(durs), 1), 3),
+        "batch_seconds_max": round(max(durs), 3) if durs else None,
+        "slo_trigger_seconds": 120,
+    }
 
 
 if __name__ == "__main__":

@@ -63,6 +63,26 @@ def test_exactly_once_across_restart(spark, tmp_path, landing):
     assert wh.table("bronze", "trip_stop_times").count() == n2
 
 
+def test_batch_durations_reported(spark, tmp_path, landing):
+    """SLO evidence: every data micro-batch reports a positive
+    wall-clock duration (bench.py publishes these against the
+    reference's 120 s trigger budget)."""
+    from tp_airflow_gtfs_snowflake_spark.streaming.rt_stream import (
+        batch_durations)
+    snaps = fixtures_gtfs.make_feed_snapshots(2)
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"tu_20240304060{i}.json", s)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for t in ("trip_updates_raw", "trip_stop_times", "vehicle_positions_raw"):
+        wh.create_if_not_exists("bronze", t)
+    q = start_bronze_ingest(spark, str(landing), wh, str(tmp_path / "ckpt"),
+                            available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    durs = batch_durations(q)
+    assert len(durs) == 2  # one per file with maxFilesPerTrigger=1
+    assert all(d > 0 for d in durs)
+
+
 def test_epoch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: a crash between the three bronze
     writes replays the whole epoch.  append_epoch must make the replay

@@ -52,7 +52,9 @@ def read_feed_stream(spark: SparkSession, landing_dir: str, *,
 def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
                         checkpoint_dir: str, *,
                         trigger_seconds: int | None = None,
-                        available_now: bool = False) -> StreamingQuery:
+                        available_now: bool = False,
+                        max_files_per_trigger: int | None = None
+                        ) -> StreamingQuery:
     """readStream(snapshots) -> flatten -> append bronze RT tables.
 
     Exactly-once semantics, honestly: the checkpoint guarantees each
@@ -65,7 +67,8 @@ def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
     the engine's equivalent of the reference's per-file COPY INTO load
     history + PURGE=TRUE one-shot loads.
     """
-    feed_stream = read_feed_stream(spark, landing_dir)
+    feed_stream = read_feed_stream(
+        spark, landing_dir, max_files_per_trigger=max_files_per_trigger)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
@@ -85,6 +88,26 @@ def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def batch_durations(query: StreamingQuery,
+                    data_batches_only: bool = True) -> list[float]:
+    """Measured micro-batch wall-clock seconds from the query's
+    progress history — the engine's SLO evidence against the
+    reference's cadence contract (one batch per 2-minute trigger,
+    gtfs_rt_minutely.py:262: batch duration must stay well under the
+    120 s trigger or the pipeline falls behind)."""
+    import json as _json
+
+    out = []
+    for p in query.recentProgress:
+        prog = _json.loads(p) if isinstance(p, str) else p
+        if data_batches_only and not prog.get("numInputRows", 0):
+            continue
+        dur = prog.get("durationMs", {}).get("triggerExecution")
+        if dur is not None:
+            out.append(dur / 1000.0)
+    return out
 
 
 def windowed_position_counts(feed_stream: DataFrame, *,

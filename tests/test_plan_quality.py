@@ -180,6 +180,22 @@ def test_exists_subquery_rewrites_to_semi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_not_exists_rewrites_to_anti_join(spark):
+    # Q22's NOT EXISTS must become a left-anti join and its scalar
+    # threshold subquery must execute once (uncorrelated), not per row.
+    p = _plan(spark, "q22_dormant_accounts")
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_train_side_dedups_before_join(spark):
+    # the semi join must consume the DISTINCT shingle set, and the test
+    # split must reach it as a semi join (keys only, no row blow-up)
+    p = _plan(spark, "c15_contamination_check")
+    assert "LeftSemi" in p or "left_semi" in p.lower()
+    assert "CartesianProduct" not in p
+
+
 def test_scalar_subquery_is_decorrelated(spark):
     # the correlated scalar AVG (Q17 shape) must be rewritten into a
     # per-key aggregate joined back — a surviving per-row subquery node

@@ -1334,3 +1334,279 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE l2.l_partkey = p_partkey)
         GROUP BY p_brand
     """)
+
+
+# =====================================================================
+# C-tier round 2: training-data curation operators (TF-IDF vocabulary,
+# train/test contamination, PII scrub, corpus rebalancing) + three more
+# TPC-H join/subquery shapes (Q13, Q19, Q22).
+# =====================================================================
+
+@_register(
+    "c14_tfidf_top_terms",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest({_duck_toks()}) AS term FROM documents
+    ),
+    tf AS (SELECT lang, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
+    SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(tf * 1000000 // df AS BIGINT) AS score
+    FROM tf JOIN df USING (term)
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term) <= 5
+    """,
+    "LLM-curation: per-language top-5 vocabulary by an integer tf-idf "
+    "score (term frequency x 1e6 / corpus document frequency — integer "
+    "arithmetic so both engines agree exactly; log-idf would differ in "
+    "ulps).  explode -> two hash aggs -> join -> per-group top-k; at "
+    "100 TB the df side is a broadcast after aggregation",
+)
+def c14_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tk = docs.select("doc_id", "lang",
+                     F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                       " +")).alias("term"))
+    tf = tk.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = (tk.select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (tf.join(df_, "term")
+              .withColumn("score",
+                          F.expr("tf * 1000000 DIV df").cast("long")))
+    w = W.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("lang", "term", F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "score"))
+
+
+@_register(
+    "c15_contamination_check",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, lang, unnest({_duck_shingles(3)}) AS sh FROM t),
+    train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+    test_hit AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN train USING (sh)
+      WHERE s.doc_id % 2 = 1
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_test_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated
+    FROM documents d LEFT JOIN test_hit h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 2 = 1
+    GROUP BY d.lang
+    """,
+    "LLM-curation: train/test contamination check — 3-gram shingles of "
+    "the held-out split semi-joined against the training split's "
+    "shingle set; per-language contamination counts.  The train set "
+    "collapses to DISTINCT shingles before the join (shuffle keys, "
+    "never documents); the canonical decontamination shape at corpus "
+    "scale",
+)
+def c15_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", "lang",
+        F.explode(D.token_shingles(F.col("text"), 3)).alias("sh"))
+    train = sh.filter(F.col("doc_id") % 2 == 0).select("sh").distinct()
+    test_hit = (sh.filter(F.col("doc_id") % 2 == 1)
+                .join(train, "sh", "left_semi")
+                .select("doc_id").distinct()
+                .withColumn("_hit", F.lit(1)))
+    return (docs.filter(F.col("doc_id") % 2 == 1)
+            .join(test_hit, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_test_docs"),
+                 F.count("_hit").cast("long").alias("n_contaminated")))
+
+
+@_register(
+    "c16_pii_scrub",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source,
+             text || ' contact user-' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-0' || CAST(doc_id % 1000 AS VARCHAR)
+                  AS raw
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, raw,
+             regexp_replace(regexp_replace(raw,
+                 '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\+[0-9][0-9-]{7,}', '<PHONE>', 'g') AS scrubbed
+      FROM w
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN scrubbed <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scrubbed,
+           CAST(sum(length(raw) - length(scrubbed)) AS BIGINT)
+             AS chars_removed
+    FROM s GROUP BY source
+    """,
+    "LLM-curation: PII scrub — email/phone regexp_replace over the "
+    "corpus (deterministically injected PII so the fixture actually "
+    "exercises the patterns), per-source scrub accounting.  Pure "
+    "narrow map; the regexes stay in the POSIX-compatible subset both "
+    "Java and RE2 implement identically",
+)
+def c16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user-"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-0"),
+        (F.col("doc_id") % 1000).cast("string"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9._-]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\+[0-9][0-9-]{7,}", "<PHONE>")
+    return (docs.select("source", raw.alias("raw"),
+                        scrubbed.alias("scrubbed"))
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("scrubbed") != F.col("raw"), 1)
+                       .otherwise(0)).cast("long").alias("n_scrubbed"),
+                 F.sum(F.length("raw") - F.length("scrubbed"))
+                 .cast("long").alias("chars_removed")))
+
+
+@_register(
+    "c17_stratified_sample",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id,
+             {_duck_hash64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM s GROUP BY lang
+    """,
+    "LLM-curation: language-rebalancing via DETERMINISTIC hash "
+    "sampling — keep 10% of the dominant language, 50% of the rest, "
+    "membership decided by md5(doc_id) mod 100 so the sample is "
+    "reproducible across engines, runs and cluster sizes (sampleBy "
+    "with a seed is only reproducible within one engine)",
+)
+def c17_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(D.portable_hash64(F.col("doc_id").cast("string")),
+                    F.lit(100))
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (docs.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("bucket") < F.col("rate"), 1)
+                       .otherwise(0)).cast("long").alias("n_kept")))
+
+
+@_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: customer order-count distribution — left outer "
+    "join with an ON-clause filter (kept on the join, NOT pushed as a "
+    "WHERE, or customers with only urgent orders would vanish), then "
+    "a two-level aggregate.  One shuffle per level; the outer join "
+    "preserves zero-order customers as c_count=0",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy(c["c_custkey"])
+                .agg(F.count(o["o_orderkey"]).cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("long").alias("custdist")))
+
+
+@_register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 45)
+    """,
+    "TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides — "
+    "the optimizer must split the disjunction into the single-side "
+    "conjuncts it CAN push (brand/size to the part scan, quantity "
+    "range to lineitem) while evaluating the cross-side residual on "
+    "the joined rows; broadcast part dim",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q19_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q19_part")
+    return spark.sql("""
+        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM q19_lineitem JOIN q19_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 45)
+    """)
+
+
+@_register(
+    "q22_dormant_accounts",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (
+        SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    "TPC-H Q22 shape: above-average account balance (uncorrelated "
+    "scalar subquery, computed once and broadcast as a literal) for "
+    "customers with NO orders (NOT EXISTS -> left-anti join).  The "
+    "threshold is exact-decimal-sum / count in DOUBLE so both engines "
+    "agree bit-for-bit; nationkey membership stands in for the "
+    "reference query's phone prefixes",
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql("""
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+        FROM q22_customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+            SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS DOUBLE) / count(*)
+            FROM q22_customer
+            WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM q22_orders
+                          WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """)

@@ -283,6 +283,53 @@ def test_real_bmp_decode_top_down_equals_bottom_up(spark):
     assert out[1]["height"] == out[2]["height"] == 3
 
 
+def _make_wav(samples: list[int], *, rate: int = 16000, channels: int = 1,
+              bits: int = 16, extra_chunk: bool = False) -> bytes:
+    """Hand-assemble a PCM WAV (RIFF + fmt + optional junk + data)."""
+    import struct
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(s + 128 for s in samples)
+    byte_rate = rate * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # e.g. a LIST/INFO chunk real encoders emit
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_real_wav_decode_through_spark(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        decode_audio_features)
+    samples = [0, 1000, -1000, 2000, -3000, 3000, 0, -500]
+    wav = _make_wav(samples, rate=22050, channels=2, extra_chunk=True)
+    df = spark.createDataFrame([(3, wav)], "doc_id long, payload binary")
+    out = decode_audio_features(df, id_col="doc_id", payload_col="payload",
+                                fake=False).collect()
+    r = out[0]
+    assert (r["sample_rate"], r["n_channels"], r["bit_depth"]) == (22050, 2, 16)
+    assert r["n_samples"] == len(samples) // 2  # per channel
+    assert r["peak"] == 3000
+    import math
+    assert r["rms"] == math.isqrt(
+        sum(s * s for s in samples) // len(samples))
+
+
+def test_wav_8bit_and_unsupported(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        _wav_decode)
+    rate, ch, bits, n, peak, rms = _wav_decode(
+        _make_wav([0, 10, -10, 127], bits=8, rate=8000))
+    assert (rate, ch, bits, n, peak) == (8000, 1, 8, 4, 127)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        _wav_decode(b"ID3\x03" + b"\x00" * 60)  # mp3-ish magic
+    with pytest.raises(ValueError, match="truncated"):
+        _wav_decode(_make_wav([1, 2, 3, 4])[:-3])
+
+
 def test_sample_frames_counts_and_slices(spark, payload_df):
     out = sample_frames(payload_df, id_col="doc_id", payload_col="payload",
                         every_n_bytes=128, max_frames=8, fake=True)

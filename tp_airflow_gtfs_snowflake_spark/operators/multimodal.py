@@ -7,9 +7,11 @@ Decode paths:
   for pixels) — used by the oracle-checked registry queries, since the
   driver's synthetic payloads are not real images.
 - `fake=False`: a REAL decoder.  The container has no codec libraries,
-  so the built-in real path is a pure-Python uncompressed-BMP decoder
-  (public Windows BITMAPINFOHEADER layout): header parse, bottom-up /
-  top-down row order, 8/24/32 bpp, row padding.  Other formats raise
+  so the built-in real paths are pure-Python: an uncompressed-BMP
+  decoder for images (public BITMAPINFOHEADER layout: header parse,
+  bottom-up / top-down row order, 8/24/32 bpp, row padding) and a PCM
+  WAV decoder for audio (RIFF chunk walk, 8/16-bit, multi-channel,
+  integer-exact amplitude stats).  Other formats raise
   NotImplementedError at task time until PIL/ffmpeg is plugged in.
 Everything Spark-side — schema contract, Arrow batch shape, partition
 sizing, UDF signatures — is identical between the two paths.
@@ -55,6 +57,20 @@ FRAME_SAMPLE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("frame_idx", IntegerType()),
     StructField("frame_bytes", BinaryType()),
+])
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("peak", LongType()),
+    # floor(sqrt(mean(sample^2))) — integer arithmetic end to end so
+    # the value is engine- and platform-exact
+    StructField("rms", LongType()),
 ])
 
 
@@ -123,6 +139,104 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
         "only uncompressed BMP decode is built in (no codec libraries "
         "in this container); plug PIL/torchvision in _real_decode for "
         "JPEG/PNG/WebP")
+
+
+def _wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Uncompressed RIFF/WAVE PCM -> (sample_rate, n_channels,
+    bit_depth, n_samples, peak, rms).  Public WAV chunk layout: RIFF
+    header, then 'fmt ' (PCM format 1: channels, rate, bits) and
+    'data' chunks; unknown chunks skipped.  8-bit PCM is unsigned
+    (centered at 128), 16-bit is signed little-endian."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        ln = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+    bit_depth = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bit_depth not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, "
+            f"bits={bit_depth})")
+    if bit_depth == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[:n * 2])
+    else:
+        samples = [b - 128 for b in data]
+        n = len(samples)
+    n_samples = n // max(n_channels, 1)
+    peak = max((abs(s) for s in samples), default=0)
+    sumsq = sum(s * s for s in samples)
+    rms = _isqrt(sumsq // n) if n else 0
+    return sample_rate, n_channels, bit_depth, n_samples, peak, rms
+
+
+def _isqrt(x: int) -> int:
+    import math
+    return math.isqrt(x)
+
+
+def _real_audio_decode(payload: bytes
+                       ) -> tuple[int, int, int, int, int, int]:
+    if payload[:4] == b"RIFF":
+        return _wav_decode(payload)
+    raise NotImplementedError(
+        "only uncompressed PCM WAV decode is built in (no codec "
+        "libraries in this container); plug soundfile/ffmpeg in "
+        "_real_audio_decode for MP3/FLAC/OGG")
+
+
+def _fake_audio_decode(payload: bytes
+                       ) -> tuple[int, int, int, int, int, int]:
+    """Deterministic stand-in mirroring _fake_decode: header fields
+    from a digest, stats from byte arithmetic."""
+    digest = hashlib.sha256(payload).digest()
+    rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    channels = 1 + digest[1] % 2
+    n = len(payload)
+    peak = max(payload, default=0)
+    rms = _isqrt(sum(b * b for b in payload) // n) if n else 0
+    return rate, channels, 16, n // max(channels, 1), peak, rms
+
+
+def decode_audio_features(df: DataFrame, *, id_col: str, payload_col: str,
+                          media_type: str = "audio",
+                          fake: bool = False) -> DataFrame:
+    """binary payload -> typed audio metadata + amplitude stats via
+    Arrow-batched mapInPandas.  fake=False really decodes PCM WAV;
+    other formats raise at task time until a codec library is plugged
+    in.  Same scale contract as decode_image_features: narrow map,
+    payloads never leave executors."""
+    decode = _fake_audio_decode if fake else _real_audio_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                rate, ch, bits, n, peak, rms = decode(payload)
+                rows.append((int(doc_id), media_type, len(payload),
+                             rate, ch, bits, n, peak, rms))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURES_SCHEMA.fields])
+
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .mapInPandas(run, AUDIO_FEATURES_SCHEMA))
 
 
 def decode_image_features(df: DataFrame, *, id_col: str, payload_col: str,

@@ -1610,3 +1610,136 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
     """)
+
+
+@_register(
+    "b29_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, session_id
+    """,
+    "batch sessionization (gaps-and-islands): 30-minute-gap sessions "
+    "via lag + running sum of session starts, then one aggregate per "
+    "session.  ONE shuffle on user_id serves both window passes and "
+    "pre-partitions the final groupBy; the streaming twin (native "
+    "session_window with watermark) is sessionized_vehicle_activity "
+    "in streaming/stateful.py",
+)
+def b29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sess = (ev.withColumn("new_s", new_s)
+            .withColumn("session_id",
+                        F.sum("new_s").over(
+                            w.rowsBetween(W.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id",
+                         F.col("session_id").cast("long").alias("session_id"))
+            .agg(F.unix_micros(F.min("ts")).alias("session_start_us"),
+                 F.unix_micros(F.max("ts")).alias("session_end_us"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+@_register(
+    "b30_retention_cohorts",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), c AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id
+    )
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           strftime(wk, '%Y-%m-%d') AS activity_week,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "retention cohort matrix: users bucketed by first-activity week, "
+    "counted in every week they return.  distinct (user, week) first "
+    "so the self-join shuffles at most |users| x |weeks| keys, never "
+    "raw events; the cohort mapping is a per-user aggregate joined "
+    "back (broadcast when |users| fits)",
+)
+def b30_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = (ev.select("user_id",
+                   F.date_trunc("week", F.col("ts")).alias("wk"))
+         .distinct())
+    c = a.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (a.join(c, "user_id")
+            .groupBy(F.date_format("cohort_wk", "yyyy-MM-dd")
+                     .alias("cohort_week"),
+                     F.date_format("wk", "yyyy-MM-dd")
+                     .alias("activity_week"))
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+@_register(
+    "c05d_audio_features",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS dig,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1))) AS bs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(CASE ('0x' || substr(dig, 1, 2))::INT % 4
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+           CAST(1 + ('0x' || substr(dig, 3, 2))::INT % 2 AS BIGINT)
+             AS n_channels,
+           CAST(n_bytes // (1 + ('0x' || substr(dig, 3, 2))::INT % 2)
+                AS BIGINT) AS n_samples,
+           CAST(CASE WHEN n_bytes = 0 THEN 0
+                     ELSE list_max(bs) END AS BIGINT) AS peak,
+           CAST(CASE WHEN n_bytes = 0 THEN 0
+                     ELSE floor(sqrt(list_sum(list_transform(bs, b -> b * b))
+                                     // n_bytes)) END AS BIGINT) AS rms
+    FROM d
+    """,
+    "charter multimodal (audio): binary payload -> Arrow-batched "
+    "mapInPandas -> typed audio metadata + integer-exact amplitude "
+    "stats.  Oracle checks the deterministic fake path (text bytes "
+    "stand in for PCM); the REAL path (pure-Python RIFF/WAV decode) "
+    "is exercised by unit tests on generated WAV fixtures",
+)
+def c05d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        decode_audio_features)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    payload = docs.select("doc_id",
+                          F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = decode_audio_features(payload, id_col="doc_id",
+                                payload_col="payload", fake=True)
+    return out.select("doc_id",
+                      F.col("n_bytes").cast("long").alias("n_bytes"),
+                      F.col("sample_rate").cast("long").alias("sample_rate"),
+                      F.col("n_channels").cast("long").alias("n_channels"),
+                      F.col("n_samples").cast("long").alias("n_samples"),
+                      F.col("peak").cast("long").alias("peak"),
+                      F.col("rms").cast("long").alias("rms"))

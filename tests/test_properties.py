@@ -100,3 +100,130 @@ def test_quality_score_bounded_or_null(spark, texts):
               df.select(T.quality_score(F.col("text"))).collect()]
     for s in scores:
         assert s is None or (0.0 <= s <= 1.000001)
+
+
+# --- codec/wire-format properties (pure Python, no Spark job) ---------
+
+_token = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-",
+                 min_size=1, max_size=12)
+_maybe = lambda strat: st.none() | strat  # noqa: E731
+
+
+@st.composite
+def _feed_messages(draw):
+    def clean(d):
+        return {k: v for k, v in d.items() if v is not None}
+
+    def stu():
+        return clean({
+            "stop_sequence": draw(_maybe(st.integers(0, 500))),
+            "stop_id": draw(_maybe(_token)),
+            "arrival": draw(_maybe(st.builds(
+                lambda t: {"time": t}, st.integers(0, 2**33)))),
+            "departure": draw(_maybe(st.builds(
+                lambda t: {"time": t}, st.integers(0, 2**33)))),
+        })
+
+    def trip():
+        return clean({
+            "trip_id": draw(_maybe(_token)),
+            "route_id": draw(_maybe(_token)),
+            "direction_id": draw(_maybe(st.integers(0, 1))),
+        })
+
+    entities = []
+    for i in range(draw(st.integers(0, 5))):
+        kind = draw(st.sampled_from(["trip_update", "vehicle"]))
+        if kind == "trip_update":
+            body = clean({
+                "trip": trip() or None,
+                "stop_time_update":
+                    [stu() for _ in range(draw(st.integers(0, 3)))] or None,
+            })
+        else:
+            body = clean({
+                "trip": trip() or None,
+                "position": clean({
+                    "latitude": draw(_maybe(st.integers(-2**22, 2**22)
+                                            .map(lambda v: v / 2**10))),
+                    "longitude": draw(_maybe(st.integers(-2**22, 2**22)
+                                             .map(lambda v: v / 2**10))),
+                    "bearing": draw(_maybe(st.integers(0, 359 * 8)
+                                           .map(lambda v: v / 8))),
+                }) or None,
+                "vehicle": draw(_maybe(st.builds(
+                    lambda i: {"id": i}, _token))),
+                "stop_id": draw(_maybe(_token)),
+                "timestamp": draw(_maybe(st.integers(0, 2**33))),
+            })
+        ent = {"id": f"e{i}", kind: body}
+        entities.append(ent)
+    return {"entity": entities} if entities else {}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_feed_messages())
+def test_pb_wire_roundtrip(feed):
+    """encode -> decode is the identity on the FeedMessage subset
+    (fractions chosen exactly representable in float32)."""
+    from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt_pb import (
+        decode_feed_message, encode_feed_message)
+    got = decode_feed_message(encode_feed_message(feed))
+    want = dict(feed)
+    want.setdefault("entity", [])
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(_feed_messages(), st.binary(max_size=12))
+def test_pb_decoder_survives_unknown_field_noise(feed, blob):
+    """Unknown fields of every wire type interleaved at top level must
+    not disturb the known fields (proto2 forward compatibility)."""
+    import struct
+
+    from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt_pb import (
+        _tag, _varint, decode_feed_message, encode_feed_message)
+    noise = (_tag(9, 0) + _varint(7)
+             + _tag(10, 2) + _varint(len(blob)) + blob
+             + _tag(11, 5) + struct.pack("<f", 1.5)
+             + _tag(12, 1) + struct.pack("<d", 2.5))
+    want = dict(feed)
+    want.setdefault("entity", [])
+    body = encode_feed_message(feed)
+    assert decode_feed_message(noise + body) == want
+    assert decode_feed_message(body + noise) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+       st.sampled_from([8000, 16000, 44100]), st.integers(1, 2))
+def test_wav_decode_matches_direct_stats(samples, rate, channels):
+    import math
+
+    from tests.test_operators_extra import _make_wav
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        _wav_decode)
+    got = _wav_decode(_make_wav(samples, rate=rate, channels=channels))
+    assert got[0:3] == (rate, channels, 16)
+    assert got[3] == len(samples) // channels
+    assert got[4] == max(abs(s) for s in samples)
+    assert got[5] == math.isqrt(sum(s * s for s in samples) // len(samples))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 6), st.booleans(), st.data())
+def test_bmp_decode_dims_and_histogram(width, height, top_down, data):
+    from tests.test_operators_extra import _make_bmp
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        _bmp_decode)
+    rows = [bytes(data.draw(st.lists(st.integers(0, 255),
+                                     min_size=width * 3, max_size=width * 3)))
+            for _ in range(height)]
+    w, h, c, hist = _bmp_decode(_make_bmp(width, height, rows,
+                                          top_down=top_down))
+    assert (w, h, c) == (width, height, 3)
+    flat = b"".join(rows)
+    expect = [0] * 8
+    for b in flat:
+        expect[b >> 5] += 1
+    assert hist == [v * 1_000_000 // len(flat) for v in expect]

@@ -1743,3 +1743,108 @@ def c05d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_samples").cast("long").alias("n_samples"),
                       F.col("peak").cast("long").alias("peak"),
                       F.col("rms").cast("long").alias("rms"))
+
+
+@_register(
+    "q10_returned_item_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: top-20 customers by returned-item revenue — "
+    "3-way join with the returnflag filter pushed into the fact scan, "
+    "decimal revenue agg, TakeOrderedAndProject with a key tiebreak",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(rev).cast("decimal(38,4)").cast("double")
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@_register(
+    "q12_priority_line_counts",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape: conditional counts after a fact-fact join — the "
+    "CASE WHEN pair folds both priority classes into ONE aggregation "
+    "pass (vs two filtered scans), shipdate range pushed to parquet",
+)
+def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@_register(
+    "q14_promo_revenue_pct",
+    """
+    SELECT CAST(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,4)) AS DOUBLE)
+           / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+    """,
+    "TPC-H Q14 shape: promo revenue share — conditional / total "
+    "aggregate ratio in one pass over the part join; both sums are "
+    "exact decimals cast to double before the single division, so the "
+    "ratio is bit-identical across engines",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-06-01"))
+    p = _t(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO",
+                   rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .agg(((F.lit(100) * F.sum(promo)).cast("decimal(38,4)")
+                  .cast("double")
+                  / F.sum(rev).cast("decimal(38,4)").cast("double"))
+                 .alias("promo_revenue_pct"),
+                 F.count("*").cast("long").alias("n_lines")))

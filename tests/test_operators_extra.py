@@ -414,3 +414,28 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert r8 == 1.0
     assert r2 <= r4 + 1e-9 <= r8 + 1e-9
     assert r2 > 0.0
+
+
+def test_kmeans_ivf_full_probe_equals_brute_force(spark):
+    """Trained centroids partition the space differently than the
+    first-n stand-ins, but the IVF invariant is partition-independent:
+    probing every cell IS exact search."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    cents = SIM.kmeans_centroids(emb, k=8, seed=42, max_iter=5)
+    assert len(cents) == 8 and all(len(v) > 0 for _, v in cents)
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qemb"))
+    bf = {r["vec_id"] for r in SIM.brute_force_topk(
+        emb, qv, k=20, payload=["vec_id"]).collect()}
+    full = {r["vec_id"] for r in SIM.ivf_topk(
+        emb, qv, n_cents=8, n_probe=8, k=20, payload=["vec_id"],
+        centroids=cents).collect()}
+    assert full == bf
+    # trained cells should be usable at low probe counts too
+    iv2 = {r["vec_id"] for r in SIM.ivf_topk(
+        emb, qv, n_cents=8, n_probe=2, k=20, payload=["vec_id"],
+        centroids=cents).collect()}
+    assert len(iv2 & bf) / len(bf) > 0.0

@@ -41,12 +41,32 @@ def brute_force_topk(vectors: DataFrame, query: DataFrame, *,
             .limit(k))
 
 
+def kmeans_centroids(emb: DataFrame, *, vec_col: str = "embedding",
+                     k: int = 8, seed: int = 42,
+                     max_iter: int = 5) -> list[tuple[int, list[float]]]:
+    """Train k-means (pyspark.ml, fixed seed) on the embedding column
+    and return [(cent_id, center)] — the trained alternative to the
+    first-n stand-in centroids.  Centers are tiny (k x dim floats), so
+    they ride to ivf_assign/ivf_topk as driver-side literals exactly
+    like the stand-ins."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [(i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
-               vec_col: str = "embedding",
-               n_cents: int = 8) -> DataFrame:
-    """Assign every vector to its nearest of the first n_cents vectors
-    (stand-in centroids; production trains k-means): input columns +
-    `cent_id`.  Ties break to the lowest cent_id.
+               vec_col: str = "embedding", n_cents: int = 8,
+               centroids: list[tuple[int, list[float]]] | None = None
+               ) -> DataFrame:
+    """Assign every vector to its nearest centroid: input columns +
+    `cent_id`.  Centroids are the first n_cents vectors by id (cheap
+    stand-in) unless an explicit [(cent_id, center)] list — e.g. from
+    kmeans_centroids — is passed.  Ties break to the lowest cent_id.
 
     Centroid assignment is a pure per-row function, so the <=n_cents
     centroids are collected once (tiny: a pushed-down `id < n` scan)
@@ -58,18 +78,20 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
     100 TB of vectors that shuffle IS the job.  Pinned by
     tests/test_plan_quality.py::test_ivf_assign_has_no_exchange.
     """
-    cent_rows = sorted(
-        emb.filter(F.col(id_col) < n_cents)
-           .select(F.col(id_col).cast("long").alias("cent_id"),
-                   F.col(vec_col).cast("array<double>").alias("cemb"))
-           .collect(),
-        key=lambda r: r["cent_id"])
+    if centroids is None:
+        centroids = [(int(r["cent_id"]), list(r["cemb"])) for r in
+                     emb.filter(F.col(id_col) < n_cents)
+                     .select(F.col(id_col).cast("long").alias("cent_id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("cemb"))
+                     .collect()]
+    cent_rows = sorted(centroids, key=lambda c: c[0])
     cent_arr = F.array(*[
         F.struct(
-            F.lit(int(r["cent_id"])).cast("long").alias("cent_id"),
-            F.array(*[F.lit(float(x)) for x in r["cemb"]])
+            F.lit(int(cid)).cast("long").alias("cent_id"),
+            F.array(*[F.lit(float(x)) for x in vec])
              .cast("array<double>").alias("cemb"))
-        for r in cent_rows])
+        for cid, vec in cent_rows])
     # score each centroid (same 6dp rounding as before, so assignments
     # are bit-identical to the old plan), then fold to the argmax; the
     # tie-break mirrors ORDER BY sim DESC, cent_id ASC.
@@ -92,17 +114,26 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
 def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cents: int = 8,
              n_probe: int = 2, k: int = 20,
-             payload: list[str] | None = None) -> DataFrame:
+             payload: list[str] | None = None,
+             centroids: list[tuple[int, list[float]]] | None = None
+             ) -> DataFrame:
     """Approximate top-k: score only vectors whose cell is among the
-    n_probe cells nearest the query."""
-    cents = emb.filter(F.col(id_col) < n_cents).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
+    n_probe cells nearest the query.  Stand-in (first-n) or trained
+    (kmeans_centroids) centroid sets both work."""
+    if centroids is None:
+        cents = emb.filter(F.col(id_col) < n_cents).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
+    else:
+        cents = emb.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cent_id long, cemb array<double>")
     probe = (cents.crossJoin(F.broadcast(query))
              .withColumn("sim", F.round(cosine(F.col("cemb"),
                                                F.col("qemb")), 6))
              .orderBy(F.desc("sim"), "cent_id")
              .limit(n_probe).select("cent_id"))
-    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents)
+    asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents,
+                     centroids=centroids)
     candidates = asg.join(F.broadcast(probe), "cent_id")
     return brute_force_topk(candidates.drop("cent_id"), query,
                             vec_col=vec_col, k=k, payload=payload)

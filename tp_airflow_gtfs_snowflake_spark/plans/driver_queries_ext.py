@@ -1848,3 +1848,20 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.sum(rev).cast("decimal(38,4)").cast("double"))
                  .alias("promo_revenue_pct"),
                  F.count("*").cast("long").alias("n_lines")))
+
+
+@_register(
+    "c18_kmeans_ivf_ann", None,
+    "C2 IVF with TRAINED centroids: pyspark.ml k-means (fixed seed) "
+    "learns the 8 cells, then the same shuffle-free literal-argmax "
+    "assignment and 2-cell probe as c09.  rows-only check (k-means "
+    "isn't SQL-expressible); the recall invariant full-probe == "
+    "brute-force is pinned by tests/test_operators_extra.py",
+)
+def c18_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, k=8, seed=42, max_iter=5)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"))
+    return SIM.ivf_topk(emb, qv, n_cents=8, n_probe=2, k=20,
+                        payload=["vec_id", "label"], centroids=cents)

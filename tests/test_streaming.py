@@ -224,6 +224,33 @@ def test_vehicle_odometer_state_across_batches(spark, landing, tmp_path):
         assert r.path_degrees >= first[vid].path_degrees
 
 
+def test_stream_static_dimension_join(spark, landing, tmp_path):
+    """A24's sensor barrier disappears in the engine: a stream-static
+    join against the routes dimension enriches RT rows as soon as the
+    static table exists — the dim is re-read per micro-batch (picking
+    up daily static refreshes) and broadcast, no state store."""
+    from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
+        flatten_vehicle_positions, parse_feed_json)
+    routes = spark.createDataFrame(
+        [(f"R{i}", f"Ligne {i}") for i in range(fixtures_gtfs.N_ROUTES)],
+        "route_id string, route_long_name string")
+    snaps = fixtures_gtfs.make_feed_snapshots(2)
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"vp_20240304060{i}.json", s)
+    vp = flatten_vehicle_positions(
+        parse_feed_json(read_feed_stream(spark, str(landing))))
+    enriched = vp.join(F.broadcast(routes), "route_id", "left")
+    q = (enriched.writeStream.outputMode("append").format("memory")
+         .queryName("vp_enriched")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sj")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM vp_enriched").collect()
+    assert len(rows) == 24  # 12 vehicles x 2 snapshots
+    assert all(r.route_long_name is not None for r in rows)
+    assert all(r.route_long_name == f"Ligne {r.route_id[1:]}" for r in rows)
+
+
 def test_stream_stream_join_within_window(spark, landing, tmp_path):
     from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
         trip_position_attribution)

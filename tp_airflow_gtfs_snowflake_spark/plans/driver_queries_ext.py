@@ -1865,3 +1865,76 @@ def c18_kmeans_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qemb"))
     return SIM.ivf_topk(emb, qv, n_cents=8, n_probe=2, k=20,
                         payload=["vec_id", "label"], centroids=cents)
+
+
+@_register(
+    "b31_outlier_filter",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS pr
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(min(CASE WHEN pr >= 0.9 THEN value END), 6)
+             AS outlier_threshold
+    FROM r GROUP BY event_type
+    """,
+    "outlier filtering: per-group p90 cut via percent_rank (rank-based "
+    "so engine float-summation order cannot move the boundary) — the "
+    "delay-outlier KPI shape; one shuffle serves the window AND "
+    "pre-partitions the aggregate",
+)
+def b31_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.withColumn("pr", F.percent_rank().over(w))
+    out = F.col("pr") >= 0.9
+    return (r.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.when(out, 1).otherwise(0)).cast("long")
+                 .alias("n_outliers"),
+                 F.round(F.min(F.when(out, F.col("value"))), 6)
+                 .alias("outlier_threshold")))
+
+
+@_register(
+    "b32_sequence_gap_detection",
+    """
+    WITH kept AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_returnflag <> 'R'
+    ), g AS (
+      SELECT l_orderkey, l_linenumber,
+             lag(l_linenumber) OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber) AS prev
+      FROM kept
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_broken_orders,
+           CAST(sum(l_linenumber - prev - 1) AS BIGINT) AS n_missing
+    FROM g WHERE prev IS NOT NULL AND l_linenumber - prev > 1
+    """,
+    "sequence-gap detection (the reference's acknowledged feed-gap "
+    "problem, README.md:137-138): after dropping returned lines, find "
+    "orders whose line-number sequence has holes via lag diff > 1 — "
+    "the data-quality audit for stop_sequence continuity, one window "
+    "shuffle + scalar aggregate",
+)
+def b32_sequence_gap_detection(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") != "R").select("l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    g = li.withColumn("prev", F.lag("l_linenumber").over(w))
+    gaps = g.filter(F.col("prev").isNotNull()
+                    & (F.col("l_linenumber") - F.col("prev") > 1))
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_broken_orders"),
+        F.sum(F.col("l_linenumber") - F.col("prev") - 1).cast("long")
+        .alias("n_missing"))

@@ -180,6 +180,23 @@ def test_exists_subquery_rewrites_to_semi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_sessionization_is_single_shuffle(spark):
+    # lag + running-sum + per-session aggregate must all ride ONE
+    # user_id exchange: the windows share the partitioning and the
+    # groupBy is a child of it.
+    p = _plan(spark, "b29_sessionization")
+    ids = {l.strip().split()[0] for l in p.splitlines()
+           if l.strip().startswith("(") and "Exchange" in l
+           and "Reused" not in l}
+    assert len(ids) <= 1, f"sessionization shuffles {len(ids)}x:\n{p[:1200]}"
+
+
+def test_q10_topk_is_take_ordered(spark):
+    p = _plan(spark, "q10_returned_item_revenue")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
 def test_not_exists_rewrites_to_anti_join(spark):
     # Q22's NOT EXISTS must become a left-anti join and its scalar
     # threshold subquery must execute once (uncorrelated), not per row.

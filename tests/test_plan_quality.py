@@ -223,3 +223,40 @@ def test_scalar_subquery_is_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in p
     # the decorrelated aggregate joins on the correlation key
     assert p.count("HashAggregate") >= 2  # avg-per-part + final group-by
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark):
+    # Q21's EXISTS/NOT EXISTS pair must become one semi and one anti
+    # join on l_orderkey — a per-row probe or cartesian would be
+    # quadratic in order size at 100 TB.
+    p = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in p, "EXISTS did not become a semi join"
+    assert "LeftAnti" in p, "NOT EXISTS did not become an anti join"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q20_nested_in_rewrites_to_semi_joins(spark):
+    # Three nested INs (supplier IN -> part IN -> correlated scalar)
+    # must all decorrelate: semi joins + an aggregate joined back,
+    # never a row-at-a-time subquery.
+    p = _plan(spark, "q20_excess_inventory")
+    assert p.count("LeftSemi") >= 2, "nested INs not rewritten to semi joins"
+    assert "CartesianProduct" not in p
+
+
+def test_q02_correlated_min_is_decorrelated(spark):
+    # The correlated MIN-over-join subquery must run as one per-part
+    # aggregate joined back on (partkey, cost) — no nested-loop probe.
+    p = _plan(spark, "q02_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "min(" in p, "decorrelated aggregate missing from plan"
+
+
+def test_q15_max_join_back_is_broadcast(spark):
+    # The scalar-max side is one row: it must come back as a broadcast
+    # join against the revenue view, not a sort-merge or a window.
+    p = _plan(spark, "q15_top_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p, "Q15 should not pay a window for a scalar max"

@@ -439,3 +439,45 @@ def test_kmeans_ivf_full_probe_equals_brute_force(spark):
         emb, qv, n_cents=8, n_probe=2, k=20, payload=["vec_id"],
         centroids=cents).collect()}
     assert len(iv2 & bf) / len(bf) > 0.0
+
+
+# ---------------------------------------------------------------------
+# connected components (operators.components)
+# ---------------------------------------------------------------------
+
+def test_connected_components_chain_and_clique(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        connected_components)
+    # chain 1-2-3-4-5 (diameter 4: needs real iteration, not just the
+    # min-neighbor seed), clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)], "d1 int, d2 int")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_label_is_global_min_not_neighbor_min(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        connected_components)
+    # star with the min id at a leaf: 7-3, 7-9, 7-1 -> all label 1,
+    # which only propagates through the hub (two hops for 3 and 9)
+    edges = spark.createDataFrame([(7, 3), (7, 9), (7, 1)],
+                                  "d1 int, d2 int")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 3: 1, 7: 1, 9: 1}
+
+
+def test_dedup_keep_canonical_keeps_min_and_unpaired(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        dedup_keep_canonical)
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 50)], "doc_id int, text string")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "d1 int, d2 int")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_keep_canonical(docs, edges).collect())
+    assert kept == [1, 50]

@@ -1,0 +1,77 @@
+"""Connected components over a near-duplicate pair graph.
+
+Near-dup detection (MinHash/SimHash/Jaccard — operators.dedup) emits
+PAIRS; curation needs GROUPS ("keep one doc per component").  This
+closes that gap with iterative min-label propagation, the standard
+distributed CC algorithm (GraphX/Pregel style; see also the
+large-star/small-star variant of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14, which bounds rounds by
+O(log^2 n) on adversarial graphs).
+
+Scale design (100 TB):
+- Each round is ONE shuffle: propagate labels across edges
+  (join on the neighbor key) then min-reduce per node.  No
+  collect(), no driver-side graph.
+- Rounds needed = graph diameter.  Near-dup components are
+  overwhelmingly small cliques/chains (diameter 1-3), so 3-5 rounds
+  converge in practice; `max_iter` caps pathological inputs and the
+  convergence check is a cheap count on CHANGED labels only.
+- `localCheckpoint` each round truncates the lineage so the plan
+  does not grow quadratically with iterations (the classic iterative-
+  Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "d1",
+                         dst: str = "d2", max_iter: int = 20,
+                         checkpoint: bool = True) -> DataFrame:
+    """Label each node of the undirected pair graph with the MINIMUM
+    node id reachable from it (the canonical component id).
+
+    Returns (node, component) for every node that appears in at least
+    one edge.  Deterministic: min-label is order-independent.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    # Start from the cheapest admissible labelling: min(self, direct
+    # neighbors).  Saves one full propagation round.
+    labels = (sym.groupBy("a")
+              .agg(F.least(F.first("a"), F.min("b")).alias("component"))
+              .withColumnRenamed("a", "node"))
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate for node a: the label of each neighbor b
+        cand = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "component"))
+        new_labels = (labels.unionByName(cand)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component")))
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(docs: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level near-dup removal: keep exactly one document per
+    connected component (the minimum id — the component label itself)
+    plus every document that appears in no near-dup pair."""
+    comp = connected_components(edges)
+    losers = (comp.filter(F.col("node") != F.col("component"))
+              .select(F.col("node").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,96 @@
+"""Graph-shaped curation queries: near-duplicate components and
+component-level dedup.  The edge set is the c08 exact n-gram Jaccard
+pair graph (threshold 0.5), so both engines derive identical edges;
+the DuckDB oracle closes it with WITH RECURSIVE while Spark runs the
+distributed min-label propagation from operators.components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.operators.components import (
+    connected_components, dedup_keep_canonical)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_shingles, _duck_toks, _spread)
+
+_EDGES_SQL = f"""
+      t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+      sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+      edges AS (
+        SELECT d1, d2 FROM common
+          JOIN sizes x ON x.doc_id = d1
+          JOIN sizes y ON y.doc_id = d2
+        WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5),
+      sym AS (SELECT d1 AS a, d2 AS b FROM edges
+              UNION ALL
+              SELECT d2, d1 FROM edges),
+      reach AS (
+        SELECT a AS node, a AS r FROM sym
+        UNION
+        SELECT s.a, r.r FROM reach r JOIN sym s ON s.b = r.node)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.5)
+            .select("d1", "d2"))
+
+
+@_register(
+    "c19_dup_components",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL}
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+    "LLM-curation: connected components over the near-dup pair graph "
+    "(c08 Jaccard>=0.5 edges) via distributed min-label propagation — "
+    "one shuffle per round, rounds = component diameter (1-3 for dup "
+    "clusters), lineage checkpointed per round.  The oracle computes "
+    "the same closure with a recursive CTE.  Turns pairwise dedup "
+    "output into keep-one-per-group decisions",
+)
+def c19_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = connected_components(_edges(spark, sf_dir))
+    return comp.select(F.col("node").cast("long").alias("doc_id"),
+                       F.col("component").cast("long")
+                       .alias("component_id"))
+
+
+@_register(
+    "c19b_component_dedup",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component_id)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    GROUP BY lang
+    """,
+    "LLM-curation: corpus after component-level dedup — keep the "
+    "canonical (min-id) doc per near-dup component plus all "
+    "unpaired docs; per-language survivor counts.  The loser set is "
+    "tiny relative to the corpus, so the final filter is a broadcast "
+    "anti join against 100 TB of documents",
+)
+def c19b_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    kept = dedup_keep_canonical(docs, _edges(spark, sf_dir))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.length("text").cast("long")).cast("long")
+                 .alias("total_chars")))

@@ -260,3 +260,45 @@ def test_q15_max_join_back_is_broadcast(spark):
     p = _plan(spark, "q15_top_supplier")
     assert "BroadcastHashJoin" in p
     assert "Window" not in p, "Q15 should not pay a window for a scalar max"
+
+
+def test_b33_funnel_is_single_fact_shuffle(spark):
+    # The funnel must not walk the fact three times: one per-user hash
+    # agg (conditional collects + HOFs) and the final scalar reduce.
+    p = _plan(spark, "b33_funnel_analysis")
+    n_hash = sum(1 for l in p.splitlines()
+                 if "Arguments: hashpartitioning" in l)
+    assert n_hash == 1, f"funnel shuffles the fact {n_hash} times:\n{p}"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    # At 100 TB a filtered dim often exceeds the broadcast threshold;
+    # the scale-correct plan then bloom-filters the fact scan from the
+    # dim's join keys (row-level runtime filtering) instead of
+    # shuffling every fact row into the join.  Simulate the too-big
+    # dim by disabling auto-broadcast and assert Spark injects
+    # might_contain on the fact side.
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter"
+                       ".applicationSideScanSizeThreshold", "1b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        pa = (spark.read.parquet(f"{SF_ORACLE}/part.parquet")
+              .filter(F.col("p_type") == "PROMO"))
+        j = (li.join(pa, li.l_partkey == pa.p_partkey)
+             .groupBy("p_brand").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1938,3 +1938,93 @@ def b32_sequence_gap_detection(spark: SparkSession, sf_dir: str
         F.countDistinct("l_orderkey").cast("long").alias("n_broken_orders"),
         F.sum(F.col("l_linenumber") - F.col("prev") - 1).cast("long")
         .alias("n_missing"))
+
+
+@_register(
+    "b33_funnel_analysis",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+                             AND e.ts >= v.t_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+                             AND e.ts >= c.t_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    "funnel analysis: users reaching view -> click-after-view -> "
+    "purchase-after-click.  The oracle walks the funnel with three "
+    "aggregate+join passes; Spark does it in ONE shuffle — per-user "
+    "conditional min (first view) plus sorted conditional collects, "
+    "then array HOFs pick the first click >= first view and the first "
+    "purchase >= that click.  Per-user event lists are bounded, so "
+    "the collect is safe at 100 TB and saves two fact shuffles",
+)
+def b33_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = (ev.filter(F.col("event_type")
+                          .isin("view", "click", "purchase"))
+                .groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("ts"))).alias("t_view"),
+                     F.sort_array(F.collect_list(
+                         F.when(F.col("event_type") == "click",
+                                F.col("ts")))).alias("clicks"),
+                     F.sort_array(F.collect_list(
+                         F.when(F.col("event_type") == "purchase",
+                                F.col("ts")))).alias("purchases")))
+    t_click = F.array_min(F.filter(
+        "clicks", lambda t: t >= F.col("t_view")))
+    stages = (per_user
+              .withColumn("t_click", t_click)
+              .withColumn("t_purchase", F.array_min(F.filter(
+                  "purchases", lambda t: t >= F.col("t_click")))))
+    return stages.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count(F.when(F.col("t_view").isNotNull(),
+                       F.col("t_click"))).cast("long")
+        .alias("n_view_click"),
+        F.count(F.when(F.col("t_view").isNotNull(),
+                       F.col("t_purchase"))).cast("long")
+        .alias("n_view_click_purchase"))
+
+
+@_register(
+    "c20_label_centroids",
+    """
+    SELECT label, CAST(i AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                AS DOUBLE) / count(*) AS mean_q
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, i
+    """,
+    "LLM-curation: per-label embedding centroid (the class-prototype "
+    "vector behind nearest-centroid classification and IVF training). "
+    "Elements are quantized per-row (floor(x*1e6) — floor is "
+    "tie-free, unlike round) so per-dimension sums are exact BIGINTs "
+    "at any aggregation order; the mean divides two exact ints in "
+    "DOUBLE.  Spark: posexplode -> (label, dim) hash agg with "
+    "map-side partial combine — the canonical distributed shape for "
+    "64-dim x N-vector mean pooling",
+)
+def c20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"))
+    return (q.select("label", (F.col("pos") + 1).cast("long").alias("dim"),
+                     F.floor(F.col("x").cast("double") * 1000000)
+                     .cast("long").alias("xq"))
+            .groupBy("label", "dim")
+            .agg(F.sum("xq").cast("long").alias("sum_q"),
+                 F.count("*").cast("long").alias("n_vecs"))
+            .withColumn("mean_q",
+                        F.col("sum_q").cast("double") / F.col("n_vecs")))

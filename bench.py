@@ -38,6 +38,11 @@ HEADLINE = [
     "q06_forecast_revenue",  # TPC-H Q6 scan-filter-agg
     "c09_ivf_ann",          # bucketed approximate NN
     "c05b_image_features",  # Arrow mapInPandas decode path
+    "q07_volume_shipping",  # two-fact join + nation-pair disjunction
+    "q21_waiting_supplier",  # correlated EXISTS + NOT EXISTS pair
+    "b33_funnel_analysis",  # single-shuffle funnel (HOF form)
+    "c19_dup_components",   # iterative connected components
+    "c20_label_centroids",  # exploded exact centroid agg
 ]
 
 

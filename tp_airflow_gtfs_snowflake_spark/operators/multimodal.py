@@ -7,9 +7,10 @@ Decode paths:
   for pixels) — used by the oracle-checked registry queries, since the
   driver's synthetic payloads are not real images.
 - `fake=False`: a REAL decoder.  The container has no codec libraries,
-  so the built-in real paths are pure-Python: an uncompressed-BMP
-  decoder for images (public BITMAPINFOHEADER layout: header parse,
-  bottom-up / top-down row order, 8/24/32 bpp, row padding) and a PCM
+  so the built-in real paths are pure-Python: uncompressed-BMP and
+  PNG decoders for images (BMP: public BITMAPINFOHEADER layout,
+  bottom-up / top-down row order, 8/24/32 bpp, row padding; PNG:
+  chunk walk + stdlib-zlib inflate + all five spec filters) and a PCM
   WAV decoder for audio (RIFF chunk walk, 8/16-bit, multi-channel,
   integer-exact amplitude stats).  Other formats raise
   NotImplementedError at task time until PIL/ffmpeg is plugged in.
@@ -130,15 +131,107 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     return width, h, channels, _hist_ppm(pixels)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, channels: int,
+                  height: int) -> bytearray:
+    """Reverse the per-row PNG filters (spec section 9: None/Sub/Up/
+    Average/Paeth).  `raw` is the inflated IDAT stream: height rows of
+    (1 filter byte + width*channels sample bytes)."""
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(height * stride)
+    prev_start = -1
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
+        cur = r * stride
+        for i in range(stride):
+            a = out[cur + i - channels] if i >= channels else 0
+            b = out[prev_start + i] if prev_start >= 0 else 0
+            c = (out[prev_start + i - channels]
+                 if prev_start >= 0 and i >= channels else 0)
+            x = row[i]
+            if ftype == 0:
+                v = x
+            elif ftype == 1:      # Sub
+                v = (x + a) & 0xFF
+            elif ftype == 2:      # Up
+                v = (x + b) & 0xFF
+            elif ftype == 3:      # Average
+                v = (x + (a + b) // 2) & 0xFF
+            elif ftype == 4:      # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                v = (x + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[cur + i] = v
+        prev_start = cur
+    return out
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-Python PNG decode (public spec: chunk walk, zlib inflate,
+    per-row unfilter) -> (width, height, channels, 8-bin pixel
+    histogram in ppm).  Supports bit depth 8, color types
+    gray/RGB/gray+alpha/RGBA, no interlace; palette (3) and Adam7
+    raise.  zlib is stdlib, so unlike JPEG this needs no external
+    codec."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    width = height = channels = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        cid = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if cid == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={bit_depth}, "
+                    f"color_type={color_type})")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace unsupported")
+            channels = _PNG_CHANNELS[color_type]
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + ln  # length + id + body + CRC
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, channels,
+                           height)
+    return width, height, channels, _hist_ppm(pixels)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Dispatch on magic bytes.  BMP decodes natively; other formats
-    need a codec library this container doesn't ship."""
+    """Dispatch on magic bytes.  BMP and PNG decode natively (PNG via
+    stdlib zlib); other formats need a codec library this container
+    doesn't ship."""
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:8] == _PNG_SIG:
+        return _png_decode(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decode is built in (no codec libraries "
-        "in this container); plug PIL/torchvision in _real_decode for "
-        "JPEG/PNG/WebP")
+        "built-in real decodes: uncompressed BMP and PNG (8-bit, "
+        "non-interlaced).  Plug PIL/torchvision in _real_decode for "
+        "JPEG/WebP")
 
 
 def _wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int]:

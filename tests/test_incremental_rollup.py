@@ -1,0 +1,65 @@
+"""Incremental rollup maintenance: only touched date partitions are
+recomputed, late data merges with history, untouched partition files
+are not rewritten."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.operators.incremental import (
+    incremental_rollup_refresh)
+
+
+def _build(df):
+    return (df.groupBy("event_date", "route")
+            .agg(F.count("*").alias("n"),
+                 F.sum("delay").alias("total_delay")))
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_date date, route string, delay long, insert_date timestamp")
+
+
+def _d(day):
+    return dt.date(2026, 8, day)
+
+
+def _t(h):
+    return dt.datetime(2026, 8, 10, h)
+
+
+def test_rollup_refresh_initial_and_incremental(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    fact = [(_d(1), "r1", 5, _t(1)), (_d(1), "r2", 7, _t(1)),
+            (_d(2), "r1", 3, _t(2)), (_d(3), "r1", 1, _t(3))]
+    src = _rows(spark, fact)
+    assert incremental_rollup_refresh(
+        spark, src, path, _build) == [_d(1), _d(2), _d(3)]
+
+    # no new data -> no partitions refreshed, no writes
+    assert incremental_rollup_refresh(spark, src, path, _build) == []
+
+    # late row lands in day 2 + a brand-new day 4, both with newer
+    # ingest stamps; day-1/day-3 partition files must not be rewritten
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{path}/event_date=2026-08-0[13]/*.parquet")}
+    fact += [(_d(2), "r2", 10, _t(4)), (_d(4), "r1", 2, _t(4))]
+    src2 = _rows(spark, fact)
+    assert incremental_rollup_refresh(
+        spark, src2, path, _build) == [_d(2), _d(4)]
+
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{path}/event_date=2026-08-0[13]/*.parquet")}
+    assert before == after, "untouched partitions were rewritten"
+
+    # rollup must equal the from-scratch recompute (late data merged)
+    got = {(r["event_date"], r["route"]): (r["n"], r["total_delay"])
+           for r in spark.read.parquet(path).collect()}
+    want = {(r["event_date"], r["route"]): (r["n"], r["total_delay"])
+            for r in _build(src2).collect()}
+    assert got == want

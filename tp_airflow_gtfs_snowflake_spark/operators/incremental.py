@@ -71,3 +71,61 @@ def incremental_append(
         # bronze-ingest recency, not silver-load recency.
         wh.append(dst_layer, dst_name, out, stamp_insert_date=False)
     return n
+
+
+def incremental_rollup_refresh(
+    spark,
+    src: DataFrame,
+    rollup_path: str,
+    build: Callable[[DataFrame], DataFrame],
+    *,
+    date_col: str = "event_date",
+    watermark_col: str = "insert_date",
+) -> list:
+    """Maintain a date-partitioned materialized rollup incrementally:
+    recompute ONLY the partitions touched since the last refresh.
+
+    The continuous-aggregate maintenance pattern (TimescaleDB calls it
+    a hypertable rollup; Snowflake sells it as dynamic tables): at
+    100 TB you cannot re-aggregate years of history because one late
+    row arrived — you re-aggregate the one day it landed in.
+
+    Mechanics per refresh:
+    1. watermark = MAX(rollup_watermark) over the rollup (parquet
+       footer stats, no full scan; EPOCH_FLOOR on first build);
+    2. touched = DISTINCT date_col of source rows with
+       watermark_col > watermark — a days-count-bounded list, safe to
+       collect (same contract as the scalar watermark read);
+    3. re-aggregate src WHERE date_col IN touched — ALL rows of those
+       dates, so late data merges with history correctly (pruned scan:
+       the IN list prunes partitions when src is date-partitioned);
+    4. dynamic-partition-overwrite exactly those rollup directories.
+
+    `build` is the rollup query (groupBy including date_col); the
+    operator stamps each partition with rollup_watermark = MAX
+    incoming watermark so refreshes compose.  Correctness requires
+    watermark_col to be monotonic over arrival order (an ingest stamp,
+    not an event time) — same contract as incremental_append.
+
+    Returns the sorted list of refreshed date partitions.
+    """
+    try:
+        existing = spark.read.parquet(rollup_path)
+        wm = existing.agg(F.max("rollup_watermark").alias("wm")) \
+            .collect()[0]["wm"] or EPOCH_FLOOR
+    except Exception:
+        wm = EPOCH_FLOOR
+    fresh = src.filter(F.col(watermark_col) > F.lit(wm))
+    touched = sorted(r[0] for r in
+                     fresh.select(date_col).distinct().collect())
+    if not touched:
+        return []
+    sliced = src.filter(F.col(date_col).isin(touched))
+    wm_per_date = sliced.groupBy(date_col).agg(
+        F.max(watermark_col).alias("rollup_watermark"))
+    out = build(sliced).join(F.broadcast(wm_per_date), date_col)
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(date_col)
+     .parquet(rollup_path))
+    return touched

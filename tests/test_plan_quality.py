@@ -302,3 +302,39 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_range_layout_files_are_disjoint_and_skipped(spark, tmp_path):
+    # write_range_layout must produce files with disjoint sort-key
+    # ranges (tight min/max footer stats) so a selective range filter
+    # reads a fraction of the files — row-group skipping is the only
+    # thing standing between a point query and a 100 TB scan.
+    import pyarrow.parquet as pq
+    from tp_airflow_gtfs_snowflake_spark.catalog import write_range_layout
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    path = str(tmp_path / "li_ranged")
+    write_range_layout(li, path, sort_col="l_shipdate", n_ranges=8)
+
+    import glob
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    # and the filter actually prunes: a one-range predicate must scan
+    # fewer rows than the table holds
+    ranged = spark.read.parquet(path)
+    lo, hi = spans[0]
+    got = ranged.filter(F.col("l_shipdate") <= F.lit(lo)).count()
+    total = ranged.count()
+    assert got < total

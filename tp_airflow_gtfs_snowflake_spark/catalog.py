@@ -180,3 +180,23 @@ def write_bucketed(df: DataFrame, table_name: str, *, bucket_col: str,
     if sorted_within:
         writer = writer.sortBy(bucket_col)
     writer.format("parquet").mode("overwrite").saveAsTable(table_name)
+
+
+def write_range_layout(df: DataFrame, path: str, *, sort_col: str,
+                       n_ranges: int = 32,
+                       extra_sort: list[str] | None = None) -> None:
+    """Materialize df range-partitioned AND sorted on `sort_col`:
+    `repartitionByRange` (one sampled range shuffle) then
+    `sortWithinPartitions`, so every output file covers a disjoint
+    key range with tight parquet min/max footer stats.
+
+    This is the data-layout half of scan performance at 100 TB: a
+    later `WHERE sort_col BETWEEN a AND b` skips every row group whose
+    stats miss the range — the engine-agnostic equivalent of
+    clustering keys / Z-ordering on a single dimension.  Unlike
+    write_bucketed this is pure path-based parquet: any reader gets
+    the skipping for free from footer stats, no catalog needed.
+    """
+    out = df.repartitionByRange(n_ranges, F.col(sort_col))
+    out = out.sortWithinPartitions(sort_col, *(extra_sort or []))
+    out.write.mode("overwrite").parquet(path)

@@ -338,3 +338,45 @@ def test_range_layout_files_are_disjoint_and_skipped(spark, tmp_path):
     got = ranged.filter(F.col("l_shipdate") <= F.lit(lo)).count()
     total = ranged.count()
     assert got < total
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # One hot key (90% of rows) would pin a single reducer for hours at
+    # 100 TB.  With AQE skew handling on (session default), the final
+    # adaptive plan must mark the join skew-split — the runtime remedy
+    # that complements operators/skew.salted_join's write-side one.
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        # scale the skew thresholds down to test-corpus bytes and take
+        # broadcast off the table so the join actually shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.skewJoin"
+                       ".skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        left = (spark.range(0, 200000)
+                .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(0))
+                            .otherwise(F.col("id") % 1000))
+                .withColumn("pad", F.concat(F.lit("x" * 32),
+                                            F.col("id").cast("string"))))
+        right = (spark.range(0, 1000).withColumnRenamed("id", "k")
+                 .withColumn("v", F.col("k") * 2))
+        df = left.join(right, "k").select("k", "v")
+        df.collect()  # finalize THIS adaptive plan (count() wraps a new one)
+        p = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, f"AQE did not split the hot key:\n{p[:1200]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -129,3 +129,63 @@ def incremental_rollup_refresh(
      .partitionBy(date_col)
      .parquet(rollup_path))
     return touched
+
+
+def merge_upsert(
+    spark,
+    updates: DataFrame,
+    table_path: str,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    partition_col: str | None = None,
+) -> int:
+    """Latest-wins keyed MERGE into a path-based parquet table (the
+    UPDATE-by-key half the append-only loaders can't express — what
+    MERGE INTO does on a transactional table format, built from
+    primitives so it needs none).
+
+    Rows with the same key collapse to the one with the highest
+    `order_col` (use an ingest stamp; it must be unique per key for
+    the winner to be well-defined).  With `partition_col` set, only
+    partitions present in `updates` are read and rewritten (dynamic
+    partition overwrite) — at 100 TB a trickle of updates rewrites
+    the handful of dates it touches, never the table.  The merge
+    itself is one hash aggregation on the keys: max_by(payload,
+    order) — no window sort.
+
+    NOT atomic across concurrent writers (parquet has no transaction
+    log); single-writer-per-table is the operating contract, same as
+    the reference's serialized loader DAGs.  Returns the number of
+    rows written.
+    """
+    try:
+        existing = spark.read.parquet(table_path)
+        first_build = False
+    except Exception:
+        existing = None
+        first_build = True
+
+    if partition_col and not first_build:
+        touched = [r[0] for r in
+                   updates.select(partition_col).distinct().collect()]
+        existing = existing.filter(F.col(partition_col).isin(touched))
+
+    combined = updates if first_build \
+        else existing.unionByName(updates)
+    payload = [c for c in combined.columns if c not in key_cols]
+    merged = (combined.groupBy(*key_cols)
+              .agg(F.max_by(F.struct(*payload), F.col(order_col))
+                   .alias("_p"))
+              .select(*key_cols, "_p.*"))
+    n = merged.count()
+
+    writer = merged.write
+    if partition_col:
+        writer = (writer.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy(partition_col))
+    else:
+        writer = writer.mode("overwrite")
+    writer.parquet(table_path)
+    return n

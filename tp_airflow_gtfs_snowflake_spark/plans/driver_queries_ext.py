@@ -2028,3 +2028,46 @@ def c20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").cast("long").alias("n_vecs"))
             .withColumn("mean_q",
                         F.col("sum_q").cast("double") / F.col("n_vecs")))
+
+
+@_register(
+    "b34_moving_range_window",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_no,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS day_rev
+      FROM orders GROUP BY 1, 2)
+    SELECT pri, day_no,
+           CAST(CAST(sum(day_rev) OVER w7 AS DECIMAL(38,2)) AS DOUBLE)
+             AS rev_7d,
+           CAST(count(*) OVER w7 AS BIGINT) AS n_days_7d
+    FROM d
+    WINDOW w7 AS (PARTITION BY pri ORDER BY day_no
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "moving RANGE-frame window: 7-day trailing revenue per priority "
+    "class over a daily pre-aggregate.  RANGE frames bound by the "
+    "ORDER-BY VALUE (calendar days, including absent ones) — ROWS "
+    "frames can't express this over sparse days.  The pre-aggregate "
+    "collapses the fact before the window, so the window sort touches "
+    "days x groups rows, not raw orders; one shuffle serves both the "
+    "daily agg and the frame",
+)
+def b34_moving_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long").alias("day_no"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").alias("day_rev")))
+    w7 = (W.partitionBy("pri").orderBy("day_no").rangeBetween(-6, 0))
+    return daily.select(
+        "pri", "day_no",
+        F.sum("day_rev").over(w7).cast("decimal(38,2)").cast("double")
+        .alias("rev_7d"),
+        F.count("*").over(w7).cast("long").alias("n_days_7d"))

@@ -2071,3 +2071,64 @@ def b34_moving_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_rev").over(w7).cast("decimal(38,2)").cast("double")
         .alias("rev_7d"),
         F.count("*").over(w7).cast("long").alias("n_days_7d"))
+
+
+@_register(
+    "b35_gap_fill_forward",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_no,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+      GROUP BY 1, 2),
+    bounds AS (SELECT min(day_no) AS lo, max(day_no) AS hi FROM d),
+    spine AS (
+      SELECT pri, gs.day_no
+      FROM (SELECT DISTINCT pri FROM d),
+           (SELECT unnest(generate_series(lo, hi)) AS day_no
+            FROM bounds) gs),
+    joined AS (
+      SELECT s.pri, s.day_no, d.n_orders
+      FROM spine s LEFT JOIN d ON s.pri = d.pri AND s.day_no = d.day_no)
+    SELECT pri, day_no,
+           CAST(coalesce(last_value(n_orders IGNORE NULLS) OVER (
+                  PARTITION BY pri ORDER BY day_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS BIGINT) AS n_orders_filled,
+           n_orders IS NULL AS was_gap
+    FROM joined
+    """,
+    "time-series gap fill: dense calendar spine (sequence/explode "
+    "cross the group dim) left-joined to sparse daily aggregates, "
+    "missing days forward-filled with last_value IGNORE NULLS.  The "
+    "spine is generated, never scanned; the fill is one window over "
+    "the same (pri) shuffle the join needs.  The canonical shape for "
+    "regularizing sensor/feed cadence before downstream windows",
+)
+def b35_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-03-01")))
+    d = (o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long").alias("day_no"))
+        .agg(F.count("*").cast("long").alias("n_orders")))
+    bounds = d.agg(F.min("day_no").alias("lo"), F.max("day_no").alias("hi"))
+    spine = (d.select("pri").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("pri", F.explode(F.sequence("lo", "hi"))
+                     .alias("day_no")))
+    joined = spine.join(d, ["pri", "day_no"], "left")
+    w = (W.partitionBy("pri").orderBy("day_no")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return joined.select(
+        "pri", "day_no",
+        F.coalesce(F.last("n_orders", ignorenulls=True).over(w),
+                   F.lit(0)).cast("long").alias("n_orders_filled"),
+        F.col("n_orders").isNull().alias("was_gap"))

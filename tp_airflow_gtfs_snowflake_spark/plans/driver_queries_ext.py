@@ -2132,3 +2132,92 @@ def b35_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last("n_orders", ignorenulls=True).over(w),
                    F.lit(0)).cast("long").alias("n_orders_filled"),
         F.col("n_orders").isNull().alias("was_gap"))
+
+
+@_register(
+    "c21_doc_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+    starts AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0,
+                    CAST(greatest(ceil((n_tok - 8) / 24.0) - 1, 0)
+                         AS BIGINT))) AS chunk_idx
+      FROM n WHERE n_tok > 0)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32])
+                AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_idx * 24 + 1 :
+                                chunk_idx * 24 + 32], ' ') AS chunk_text
+    FROM starts
+    """,
+    "LLM-curation: overlapping token-window chunking (32-token "
+    "chunks, 8-token overlap, stride 24) — the context-window "
+    "splitter every training pipeline runs before tokenization.  "
+    "tokens -> per-doc start-index sequence -> explode -> slice; "
+    "narrow except the explode (output rows ~ tokens/stride), no "
+    "shuffle at all — scales as a pure map over 100 TB of text",
+)
+def c21_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("toks"))
+    n = toks.withColumn("n_tok", F.size("toks")).filter(F.col("n_tok") > 0)
+    starts = n.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil((F.col("n_tok") - 8) / 24.0) - 1,
+                       F.lit(0)).cast("long"))).alias("chunk_idx"))
+    chunk = F.slice("toks", F.col("chunk_idx").cast("int") * 24 + 1, 32)
+    return starts.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+@_register(
+    "c22_sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, lang, len({_duck_toks()}) AS n_tok
+               FROM documents),
+    runs AS (
+      SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS cum_before
+      FROM t)
+    SELECT lang, CAST(cum_before // 256 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM runs GROUP BY lang, batch_id
+    """,
+    "LLM-curation: contiguous sequence packing — docs in stable "
+    "doc_id order fill 256-token training batches per language "
+    "(batch = running-token-count-before DIV budget; deterministic, "
+    "engine-exact integer arithmetic).  The window cumsum runs per "
+    "LANGUAGE partition: at 100 TB the partition key is the shard "
+    "key, so no global sort exists anywhere.  One shuffle serves "
+    "cumsum and the batch rollup",
+)
+def c22_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+        .cast("long").alias("n_tok"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    runs = t.withColumn("cum_before",
+                        F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (runs.withColumn("batch_id",
+                            F.expr("cum_before div 256").cast("long"))
+            .groupBy("lang", "batch_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc")))

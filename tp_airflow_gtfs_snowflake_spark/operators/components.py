@@ -39,6 +39,13 @@ def connected_components(edges: DataFrame, src: str = "d1",
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
+    # The edge set is re-joined EVERY round; without a materialization
+    # here each iteration would recompute the whole upstream pair
+    # derivation (shingle explode + LSH + verify join — the expensive
+    # part of near-dup edges) from scratch.  One checkpoint makes every
+    # round read a compact (a, b) table instead.
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
     # Start from the cheapest admissible labelling: min(self, direct
     # neighbors).  Saves one full propagation round.
     labels = (sym.groupBy("a")

@@ -1,0 +1,293 @@
+"""Second training-data-curation batch + interval-overlap join.
+
+- c23: Gopher-style document quality rules (Rae et al. 2021, table A1
+  — public paper) re-expressed as engine-exact integer arithmetic.
+- c24: repetition metrics (dup-word / top-bigram fractions) — the
+  "repetitious document" filter every pretraining pipeline runs.
+- b36: interval x interval OVERLAP join via grid bucketing (b15 covers
+  point-in-broadcast-range; this is the general two-sided case where
+  NEITHER side fits in a broadcast and a nested-loop join would be
+  O(n*m)).
+- c25: signed-random-projection (SRP/hyperplane) LSH for cosine
+  near-dup — the embedding-space sibling of MinHash (Charikar STOC'02);
+  complements c10's IVF-cell blocking with a probe-free banded join.
+
+Engine-parity conventions follow driver_queries: BIGINT casts on int
+outputs, ppm integer ratios instead of float division, 6dp rounding
+before any float comparison, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine, dot
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_toks, _spread)
+
+_STOPS = ("the", "a", "of", "and", "in")
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _STOPS)
+
+
+@_register(
+    "c23_gopher_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    m AS (SELECT doc_id, len(toks) AS n_words,
+                 list_sum(list_transform(toks, w -> length(w))) AS sum_wlen,
+                 len(list_filter(toks,
+                     w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+                 len(list_filter(toks, w -> w IN ({_STOPS_SQL}))) AS n_stop
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_wlen * 1000000 // n_words AS BIGINT) AS mean_wlen_ppm,
+           CAST(n_alpha * 1000000 // n_words AS BIGINT) AS alpha_ppm,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND sum_wlen * 1000000 // n_words BETWEEN 3000000 AND 10000000
+            AND n_alpha * 1000000 // n_words >= 800000
+            AND n_stop >= 2) AS keep
+    FROM m
+    """,
+    "LLM-curation: Gopher quality rules (word-count bounds, mean word "
+    "length 3-10, >=80% alphabetic words, >=2 stopwords) as integer-"
+    "ppm arithmetic — a pure narrow map, no shuffle, trivially "
+    "100 TB-parallel; the keep flag is the pretraining drop decision",
+)
+def c23_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.aggregate(F.transform(toks, lambda w: F.length(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_wlen"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda w: w.isin(*_STOPS))).alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    mean_ppm = F.expr("sum_wlen * 1000000 div n_words")
+    alpha_ppm = F.expr("n_alpha * 1000000 div n_words")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        mean_ppm.cast("long").alias("mean_wlen_ppm"),
+        alpha_ppm.cast("long").alias("alpha_ppm"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        (F.col("n_words").between(50, 100000)
+         & mean_ppm.between(3000000, 10000000)
+         & (alpha_ppm >= 800000)
+         & (F.col("n_stop") >= 2)).alias("keep"),
+    )
+
+
+@_register(
+    "c24_repetition_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+          FROM t WHERE len(toks) >= 2)
+    SELECT doc_id,
+           CAST((len(toks) - len(list_distinct(toks))) * 1000000
+                // len(toks) AS BIGINT) AS dup_word_ppm,
+           CAST(list_max(list_transform(bgs,
+                  b1 -> len(list_filter(bgs, b2 -> b2 = b1)))) * 1000000
+                // len(bgs) AS BIGINT) AS top_bigram_ppm
+    FROM b
+    """,
+    "LLM-curation: repetition filter — duplicate-word fraction and "
+    "most-frequent-bigram fraction (ppm).  Spark computes the top "
+    "bigram as a max-run fold over the SORTED per-row bigram array: "
+    "zero shuffle, no per-doc groupBy — the whole metric is a narrow "
+    "map (the oracle uses the O(b^2) spec form; the fold is the "
+    "scale form).  At 100 TB this filter costs one pass over text",
+)
+def c24_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    b = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.array_sort(F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y))).alias("bgs"),
+    ).filter(F.size("toks") >= 2)
+    # Max run length in the sorted bigram list == count of the most
+    # frequent bigram; one fold, no explode/groupBy.
+    top = F.aggregate(
+        F.col("bgs"),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+             .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                 .otherwise(F.lit(1).cast("long"))).alias("best")),
+        lambda acc: acc["best"])
+    return b.select(
+        "doc_id",
+        F.expr("(size(toks) - size(array_distinct(toks))) * 1000000"
+               " div size(toks)").cast("long").alias("dup_word_ppm"),
+        (top * 1000000).cast("long")
+        .__div__(F.size("bgs")).cast("long").alias("top_bigram_ppm"),
+    )
+
+
+@_register(
+    "b36_interval_overlap_join",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate,
+             CAST(l_shipdate + (CAST(l_quantity AS INTEGER) % 14 + 1)
+                  * INTERVAL 1 DAY AS DATE) AS l_receiptdate
+      FROM lineitem WHERE l_quantity = 50),
+    promo AS (
+      SELECT o_orderkey, o_orderdate AS p_start,
+             o_orderdate + INTERVAL 6 DAY AS p_end
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND year(o_orderdate) = 1995)
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(min(date_diff('day', DATE '1970-01-01', l_shipdate))
+                AS BIGINT) AS first_ship_day,
+           CAST(max(date_diff('day', DATE '1970-01-01', l_receiptdate))
+                AS BIGINT) AS last_receipt_day
+    FROM promo JOIN ship
+      ON l_shipdate <= p_end AND p_start <= l_receiptdate
+    GROUP BY o_orderkey
+    """,
+    "interval x interval OVERLAP join via 7-day grid bucketing: both "
+    "sides explode into the week-cells their interval covers, the join "
+    "is a plain equi-join on cell, and the count-once predicate (cell "
+    "= the LATER interval's first cell) makes each overlapping pair "
+    "appear exactly once — no distinct, no nested-loop.  The oracle "
+    "runs the naive theta-join spec; at 100 TB the grid join shuffles "
+    "O(rows x cells/interval) keyed rows while the naive form is "
+    "O(n*m) — this is the standard distributed interval-join shape",
+)
+def b36_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+
+    def cell(c):
+        return F.floor(F.datediff(c, epoch) / 7)
+
+    # the test lineitem carries no receipt date; derive a deterministic
+    # one (shipdate + 1..14 days keyed on quantity) identically in both
+    # engines so the interval has real width
+    ship = (li.filter(F.col("l_quantity") == 50)
+            .select("l_orderkey", "l_linenumber", "l_shipdate",
+                    F.date_add("l_shipdate",
+                               F.col("l_quantity").cast("int") % 14 + 1)
+                    .alias("l_receiptdate"),
+                    cell(F.col("l_shipdate")).alias("s_c0"))
+            .withColumn("cell", F.explode(F.sequence(
+                F.col("s_c0"), cell(F.col("l_receiptdate"))))))
+    promo = (orders.filter((F.col("o_orderpriority") == "1-URGENT")
+                           & (F.year("o_orderdate") == 1995))
+             .select("o_orderkey",
+                     F.col("o_orderdate").alias("p_start"),
+                     F.date_add("o_orderdate", 6).alias("p_end"),
+                     cell(F.col("o_orderdate")).alias("p_c0"))
+             .withColumn("cell", F.explode(F.sequence(
+                 F.col("p_c0"), cell(F.col("p_end"))))))
+    pairs = promo.join(ship, "cell").filter(
+        (F.col("l_shipdate") <= F.col("p_end"))
+        & (F.col("p_start") <= F.col("l_receiptdate"))
+        # count each overlapping pair in exactly one cell: the first
+        # cell both intervals share = the later interval's start cell
+        & (F.col("cell") == F.greatest("s_c0", "p_c0")))
+    return (pairs.groupBy("o_orderkey")
+            .agg(F.count("*").cast("long").alias("n_shipments"),
+                 F.min(F.datediff("l_shipdate", epoch)).cast("long")
+                 .alias("first_ship_day"),
+                 F.max(F.datediff("l_receiptdate", epoch)).cast("long")
+                 .alias("last_receipt_day")))
+
+
+@_register(
+    "c25_srp_lsh_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (SELECT vec_id AS plane_id, emb AS pemb FROM e
+          WHERE vec_id < 8),
+    bits AS (
+      SELECT e.vec_id, e.emb,
+             CAST(sum(CASE WHEN round(list_inner_product(e.emb, p.pemb), 6)
+                                >= 0
+                           THEN 1 << plane_id ELSE 0 END) AS BIGINT) AS sig
+      FROM e CROSS JOIN p GROUP BY e.vec_id, e.emb),
+    bands AS (
+      SELECT vec_id, emb, band, CASE WHEN band = 0 THEN sig % 16
+                                     ELSE sig // 16 END AS bval
+      FROM bits CROSS JOIN (SELECT unnest([0, 1]) AS band)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2,
+             a.emb AS e1, b.emb AS e2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+    SELECT d1, d2, round(list_cosine_similarity(e1, e2), 6) AS cos_sim
+    FROM cand
+    WHERE round(list_cosine_similarity(e1, e2), 6) >= 0.55
+    """,
+    "C2 signed-random-projection LSH (Charikar hyperplane hashing): "
+    "8 sign-bits against data-derived planes -> 2 banded tables -> "
+    "candidate equi-join -> exact cosine verify.  Like MinHash-LSH "
+    "but for embeddings: candidates come from a bucketed equi-join "
+    "(shuffle on 4-bit band values), never an all-pairs product; the "
+    "sign bits are a narrow map over a broadcast plane set.  "
+    "Complements c10 (IVF-cell blocking) with the probe-free variant",
+)
+def c25_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    planes = [(int(r["vec_id"]), [float(x) for x in r["emb"]]) for r in
+              emb.filter(F.col("vec_id") < 8)
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("emb"))
+              .collect()]
+    # broadcast-as-literal plane set (same pattern as ivf_assign):
+    # the signature is a pure per-row fold, zero exchanges.
+    sig = F.aggregate(
+        F.array(*[
+            F.when(F.round(dot(F.col("embedding"),
+                               F.array(*[F.lit(x) for x in vec])
+                               .cast("array<double>")), 6) >= 0,
+                   F.lit(1 << pid).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for pid, vec in sorted(planes)]),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    bits = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"),
+        sig.alias("sig"))
+    bands = bits.select(
+        "vec_id", "emb",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     (F.col("sig") % 16).alias("bval")),
+            F.struct(F.lit(1).alias("band"),
+                     (F.col("sig") / F.lit(16)).cast("long")
+                     .alias("bval")))).alias("bb")
+    ).select("vec_id", "emb", F.col("bb.band").alias("band"),
+             F.col("bb.bval").alias("bval"))
+    a = bands.select("band", "bval", F.col("vec_id").alias("d1"),
+                     F.col("emb").alias("e1"))
+    b = bands.select("band", "bval", F.col("vec_id").alias("d2"),
+                     F.col("emb").alias("e2"))
+    cand = (a.join(b, ["band", "bval"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", "e1", "e2").distinct())
+    return (cand
+            .withColumn("cos_sim",
+                        F.round(cosine(F.col("e1"), F.col("e2")), 6))
+            .filter(F.col("cos_sim") >= 0.55)
+            .select("d1", "d2", "cos_sim"))

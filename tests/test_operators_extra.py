@@ -585,3 +585,60 @@ def test_png_unsupported_variants_raise():
     png[25] = 3
     with _pytest.raises(ValueError):
         _png_decode(bytes(png))
+
+
+def test_pq_full_refine_equals_brute_force(spark):
+    """With refine >= |corpus| the PQ approx ordering only gates a
+    re-rank over everything, so the result IS exact brute force —
+    partition-independent, codebook-independent."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qemb"))
+    bf = SIM.brute_force_topk(emb, qv, k=20, payload=["vec_id"]).collect()
+    pq = SIM.pq_topk(emb, qv, m=4, n_words=16, k=20, refine=10 ** 9,
+                     payload=["vec_id"]).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in pq] \
+        == [(r["vec_id"], r["cos_sim"]) for r in bf]
+
+
+def test_pq_refine_recall(spark):
+    """Recall@20 degrades monotonically as refine shrinks and stays
+    useful at refine=100 on the oracle corpus."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qemb"))
+    bf = {r["vec_id"] for r in SIM.brute_force_topk(
+        emb, qv, k=20, payload=["vec_id"]).collect()}
+
+    def recall(refine):
+        got = {r["vec_id"] for r in SIM.pq_topk(
+            emb, qv, m=4, n_words=16, k=20, refine=refine,
+            payload=["vec_id"]).collect()}
+        return len(bf & got) / len(bf)
+
+    r100, r1000 = recall(100), recall(1000)
+    assert r100 <= r1000 + 1e-9
+    assert r100 >= 0.25
+    assert r1000 >= 0.5
+
+
+def test_pq_encode_is_narrow(spark):
+    """pq_encode must stay a pure per-row projection: no Exchange, no
+    Join, no Window in the physical plan (the codes column is what
+    makes a 100 TB ANN scan affordable — shuffling to compute it
+    would defeat the point)."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    books = SIM.pq_codebooks(emb, m=4, k=16)
+    plan = SIM.pq_encode(emb, books)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for bad in ("Exchange", "Join", "Window"):
+        assert bad not in plan, plan

@@ -380,3 +380,50 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """write_zorder_layout must leave tight-enough footer stats that a
+    selective filter on EITHER z-ordered column overlaps only a
+    fraction of the files — the property that distinguishes Z-order
+    from single-column range layout (perfect on one dim, useless on
+    the rest)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import write_zorder_layout
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+
+    # quantize both dimensions onto the same 5-bit range (the
+    # docstring's contract) — unbalanced bit-widths let the wider
+    # column dominate the interleave and the narrow one stops pruning
+    ev = _t(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("day"), "value",
+        (F.col("user_id") / 5).cast("long").alias("uq"),
+        (F.dayofmonth("ts") - 1).alias("dq"))
+    path = str(tmp_path / "ev_z")
+    write_zorder_layout(ev, path, zorder_cols=["uq", "dq"],
+                        n_ranges=16, bits=5)
+
+    def overlapping(col, lo, hi):
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(rg).column(idx).statistics.min
+                    for rg in range(md.num_row_groups)]
+            maxs = [md.row_group(rg).column(idx).statistics.max
+                    for rg in range(md.num_row_groups)]
+            if min(mins) <= hi and lo <= max(maxs):
+                hit += 1
+        return hit, len(files)
+
+    u_hit, n = overlapping("user_id", 10, 19)
+    d_hit, n2 = overlapping("day", 3, 7)
+    assert n == n2 and n >= 8
+    # both dimensions must prune; a 1-D sort gives hit == n on the
+    # second column
+    assert u_hit <= n // 2, (u_hit, n)
+    assert d_hit <= n // 2, (d_hit, n)

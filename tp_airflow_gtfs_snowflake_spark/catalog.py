@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -199,4 +199,49 @@ def write_range_layout(df: DataFrame, path: str, *, sort_col: str,
     """
     out = df.repartitionByRange(n_ranges, F.col(sort_col))
     out = out.sortWithinPartitions(sort_col, *(extra_sort or []))
+    out.write.mode("overwrite").parquet(path)
+
+
+def zorder_key(cols: list[Column], *, bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low `bits` bits of each
+    (non-negative integer) column so rows close in ANY dimension land
+    close in the 1-D sort order.  Pure bit arithmetic — a narrow JVM
+    expression, no UDF.
+
+    Callers quantize first (e.g. epoch-day, bucketed id): the key only
+    sees `bits` bits per dimension, so map each column onto
+    [0, 2^bits) for full resolution."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a signed long")
+    parts = []
+    for d, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        # spread bit b of dimension d to output position b*n + d
+        parts.extend(
+            v.bitwiseAND(F.lit(1 << b))
+             .cast("long").__mul__(F.lit(1 << (b * (n - 1) + d)))
+            for b in range(bits))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zorder_layout(df: DataFrame, path: str, *,
+                        zorder_cols: list[str],
+                        n_ranges: int = 32, bits: int = 16) -> None:
+    """Multi-dimensional clustering: range-partition + sort on the
+    Morton key of `zorder_cols`, so parquet footer min/max stats stay
+    tight on EVERY z-ordered column at once — a filter on any one of
+    them skips most files.  The single-dimension write_range_layout
+    gives perfect pruning on one column and none on the others;
+    Z-ordering trades a little per-column tightness for usable pruning
+    on all of them (the standard lakehouse OPTIMIZE ZORDER BY layout).
+    """
+    z = zorder_key([F.col(c) for c in zorder_cols], bits=bits)
+    out = (df.withColumn("__z", z)
+           .repartitionByRange(n_ranges, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
     out.write.mode("overwrite").parquet(path)

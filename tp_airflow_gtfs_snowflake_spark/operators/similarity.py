@@ -20,7 +20,7 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
@@ -136,6 +136,112 @@ def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
                      centroids=centroids)
     candidates = asg.join(F.broadcast(probe), "cent_id")
     return brute_force_topk(candidates.drop("cent_id"), query,
+                            vec_col=vec_col, k=k, payload=payload)
+
+
+def pq_codebooks(emb: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", m: int = 4,
+                 k: int = 16) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: the vector space is split into
+    `m` contiguous subspaces and each gets `k` codewords.  Stand-in
+    codewords are the sub-chunks of the first k vectors by id (the
+    same cheap deterministic choice as ivf_assign's stand-in
+    centroids); swap in per-subspace k-means for trained quality —
+    the encode/score plumbing is identical.
+
+    Codebooks are tiny (m*k*(dim/m) doubles) and ride to executors as
+    literals, exactly like IVF centroids."""
+    rows = (emb.filter(F.col(id_col) < k)
+            .select(F.col(id_col).cast("long").alias("i"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+            .collect())
+    rows = sorted(rows, key=lambda r: r["i"])
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [[(int(r["i"]), list(r["v"][j * d:(j + 1) * d])) for r in rows]
+            for j in range(m)]
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(emb: DataFrame,
+              codebooks: list[list[tuple[int, list[float]]]], *,
+              vec_col: str = "embedding") -> DataFrame:
+    """Add `codes` (array<long>, one code per subspace): each subvector
+    is replaced by its nearest codeword's id — 8x-32x compression of
+    the corpus for ANN scans.  A pure per-row fold over literal
+    codebooks: ZERO exchanges at any corpus size (the point of PQ —
+    the compressed codes fit in memory where raw vectors do not).
+    Squared-L2 is rounded to 6dp before the argmin so assignments are
+    reproducible; ties break to the lowest code id."""
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    v = F.col(vec_col).cast("array<double>")
+    per_sub = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(v, j * d + 1, d)
+        scored = F.array(*[
+            F.struct(
+                F.round(_sq_l2(sub, F.array(*[F.lit(float(x)) for x in cw])
+                               .cast("array<double>")), 6).alias("dist"),
+                F.lit(int(code)).cast("long").alias("code"))
+            for code, cw in book])
+        best = F.aggregate(
+            scored,
+            F.struct(F.lit(float("inf")).alias("dist"),
+                     F.lit(-1).cast("long").alias("code")),
+            lambda acc, x: F.when(
+                (x["dist"] < acc["dist"])
+                | ((x["dist"] == acc["dist"]) & (x["code"] < acc["code"])),
+                x).otherwise(acc))
+        per_sub.append(best["code"])
+    return emb.withColumn("codes", F.array(*per_sub))
+
+
+def pq_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
+            vec_col: str = "embedding", m: int = 4, n_words: int = 16,
+            k: int = 20, refine: int = 100,
+            payload: list[str] | None = None,
+            codebooks: list[list[tuple[int, list[float]]]] | None = None
+            ) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: the query's distance to
+    every codeword is a tiny m x n_words lookup table computed once on
+    the driver and shipped as a literal; each row's approximate
+    distance is m table lookups over its `codes` — no vector math per
+    row at scan time.  The approx top-`refine` candidates are then
+    re-ranked by exact cosine and the exact top-k returned.
+
+    refine >= |corpus| degenerates to exact brute force (the recall
+    invariant tests pin this); at 100 TB the scan touches only the
+    m-byte codes column — the raw embedding column is read for the
+    `refine` survivors alone (parquet column pruning does the rest)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, id_col=id_col, vec_col=vec_col,
+                                 m=m, k=n_words)
+    payload = payload if payload is not None else [
+        c for c in emb.columns if c != vec_col]
+    q = query.select(F.col("qemb").cast("array<double>")).first()[0]
+    d = len(codebooks[0][0][1])
+    # driver-side LUT: lut[j][code] = ||q_sub_j - codeword||^2, 6dp
+    lut = [[round(sum((float(q[j * d + i]) - cw[i]) ** 2
+                      for i in range(d)), 6)
+            for _, cw in book] for j, book in enumerate(codebooks)]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]).cast("array<double>")
+        for row in lut])
+    coded = pq_encode(emb, codebooks, vec_col=vec_col)
+    approx = F.aggregate(
+        F.zip_with(lut_lit, F.col("codes"),
+                   lambda row, c: F.element_at(row, c.cast("int") + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (coded.withColumn("approx_dist", F.round(approx, 6))
+            .orderBy("approx_dist", id_col).limit(refine))
+    return brute_force_topk(cand.drop("codes", "approx_dist"), query,
                             vec_col=vec_col, k=k, payload=payload)
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine, dot
+from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
     _duck_toks, _spread)
@@ -291,3 +292,132 @@ def c25_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(cosine(F.col("e1"), F.col("e2")), 6))
             .filter(F.col("cos_sim") >= 0.55)
             .select("d1", "d2", "cos_sim"))
+
+
+@_register(
+    "c26_pq_ann", None,
+    "C2 product-quantization ANN (Jegou et al. TPAMI'11): vectors "
+    "compressed to m=4 codes against 16-word codebooks; the query's "
+    "asymmetric-distance lookup table (m x 16 doubles) ships as a "
+    "literal, so the corpus scan reads ONLY the codes column and does "
+    "m array lookups per row — at 100 TB the raw embedding column is "
+    "touched for the `refine` survivors alone.  Exact cosine re-rank "
+    "of the top-100 approx candidates.  rows-only check (codebook "
+    "training isn't SQL-expressible); recall invariants pinned by "
+    "tests/test_operators_extra.py::test_pq_full_refine_equals_brute_"
+    "force and ::test_pq_refine_recall",
+)
+def c26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"))
+    return SIM.pq_topk(emb, qv, m=4, n_words=16, k=20, refine=100,
+                       payload=["vec_id", "label"])
+
+
+@_register(
+    "b37_constraint_audit",
+    """
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_orderkey',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+    "data-quality expectation suite (the dbt-test / constraint-audit "
+    "pattern): referential integrity via LEFT ANTI join, null-rate, "
+    "key-uniqueness, and value-domain checks, one row per check.  "
+    "Each check is a single aggregating pass; the orphan check is the "
+    "only shuffle (semi-join on the key) and rides broadcast when the "
+    "parent side is small — audits run as cheap post-load gates at "
+    "any scale",
+)
+def b37_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    n_li = li.count()
+    n_ord = orders.count()
+
+    def row(name, viol_df):
+        return viol_df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_violations"))
+
+    orphan = row("lineitem_orphan_orderkey",
+                 li.join(orders.select(F.col("o_orderkey")),
+                         li["l_orderkey"] == F.col("o_orderkey"),
+                         "left_anti")).withColumn(
+        "n_checked", F.lit(n_li).cast("long"))
+    nullck = row("orders_null_custkey",
+                 orders.filter(F.col("o_custkey").isNull())).withColumn(
+        "n_checked", F.lit(n_ord).cast("long"))
+    dupck = (orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long")
+        .alias("n_violations"))
+        .select(F.lit("orders_duplicate_orderkey").alias("check_name"),
+                "n_violations",
+                F.lit(n_ord).cast("long").alias("n_checked")))
+    domck = row("lineitem_nonpositive_price",
+                li.filter(F.col("l_extendedprice") <= 0)).withColumn(
+        "n_checked", F.lit(n_li).cast("long"))
+    return orphan.unionByName(nullck).unionByName(dupck).unionByName(domck)
+
+
+@_register(
+    "b38_scd2_intervals",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    starts AS (
+      SELECT user_id, event_type, ts
+      FROM ch WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts)) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM starts
+    """,
+    "SCD2 (slowly-changing-dimension type 2) interval construction "
+    "from an event change log: collapse consecutive same-value runs "
+    "(lag), then close each version with the next version's start "
+    "(lead) — the standard warehouse dimension-history builder.  Both "
+    "windows share ONE per-user shuffle partitioning; at 100 TB the "
+    "user key shards evenly and no global sort exists",
+)
+def b38_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"))
+    starts = ch.filter(F.col("prev_type").isNull()
+                       | (F.col("event_type") != F.col("prev_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w2)
+    return starts.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"))

@@ -43,6 +43,13 @@ HEADLINE = [
     "b33_funnel_analysis",  # single-shuffle funnel (HOF form)
     "c19_dup_components",   # iterative connected components
     "c20_label_centroids",  # exploded exact centroid agg
+    "c21_doc_chunking",     # token-window chunking (explode, no shuffle)
+    "c23_gopher_quality",   # quality-rule narrow map
+    "c24_repetition_metrics",  # sorted-bigram fold, zero shuffle
+    "b36_interval_overlap_join",  # grid-bucketed interval join
+    "c25_srp_lsh_neardup",  # hyperplane-LSH banded join
+    "c26_pq_ann",           # product-quantization ADC + rerank
+    "b38_scd2_intervals",   # SCD2 window builder
 ]
 
 

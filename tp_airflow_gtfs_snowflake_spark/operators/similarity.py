@@ -121,12 +121,18 @@ def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
     n_probe cells nearest the query.  Stand-in (first-n) or trained
     (kmeans_centroids) centroid sets both work."""
     if centroids is None:
-        cents = emb.filter(F.col(id_col) < n_cents).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cemb"))
-    else:
-        cents = emb.sparkSession.createDataFrame(
-            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
-            "cent_id long, cemb array<double>")
+        # collect the stand-ins ONCE here (a pushed-down id<n scan) and
+        # hand the literal list to ivf_assign, instead of letting both
+        # this probe and the assignment scan the corpus for them.
+        centroids = [(int(r["cent_id"]), list(r["cemb"])) for r in
+                     emb.filter(F.col(id_col) < n_cents)
+                     .select(F.col(id_col).cast("long").alias("cent_id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("cemb"))
+                     .collect()]
+    cents = emb.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cent_id long, cemb array<double>")
     probe = (cents.crossJoin(F.broadcast(query))
              .withColumn("sim", F.round(cosine(F.col("cemb"),
                                                F.col("qemb")), 6))

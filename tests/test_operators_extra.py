@@ -638,7 +638,26 @@ def test_pq_encode_is_narrow(spark):
     from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
     emb = _t(spark, SF_ORACLE, "embeddings")
     books = SIM.pq_codebooks(emb, m=4, k=16)
-    plan = SIM.pq_encode(emb, books)._jdf.queryExecution() \
-        .executedPlan().toString()
-    for bad in ("Exchange", "Join", "Window"):
-        assert bad not in plan, plan
+    for impl in ("arrow", "native"):
+        plan = SIM.pq_encode(emb, books, impl=impl)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for bad in ("Exchange", "Join", "Window"):
+            assert bad not in plan, (impl, plan)
+
+
+def test_cell_blocked_neardup_sub_blocks_invariant(spark):
+    """Sub-block gridding is a pure physical rewrite: for every
+    sub_blocks value the emitted pair set must be identical (each
+    unordered pair meets in exactly one block-pair task)."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    base = {(r["d1"], r["d2"], r["cos_sim"]) for r in
+            SIM.cell_blocked_neardup(emb, threshold=0.3).collect()}
+    assert base, "threshold too high — invariant would be vacuous"
+    for sb in (2, 3, 5):
+        got = {(r["d1"], r["d2"], r["cos_sim"]) for r in
+               SIM.cell_blocked_neardup(
+                   emb, threshold=0.3, sub_blocks=sb).collect()}
+        assert got == base, f"sub_blocks={sb} diverged"

@@ -427,3 +427,38 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     # second column
     assert u_hit <= n // 2, (u_hit, n)
     assert d_hit <= n // 2, (d_hit, n)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """compact_parquet must collapse a fragmented directory into the
+    computed file budget with content intact — the maintenance op that
+    keeps streaming bronze scannable."""
+    import glob
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    ev = _t_events(spark)
+    ev.repartition(40).write.parquet(src)  # 40 tiny files
+    n_in = len(glob.glob(f"{src}/*.parquet"))
+    assert n_in >= 40
+
+    dst = str(tmp_path / "compacted")
+    compact_parquet(spark, src, dst, target_mb=128,
+                    sort_within=["user_id"])
+    n_out = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_out < n_in / 10
+    # content identical (order-insensitive)
+    def summary(path):
+        r = spark.read.parquet(path).groupBy().agg(
+            F.count("*").alias("n"), F.sum("user_id").alias("su"),
+            F.sum("value").alias("sv")).first()
+        return (r["n"], r["su"], round(r["sv"], 2))
+
+    assert summary(src) == summary(dst)
+
+
+def _t_events(spark):
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    return _t(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "value")

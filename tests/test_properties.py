@@ -227,3 +227,46 @@ def test_bmp_decode_dims_and_histogram(width, height, top_down, data):
     for b in flat:
         expect[b >> 5] += 1
     assert hist == [v * 1_000_000 // len(flat) for v in expect]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=1, max_size=64))
+def test_zorder_key_is_a_bijection(spark, pts):
+    """Interleaving must be invertible: deinterleaving the Morton key
+    with independent pure-Python bit arithmetic recovers both inputs
+    exactly (so file min/max stats on the key bound BOTH columns)."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import zorder_key
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y",
+        zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")).collect()
+
+    def deinterleave(z, d, n=2, bits=8):
+        return sum(((z >> (b * n + d)) & 1) << b for b in range(bits))
+
+    for r in rows:
+        assert deinterleave(r["z"], 0) == r["x"]
+        assert deinterleave(r["z"], 1) == r["y"]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.lists(st.floats(-8, 8, allow_nan=False,
+                                   width=32),
+                         min_size=8, max_size=8),
+                min_size=3, max_size=12))
+def test_pq_m1_corpus_codebook_is_identity(spark, vecs):
+    """With ONE subspace and the corpus itself as the codebook, every
+    vector must encode to its own id (distance 0 beats everything,
+    ties break to the lowest id — exact duplicates map to the first
+    copy)."""
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = SIM.pq_codebooks(df, m=1, k=len(rows))
+    for impl in ("arrow", "native"):
+        got = {r["vec_id"]: r["codes"][0] for r in
+               SIM.pq_encode(df, books, impl=impl).collect()}
+        for i, v in rows:
+            # own id unless an earlier exact duplicate claims the code
+            assert got[i] <= i

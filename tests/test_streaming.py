@@ -269,3 +269,36 @@ def test_stream_stream_join_within_window(spark, landing, tmp_path):
     for r in rows:
         delta = (r.cur_ts - r.prev_ts).total_seconds()
         assert 0 < delta <= 300
+
+
+def test_stream_stream_left_outer_emits_after_watermark(
+        spark, landing, tmp_path):
+    """Left-outer stream-stream join: reports with no prior fix inside
+    the join window must surface with NULL prior columns — but only
+    once the watermark proves no match can still arrive.  Files feed
+    one per micro-batch so the watermark advances between batches and
+    the eviction actually happens inside the test."""
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        trip_position_attribution)
+    snaps = fixtures_gtfs.make_feed_snapshots(3)  # 2 min apart
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"vp_20240304060{i}.json", s)
+    stream = read_feed_stream(spark, str(landing), max_files_per_trigger=1)
+    # 60 s window < 120 s snapshot cadence: cross-snapshot reports
+    # mostly miss (per-vehicle jitter lets a few land inside), so
+    # null-extended rows MUST appear once evictable
+    joined = trip_position_attribution(
+        stream, join_window_seconds=60, watermark="1 minute",
+        how="left_outer")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("vp_outer")
+         .option("checkpointLocation", str(tmp_path / "ckpt_so")).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM vp_outer").collect()
+    assert rows, "watermark advanced past early batches; expected emissions"
+    nulls = [r for r in rows if r.prev_ts is None]
+    assert nulls, "unmatched reports must surface null-extended"
+    for r in rows:
+        if r.prev_ts is not None:
+            assert 0 < (r.cur_ts - r.prev_ts).total_seconds() <= 60

@@ -202,6 +202,37 @@ def write_range_layout(df: DataFrame, path: str, *, sort_col: str,
     out.write.mode("overwrite").parquet(path)
 
 
+def compact_parquet(spark: SparkSession, src_path: str, dst_path: str, *,
+                    target_mb: int = 128,
+                    sort_within: list[str] | None = None) -> int:
+    """Small-file compaction (the lakehouse OPTIMIZE primitive): read a
+    parquet directory fragmented by streaming/incremental appends and
+    rewrite it as ceil(bytes / target_mb) right-sized files.  Returns
+    the output file count.
+
+    Listing and task-scheduling cost at 100 TB is driven by FILE COUNT,
+    not bytes — a bronze table taking one file per micro-batch epoch
+    accumulates millions of tiny files that stall every downstream
+    scan.  Compaction is a full rewrite, so it pairs with the
+    partition-scoped patterns (incremental_rollup_refresh overwrites
+    only touched partitions; run compaction per partition the same
+    way).  Uses coalesce (no shuffle) — file sizes stay approximate;
+    pass sort_within to restore clustering while the data is in hand.
+    """
+    import glob as _glob
+
+    total = sum(os.path.getsize(f) for f in
+                _glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                           recursive=True))
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    out = df.coalesce(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_out
+
+
 def zorder_key(cols: list[Column], *, bits: int = 16) -> Column:
     """Morton/Z-order key: interleave the low `bits` bits of each
     (non-negative integer) column so rows close in ANY dimension land

@@ -170,6 +170,33 @@ def pq_codebooks(emb: DataFrame, *, id_col: str = "vec_id",
             for j in range(m)]
 
 
+def pq_codebooks_kmeans(emb: DataFrame, *, vec_col: str = "embedding",
+                        m: int = 4, k: int = 16, seed: int = 42,
+                        max_iter: int = 5
+                        ) -> list[list[tuple[int, list[float]]]]:
+    """Trained PQ codebooks: one pyspark.ml k-means per subspace over
+    the sliced subvectors (the construction from Jegou et al.).  m
+    small fits over projections of the corpus; centers come back as
+    driver-side literals exactly like the stand-ins, so encode/score
+    plumbing is shared."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    books = []
+    for j in range(m):
+        feats = emb.select(array_to_vector(
+            F.slice(v, j * d + 1, d)).alias("features"))
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+        books.append([(i, [float(x) for x in c])
+                      for i, c in enumerate(model.clusterCenters())])
+    return books
+
+
 def _sq_l2(a: Column, b: Column) -> Column:
     diff = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
@@ -177,14 +204,25 @@ def _sq_l2(a: Column, b: Column) -> Column:
 
 def pq_encode(emb: DataFrame,
               codebooks: list[list[tuple[int, list[float]]]], *,
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              impl: str = "arrow") -> DataFrame:
     """Add `codes` (array<long>, one code per subspace): each subvector
     is replaced by its nearest codeword's id — 8x-32x compression of
-    the corpus for ANN scans.  A pure per-row fold over literal
-    codebooks: ZERO exchanges at any corpus size (the point of PQ —
-    the compressed codes fit in memory where raw vectors do not).
-    Squared-L2 is rounded to 6dp before the argmin so assignments are
-    reproducible; ties break to the lowest code id."""
+    the corpus for ANN scans.  A narrow per-row map either way: ZERO
+    exchanges at any corpus size (the point of PQ — the compressed
+    codes fit in memory where raw vectors do not).  Squared-L2 is
+    rounded to 6dp before the argmin so assignments are reproducible
+    within an impl; ties break to the lowest code id.
+
+    impl='arrow' (default): numpy over Arrow batches via mapInPandas.
+    The m*k distance argmin is exactly the shape Catalyst handles
+    worst — a 64-way literal fold blows past the codegen method
+    limit and drops to interpreted eval (measured ~50x slower) — and
+    numpy the best: one (batch, k) broadcasted subtract per subspace.
+    impl='native' keeps the pure-Column fold (no Python workers;
+    plan-gated exchange-free) for engines/tests that need it."""
+    if impl == "arrow":
+        return _pq_encode_arrow(emb, codebooks, vec_col=vec_col)
     m = len(codebooks)
     d = len(codebooks[0][0][1])
     v = F.col(vec_col).cast("array<double>")
@@ -207,6 +245,45 @@ def pq_encode(emb: DataFrame,
                 x).otherwise(acc))
         per_sub.append(best["code"])
     return emb.withColumn("codes", F.array(*per_sub))
+
+
+def _pq_encode_arrow(emb: DataFrame,
+                     codebooks: list[list[tuple[int, list[float]]]], *,
+                     vec_col: str = "embedding") -> DataFrame:
+    """numpy mapInPandas encode: per batch and subspace, one
+    broadcasted (batch, k, d) subtract + argmin.  Codebook rides in
+    the task closure (m*k*d doubles — a few KB).  Still a narrow map:
+    no shuffle, O(batch) memory, payload columns pass through."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    # [m][k][d]; codewords sorted by code id so np.argmin's first-hit
+    # tie-break == lowest code id
+    cw = np.array([[list(w) for _, w in sorted(book)]
+                   for book in codebooks], dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(codes=pd.Series([], dtype=object))
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = v[:, j * d:(j + 1) * d]                # (n, d)
+                diff = sub[:, None, :] - cw[j][None, :, :]    # (n, k, d)
+                dist = np.round((diff * diff).sum(axis=2), 6)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pdf.assign(codes=list(codes))
+
+    schema = T.StructType(emb.schema.fields
+                          + [T.StructField("codes",
+                                           T.ArrayType(T.LongType()))])
+    return emb.mapInPandas(encode, schema)
 
 
 def pq_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
@@ -253,16 +330,60 @@ def pq_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
 
 def cell_blocked_neardup(emb: DataFrame, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", n_cents: int = 8,
-                         threshold: float = 0.35) -> DataFrame:
+                         threshold: float = 0.35,
+                         sub_blocks: int = 1) -> DataFrame:
     """(d1, d2, cos_sim) pairs with cosine >= threshold, compared only
-    within each vector's assigned IVF cell."""
+    within each vector's assigned IVF cell.
+
+    sub_blocks > 1 splits each cell into hash blocks and joins the
+    (b1 <= b2) block-pair grid instead of the whole cell with itself:
+    a hot cell of H rows becomes sub_blocks*(sub_blocks+1)/2 tasks of
+    ~(H/sub_blocks)^2 comparisons instead of ONE task doing H^2 — the
+    skew remedy for the 'hot cell is a hot partition' limit (same idea
+    as skew.salted_join applied to a self-join).  Results are
+    identical for any sub_blocks (every pair meets in exactly one
+    block pair: (block(d1), block(d2)) ordered)."""
     asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents)
-    a = asg.select("cent_id", F.col(id_col).alias("d1"),
-                   F.col(vec_col).alias("e1"))
-    b = asg.select("cent_id", F.col(id_col).alias("d2"),
-                   F.col(vec_col).alias("e2"))
-    return (a.join(b, "cent_id")
-            .filter(F.col("d1") < F.col("d2"))
+    if sub_blocks <= 1:
+        a = asg.select("cent_id", F.col(id_col).alias("d1"),
+                       F.col(vec_col).alias("e1"))
+        b = asg.select("cent_id", F.col(id_col).alias("d2"),
+                       F.col(vec_col).alias("e2"))
+        pairs = a.join(b, "cent_id").filter(F.col("d1") < F.col("d2"))
+    else:
+        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(sub_blocks))
+        withb = asg.withColumn("blk", blk)
+        # each row joins the block-pair rows (lo, hi) it belongs to:
+        # as the LOW side in (blk, blk..sub_blocks-1), as the HIGH side
+        # in (0..blk, blk); emitting both memberships per row keeps the
+        # join a pure equi-join on (cent_id, lo, hi).
+        lo_side = withb.select(
+            "cent_id", F.col(id_col).alias("d1"),
+            F.col(vec_col).alias("e1"), F.col("blk").alias("lo"),
+            F.explode(F.sequence(F.col("blk"),
+                                 F.lit(sub_blocks - 1))).alias("hi"))
+        hi_side = withb.select(
+            "cent_id", F.col(id_col).alias("d2"),
+            F.col(vec_col).alias("e2"), F.col("blk").alias("hi"),
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("lo"))
+        # a cross-block pair meets exactly once (its low-block row on
+        # the lo side) — keep it whatever the id order, then
+        # canonicalize; a same-block pair meets twice (both orders on
+        # the lo==hi diagonal) — the id filter halves exactly.
+        pairs = (lo_side.join(hi_side, ["cent_id", "lo", "hi"])
+                 .filter((F.col("lo") < F.col("hi"))
+                         | (F.col("d1") < F.col("d2")))
+                 .filter(F.col("d1") != F.col("d2"))
+                 .select("cent_id",
+                         F.least("d1", "d2").alias("dl"),
+                         F.greatest("d1", "d2").alias("dg"),
+                         F.when(F.col("d1") < F.col("d2"), F.col("e1"))
+                         .otherwise(F.col("e2")).alias("el"),
+                         F.when(F.col("d1") < F.col("d2"), F.col("e2"))
+                         .otherwise(F.col("e1")).alias("eg"))
+                 .withColumnsRenamed({"dl": "d1", "dg": "d2",
+                                      "el": "e1", "eg": "e2"}))
+    return (pairs
             .withColumn("cos_sim",
                         F.round(cosine(F.col("e1"), F.col("e2")), 6))
             .filter(F.col("cos_sim") >= threshold)

@@ -421,3 +421,172 @@ def b38_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"))
+
+
+@_register(
+    "b39_linear_interpolation",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_no,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+      GROUP BY 1, 2),
+    bounds AS (SELECT min(day_no) AS lo, max(day_no) AS hi FROM d),
+    spine AS (
+      SELECT pri, gs.day_no
+      FROM (SELECT DISTINCT pri FROM d),
+           (SELECT unnest(generate_series(lo, hi)) AS day_no
+            FROM bounds) gs),
+    joined AS (
+      SELECT s.pri, s.day_no, d.n_orders
+      FROM spine s LEFT JOIN d ON s.pri = d.pri AND s.day_no = d.day_no),
+    ctx AS (
+      SELECT pri, day_no, n_orders,
+             last_value(n_orders IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY day_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(day_if_obs IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY day_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(n_orders IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY day_no
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(day_if_obs IGNORE NULLS) OVER (
+               PARTITION BY pri ORDER BY day_no
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM (SELECT pri, day_no, n_orders,
+                   CASE WHEN n_orders IS NOT NULL
+                        THEN day_no END AS day_if_obs
+            FROM joined) j)
+    SELECT pri, day_no, n_orders IS NULL AS was_gap,
+           round(CASE
+             WHEN n_orders IS NOT NULL THEN n_orders
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (day_no - pd) * 1.0 / (nd - pd)
+           END, 6) AS n_orders_interp
+    FROM ctx
+    """,
+    "time-series LINEAR interpolation over the dense calendar spine: "
+    "previous/next observation via last_value/first_value IGNORE "
+    "NULLS over mirrored frames, then the two-point line formula; "
+    "edges clamp to the nearest observation.  Same single (pri) "
+    "shuffle serves the join and all four windows — the resample "
+    "primitive for sensor/metric regularization before model windows",
+)
+def b39_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-03-01")))
+    d = (o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01")).cast("long").alias("day_no"))
+         .agg(F.count("*").cast("long").alias("n_orders")))
+    lo, hi = d.agg(F.min("day_no"), F.max("day_no")).first()
+    spine = (d.select("pri").distinct()
+             .crossJoin(F.broadcast(
+                 _spread(spark, d.sparkSession.range(lo, hi + 1)
+                         .select(F.col("id").alias("day_no"))))))
+    joined = spine.join(d, ["pri", "day_no"], "left")
+    back = (Window.partitionBy("pri").orderBy("day_no")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("pri").orderBy("day_no")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("n_orders").isNotNull(), F.col("day_no"))
+    ctx = joined.select(
+        "pri", "day_no", "n_orders",
+        F.last("n_orders", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("n_orders", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"))
+    interp = (F.when(F.col("n_orders").isNotNull(),
+                     F.col("n_orders").cast("double"))
+              .when(F.col("pv").isNull(), F.col("nv").cast("double"))
+              .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+              .otherwise(
+                  F.col("pv") + (F.col("nv") - F.col("pv"))
+                  * (F.col("day_no") - F.col("pd"))
+                  / (F.col("nd") - F.col("pd"))))
+    return ctx.select("pri", "day_no",
+                      F.col("n_orders").isNull().alias("was_gap"),
+                      F.round(interp, 6).alias("n_orders_interp"))
+
+
+@_register(
+    "b40_profile_table",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(min(o_orderkey), 6) AS min_val,
+           round(max(o_orderkey), 6) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(min(o_custkey), 6), round(max(o_custkey), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6)
+    FROM orders
+    """,
+    "column-profiling pass (the ANALYZE/data-catalog primitive): "
+    "count / null-count / exact distinct / min / max per column.  "
+    "Spark computes ALL columns in ONE scan with per-column distinct "
+    "aggregates (Expand under the hood) then unpivots to the "
+    "one-row-per-column shape; the oracle re-scans per column.  For "
+    "interactive 100 TB profiling swap exact distinct for "
+    "approx_count_distinct (b23) — same plan, sketch memory",
+)
+def b40_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    agg = o.agg(
+        F.count("*").alias("_n"),
+        *[a for c in cols for a in (
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__mn"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__mx"))])
+    per_col = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("_n").cast("long").alias("n_rows"),
+                 F.col(f"{c}__nn").cast("long").alias("n_nonnull"),
+                 F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                 F.col(f"{c}__mn").alias("min_val"),
+                 F.col(f"{c}__mx").alias("max_val"))
+        for c in cols])
+    return (agg.select(F.explode(per_col).alias("p"))
+            .select("p.col_name", "p.n_rows", "p.n_nonnull",
+                    "p.n_distinct", "p.min_val", "p.max_val"))
+
+
+@_register(
+    "c26b_pq_kmeans_ann", None,
+    "C2 product quantization with TRAINED per-subspace codebooks: "
+    "pyspark.ml k-means (fixed seed) learns 16 codewords per "
+    "subspace on the sliced subvectors, then the same Arrow encode / "
+    "ADC lookup-table scan / exact re-rank as c26.  rows-only check "
+    "(k-means isn't SQL-expressible); the refine>=corpus == "
+    "brute-force invariant is codebook-independent and pinned by "
+    "tests/test_operators_extra.py",
+)
+def c26b_pq_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_codebooks_kmeans(emb, m=4, k=16, seed=42)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"))
+    return SIM.pq_topk(emb, qv, m=4, n_words=16, k=20, refine=100,
+                       payload=["vec_id", "label"], codebooks=books)

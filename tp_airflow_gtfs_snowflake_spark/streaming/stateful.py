@@ -129,7 +129,8 @@ def vehicle_odometer(feed_stream: DataFrame, *,
 
 def trip_position_attribution(feed_stream: DataFrame, *,
                               join_window_seconds: int = 300,
-                              watermark: str = "15 minutes") -> DataFrame:
+                              watermark: str = "15 minutes",
+                              how: str = "inner") -> DataFrame:
     """Watermarked stream-stream self-join: for each position report,
     the SAME vehicle's earlier reports within the last
     join_window_seconds (movement attribution — which prior fix does a
@@ -139,6 +140,11 @@ def trip_position_attribution(feed_stream: DataFrame, *,
     time on both ends, so each side's state store holds only the
     window horizon — the required shape for an unbounded stream-stream
     join (an unbounded predicate would grow state forever).
+
+    how='left_outer' additionally emits each report with NULL prior
+    columns once the watermark proves no match can arrive — the
+    streaming analogue of a batch left join, with emission delayed by
+    (window + watermark) event time.
     """
     base = _positions(feed_stream).withWatermark("ts", watermark)
     cur = base.select(F.col("vehicle_id").alias("v"),
@@ -153,7 +159,7 @@ def trip_position_attribution(feed_stream: DataFrame, *,
             & (F.col("prev_ts") < F.col("cur_ts"))
             & (F.col("prev_ts") >= F.col("cur_ts")
                - F.expr(f"INTERVAL {join_window_seconds} SECONDS")))
-    return (cur.join(prev, cond)
+    return (cur.join(prev, cond, how)
             .select("v", "cur_ts", "prev_ts",
                     (F.abs(F.col("cur_lat") - F.col("prev_lat"))
                      + F.abs(F.col("cur_lon") - F.col("prev_lon")))

@@ -1,0 +1,116 @@
+"""Custom Spark 4 Python DataSource for GTFS-RT landing directories.
+
+reference: dags/gtfs_rt_minutely.py:71-176 fetches feed snapshots and
+lands them as timestamped files; every consumer then re-implements the
+listing/parse glue.  Spark 4's Python DataSource API (public:
+pyspark.sql.datasource, SPARK-44076) lets that glue live INSIDE the
+engine as a named format, so consumers just say
+``spark.read.format("gtfs_rt_snapshots").option("path", dir).load()``
+— with the same format usable as readStream for incremental tailing.
+
+Design for scale:
+- one InputPartition per snapshot file: listing happens once on the
+  driver (cheap metadata), payload bytes are read ONLY inside the
+  executor-side ``read`` — the driver never holds file contents.
+- the streaming reader's offset is a monotone position in the
+  sorted-by-name file listing (landing names embed the fetch
+  timestamp, reference naming vp_YYYYMMDDHHMM.json), so restarts
+  resume exactly and each file is emitted once — the same contract as
+  Spark's own file source, without its per-file state log.
+- rows are (path, mtime_epoch, feed_json); parsing stays in the
+  shared native path (sources/gtfs_rt.parse_feed_json + flatten), so
+  this source composes with every downstream query unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
+
+SCHEMA = "path string, mtime_epoch long, feed_json string"
+
+
+def _list_snapshots(path: str, suffix: str) -> list[str]:
+    """Sorted snapshot listing (name order == fetch order for the
+    reference's timestamped names)."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"landing dir not found: {path}")
+    return sorted(os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(suffix))
+
+
+class _SnapshotPartition(InputPartition):
+    def __init__(self, filepath: str):
+        self.filepath = filepath
+
+
+def _read_file(filepath: str):
+    with open(filepath, encoding="utf-8") as fh:
+        body = fh.read()
+    yield (filepath, int(os.path.getmtime(filepath)), body)
+
+
+class GtfsRtSnapshotReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".json")
+
+    def partitions(self):
+        return [_SnapshotPartition(f)
+                for f in _list_snapshots(self.path, self.suffix)]
+
+    def read(self, partition: _SnapshotPartition):
+        yield from _read_file(partition.filepath)
+
+
+class GtfsRtSnapshotStreamReader(DataSourceStreamReader):
+    """Micro-batch tail of the landing dir.  Offsets are
+    {"index": n} = number of files (in sorted order) already emitted;
+    a landing producer must write new files with later-sorting names
+    (true for timestamped names), matching the reference's cadence."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.suffix = options.get("suffix", ".json")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_snapshots(self.path, self.suffix))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_snapshots(self.path, self.suffix)
+        return [_SnapshotPartition(f)
+                for f in files[start["index"]:end["index"]]]
+
+    def read(self, partition: _SnapshotPartition):
+        yield from _read_file(partition.filepath)
+
+    def commit(self, end: dict) -> None:
+        pass  # listing-position offsets need no source-side cleanup
+
+
+class GtfsRtSnapshotDataSource(DataSource):
+    """format("gtfs_rt_snapshots"): batch + streaming reader over a
+    landing directory of feed-snapshot JSON files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gtfs_rt_snapshots"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> GtfsRtSnapshotReader:
+        return GtfsRtSnapshotReader(self.options)
+
+    def streamReader(self, schema) -> GtfsRtSnapshotStreamReader:
+        return GtfsRtSnapshotStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent format registration for the current session."""
+    spark.dataSource.register(GtfsRtSnapshotDataSource)

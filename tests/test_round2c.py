@@ -55,6 +55,25 @@ def test_fuzzy_profile_symmetry(spark):
     assert pairs > 0                   # non-vacuous on the real table
 
 
+# ------------------------------------------------- mergeable sketches
+
+def test_hll_union_of_partials_equals_single_shot(spark):
+    """The mergeability contract b41 rides on: unioning per-day
+    sketch partials must give EXACTLY the same estimate as sketching
+    the whole table in one pass (HLL merge is lossless), and the
+    estimate must sit near the exact distinct."""
+    ev = _t(spark, SF_ORACLE, "events")
+    merged = (ev.groupBy(F.date_trunc("day", "ts").alias("m"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk"))
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est")).first()["est"])
+    single = (ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                     .alias("est")).first()["est"])
+    exact = ev.select("user_id").distinct().count()
+    assert merged == single
+    assert abs(merged - exact) / exact < 0.05
+
+
 # ---------------------------------------------------------- observe()
 
 def test_observed_metrics_ride_the_write(spark, tmp_path):

@@ -912,6 +912,7 @@ from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_ext  # noqa: E4
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_tpch2  # noqa: E402,F401
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_graph  # noqa: E402,F401
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_curation  # noqa: E402,F401
+from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_linkage  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

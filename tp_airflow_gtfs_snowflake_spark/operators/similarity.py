@@ -61,8 +61,8 @@ def kmeans_centroids(emb: DataFrame, *, vec_col: str = "embedding",
 
 def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
                vec_col: str = "embedding", n_cents: int = 8,
-               centroids: list[tuple[int, list[float]]] | None = None
-               ) -> DataFrame:
+               centroids: list[tuple[int, list[float]]] | None = None,
+               impl: str = "arrow") -> DataFrame:
     """Assign every vector to its nearest centroid: input columns +
     `cent_id`.  Centroids are the first n_cents vectors by id (cheap
     stand-in) unless an explicit [(cent_id, center)] list — e.g. from
@@ -70,14 +70,23 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
 
     Centroid assignment is a pure per-row function, so the <=n_cents
     centroids are collected once (tiny: a pushed-down `id < n` scan)
-    and inlined as an array-of-structs literal; the argmax is a single
-    narrow projection over that literal -- ZERO exchanges, regardless
-    of |emb|.  The previous form (crossJoin(broadcast(cents)) then
-    row_number over a window partitioned by vec_id) exploded every row
-    x n_cents and shuffled the whole blow-up just to keep rank 1; at
-    100 TB of vectors that shuffle IS the job.  Pinned by
+    and inlined as literals; the argmax is a narrow map — ZERO
+    exchanges, regardless of |emb|.  The previous form
+    (crossJoin(broadcast(cents)) then row_number over a window
+    partitioned by vec_id) exploded every row x n_cents and shuffled
+    the whole blow-up just to keep rank 1; at 100 TB of vectors that
+    shuffle IS the job.  Pinned by
     tests/test_plan_quality.py::test_ivf_assign_has_no_exchange.
-    """
+
+    impl='arrow' (default): numpy over Arrow batches — the k x dim
+    cosine argmax is the same shape pq_encode measured as
+    catastrophically slow in Catalyst's interpreted higher-order-
+    function eval (~1 ms/row for 8x64: the fold never enters codegen)
+    and ideal for one batched matmul.  impl='native' keeps the pure-
+    Column fold (no Python workers) for plan-gating and environments
+    without Arrow.  Same 6dp rounding and lowest-cent_id tie-break
+    either way; the full-probe == brute-force invariant and the
+    c09/c10/c18 oracles hold on both."""
     if centroids is None:
         centroids = [(int(r["cent_id"]), list(r["cemb"])) for r in
                      emb.filter(F.col(id_col) < n_cents)
@@ -85,6 +94,8 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
                              F.col(vec_col).cast("array<double>")
                              .alias("cemb"))
                      .collect()]
+    if impl == "arrow":
+        return _ivf_assign_arrow(emb, centroids, vec_col=vec_col)
     cent_rows = sorted(centroids, key=lambda c: c[0])
     cent_arr = F.array(*[
         F.struct(

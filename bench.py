@@ -66,24 +66,37 @@ def main() -> None:
     # cluster would see (run 1 pays codegen compilation + broadcast
     # warmup that is per-process, not per-query, cost).
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(min(times), 3)
+        # one broken query must never zero the whole bench: record the
+        # failure per-query and keep going (round 2 lost its entire
+        # BENCH to a single NameError).
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(min(times), 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-        "streaming": _stream_slo(spark),
-    }))
+    }
+    try:
+        out["streaming"] = _stream_slo(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:300]
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 def _stream_slo(spark) -> dict:

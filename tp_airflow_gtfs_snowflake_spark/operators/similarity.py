@@ -122,6 +122,41 @@ def ivf_assign(emb: DataFrame, *, id_col: str = "vec_id",
     return emb.withColumn("cent_id", best["cent_id"])
 
 
+def _ivf_assign_arrow(emb: DataFrame,
+                      centroids: list[tuple[int, list[float]]], *,
+                      vec_col: str = "embedding") -> DataFrame:
+    """numpy mapInPandas assignment: per Arrow batch, one (batch, k)
+    cosine matmul + argmax.  Centroids ride in the task closure (k*dim
+    doubles — a few KB).  Narrow map: no shuffle, O(batch) memory, all
+    payload columns pass through.  Same 6dp rounding as the native
+    fold; centroids sorted by cent_id so np.argmax's first-hit
+    tie-break == lowest cent_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(centroids, key=lambda c: c[0])
+    cent_ids = np.array([int(cid) for cid, _ in cent_rows], dtype=np.int64)
+    C = np.array([list(vec) for _, vec in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))                      # (k,)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(
+                    cent_id=pd.Series([], dtype="int64"))
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])             # (n, dim)
+            vnorm = np.sqrt((v * v).sum(axis=1))              # (n,)
+            sims = np.round(v @ C.T / (vnorm[:, None] * cnorm[None, :]), 6)
+            yield pdf.assign(cent_id=cent_ids[sims.argmax(axis=1)])
+
+    schema = T.StructType(emb.schema.fields
+                          + [T.StructField("cent_id", T.LongType())])
+    return emb.mapInPandas(assign, schema)
+
+
 def ivf_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cents: int = 8,
              n_probe: int = 2, k: int = 20,

@@ -48,18 +48,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros
-        # (integer division — double arithmetic would lose precision on
-        # epoch-nanos magnitudes).  DuckDB truncates ns->us on read the
-        # same way, so both engines see identical microsecond values.
+        # Historically events.parquet carried TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects; current driver testdata uses
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads
+        # as TIMESTAMP_NTZ.  Normalize BOTH to session-UTC TIMESTAMP so
+        # downstream unix_micros/window logic sees one type; in a UTC
+        # session the NTZ->LTZ cast is wall-clock-identical to DuckDB's
+        # naive TIMESTAMP semantics.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # nanos-as-long: truncate ns->us with integer division
+            # (double arithmetic would lose precision at epoch-nanos
+            # magnitudes); DuckDB truncates ns->us on read identically.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

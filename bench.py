@@ -50,6 +50,8 @@ HEADLINE = [
     "c25_srp_lsh_neardup",  # hyperplane-LSH banded join
     "c26_pq_ann",           # product-quantization ADC + rerank
     "b38_scd2_intervals",   # SCD2 window builder
+    "b43_snapshot_diff",    # CDC full-outer snapshot reconciliation
+    "c29_segment_dedup",    # CCNet-style segment-level corpus dedup
 ]
 
 

@@ -462,3 +462,73 @@ def _t_events(spark):
     from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
     return _t(spark, SF_ORACLE, "events").select(
         "event_id", "user_id", "value")
+
+
+def test_b42_window_sees_preaggregated_input_only(spark):
+    # grouped top-k must rank the (type,user) aggregate, not raw events:
+    # exactly the pre-agg shuffle + the per-group window shuffle, and the
+    # aggregate must have a map-side partial phase.
+    import re
+    p = _plan(spark, "b42_topk_per_group")
+    assert "Window" in p
+    # formatted mode prints each node twice (tree + detail); count the
+    # numbered detail entries so 2 real exchanges aren't seen as 4.
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 2, f"extra shuffles ({n_ex}):\n{p}"
+    assert "partial_sum" in p or "partial_count" in p, "no map-side combine"
+
+
+def test_b43_snapshot_diff_is_single_full_outer_join(spark):
+    # CDC diff = one full-outer sort-merge join on the key; a nested-loop
+    # or cartesian fallback would be O(n*m) at snapshot scale.
+    p = _plan(spark, "b43_snapshot_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c29_segment_count_join_is_equi(spark):
+    # the segment-occurrence join must stay an equi-join on the md5 key
+    # (hash-partitionable at corpus scale), never a theta join.
+    p = _plan(spark, "c29_segment_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c30_decontam_test_side_is_distinct_semi_join(spark):
+    # the held-out shingle set must collapse to DISTINCT keys and reach
+    # the train side as a semi-join (shuffle keys, never documents).
+    p = _plan(spark, "c30_decontam_removal")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    # The Spark-native scale feature behind every date-partitioned fact
+    # table: a selective dimension filter must prune fact PARTITIONS at
+    # runtime (DPP), not scan-then-filter.  Mirrors a 100 TB layout where
+    # the fact is written partitioned by event_date.
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    ev = _t(spark, SF_ORACLE, "events").withColumn(
+        "event_date", F.to_date("ts"))
+    fact_dir = str(tmp_path / "events_by_date")
+    dim_dir = str(tmp_path / "date_dim")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(fact_dir)
+    # NB: the dim-side predicate must be one Spark's isLikelySelective
+    # accepts (a comparison, IN, LIKE...): a bare boolean attribute
+    # filter does NOT qualify and silently disables DPP.
+    (ev.select("event_date").distinct()
+     .withColumn("day_tag", F.when(F.dayofmonth("event_date") <= 3,
+                                   "hot").otherwise("cold"))
+     .write.mode("overwrite").parquet(dim_dir))
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("day_tag") == "hot")
+    q = (fact.join(F.broadcast(dim), "event_date")
+         .groupBy("event_date").agg(F.count("*").alias("n")))
+    jqe = q._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    p = jqe.explainString(mode)
+    assert "dynamicpruning" in p.lower(), f"no DPP in plan:\n{p}"
+    assert q.count() > 0

@@ -1,0 +1,244 @@
+"""Round-3 additions: grouped top-k, CDC snapshot diff, segment-level
+corpus dedup, and train-set decontamination removal.
+
+- b42: per-GROUP top-k (b07 is global top-k; the grouped form has a
+  different physical shape — pre-aggregate, then a bounded window per
+  group — and is the "top pages per domain / top users per cohort"
+  staple).
+- b43: CDC snapshot diff — classify insert/update/delete/unchanged
+  between two table versions with one full-outer join on the key; the
+  shape behind every incremental-load reconciliation job.
+- c29: CCNet-style segment-level exact dedup (Wenzek et al. 2020 dedup
+  lines across shards; here fixed 10-token segments since the corpus
+  has no newlines): count global segment occurrences, drop repeated
+  segments, rebuild the document.
+- c30: decontamination REMOVAL — c15 reports test-set contamination;
+  this drops contaminated docs from the TRAIN split (the direction
+  actual pretraining pipelines apply, cf. GPT-3 appendix C).
+
+Engine-parity conventions follow driver_queries: BIGINT casts on int
+outputs, floor(value*100) integer cents instead of float sums,
+identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_shingles, _duck_toks, _spread)
+
+
+@_register(
+    "b42_topk_per_group",
+    """
+    WITH agg AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id
+    ), rnk AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY value_cents DESC, user_id) AS rn
+      FROM agg
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, user_id, value_cents,
+           n_events
+    FROM rnk WHERE rn <= 3
+    """,
+    "grouped top-k: top-3 users by spend per event type.  Two-phase "
+    "shape: hash pre-aggregate first (map-side combine shrinks the "
+    "shuffle to distinct (type,user) pairs), THEN a row_number window "
+    "whose partitions are the handful of groups — the window never "
+    "sees raw events.  At 100 TB the pre-agg is the only full-data "
+    "shuffle; integer cents (floor(value*100)) keep the rank key "
+    "exact and order-independent",
+)
+def b42_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = (ev.groupBy("event_type", "user_id")
+           .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long").alias("value_cents"),
+                F.count("*").cast("long").alias("n_events")))
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("value_cents"), F.asc("user_id"))
+    return (agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", F.col("rn").cast("long").alias("rn"),
+                    "user_id", "value_cents", "n_events"))
+
+
+@_register(
+    "b43_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+               AS price_cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CAST(floor((o_totalprice
+                         + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+                        * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ), d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN n.price_cents <> o.price_cents THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(n.price_cents, 0) - COALESCE(o.price_cents, 0)
+               AS delta_cents
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta_cents) AS BIGINT) AS delta_cents
+    FROM d GROUP BY change_type
+    """,
+    "CDC snapshot diff: two deterministic versions of orders (drops "
+    "simulate deletes/inserts, +1 on every 13th key simulates "
+    "updates) reconciled with ONE full-outer sort-merge join on the "
+    "key, classified insert/update/delete/unchanged.  At 100 TB both "
+    "snapshots shuffle once on the join key — bucket both snapshots "
+    "by key at write time and the diff becomes exchange-free; integer "
+    "cents make the per-class delta sums exact",
+)
+def b43_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    old = (orders.filter(F.col("o_orderkey") % 97 != 0)
+           .select("o_orderkey", cents.alias("price_cents")))
+    bump = F.when(F.col("o_orderkey") % 13 == 0, 1).otherwise(0)
+    new = (orders.filter(F.col("o_orderkey") % 89 != 0)
+           .select("o_orderkey",
+                   F.floor((F.col("o_totalprice") + bump) * 100)
+                   .cast("long").alias("price_cents")))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                            "full_outer")
+    change = (F.when(F.col("o.o_orderkey").isNull(), "insert")
+              .when(F.col("n.o_orderkey").isNull(), "delete")
+              .when(F.col("n.price_cents") != F.col("o.price_cents"),
+                    "update")
+              .otherwise("unchanged"))
+    delta = (F.coalesce(F.col("n.price_cents"), F.lit(0))
+             - F.coalesce(F.col("o.price_cents"), F.lit(0)))
+    return (j.select(change.alias("change_type"),
+                     delta.alias("delta_cents"))
+            .groupBy("change_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("delta_cents").cast("long").alias("delta_cents")))
+
+
+@_register(
+    "c29_segment_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents
+               WHERE length(trim(text)) > 0),
+    s AS (SELECT doc_id,
+                 list_transform(range(0, ((len(toks) - 1) // 10) + 1),
+                   i -> array_to_string(toks[(i*10+1):(i*10+10)], ' '))
+                   AS segs
+          FROM t),
+    seg AS (SELECT doc_id, i AS seg_pos, segs[i + 1] AS seg_text
+            FROM (SELECT doc_id, segs,
+                         unnest(range(0, len(segs))) AS i FROM s)),
+    cnt AS (SELECT md5(seg_text) AS h, count(*) AS n
+            FROM seg GROUP BY md5(seg_text)),
+    j AS (SELECT g.doc_id, g.seg_pos, g.seg_text, c.n
+          FROM seg g JOIN cnt c ON md5(g.seg_text) = c.h)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           COALESCE(string_agg(CASE WHEN n = 1 THEN seg_text END,
+                               ' ' ORDER BY seg_pos), '') AS clean_text
+    FROM j GROUP BY doc_id
+    """,
+    "LLM-curation: segment-level exact dedup (CCNet dedups LINES "
+    "across the corpus; fixed 10-token segments here).  The global "
+    "occurrence count groups by md5(segment) so the shuffle carries "
+    "128-bit keys, never text; the rebuild is one per-doc hash agg "
+    "over struct(pos,text) with collect_list->array_sort (null-"
+    "skipping collect keeps only unique segments).  At 100 TB: "
+    "2 shuffles total (segment-hash count + doc rebuild), both "
+    "map-side combinable",
+)
+def c29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    nseg = (F.floor((F.size("toks") - 1) / 10) + 1).cast("int")
+    segs = (docs.filter(F.length(F.trim("text")) > 0)
+            .select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.transform(
+                        F.sequence(F.lit(0), nseg - 1),
+                        lambda i: F.array_join(
+                            F.slice("toks", i * 10 + 1, 10), " "))
+                    .alias("segs"))
+            .select("doc_id",
+                    F.posexplode("segs").alias("seg_pos", "seg_text")))
+    segs = segs.withColumn("h", F.md5("seg_text"))
+    cnt = segs.groupBy("h").agg(F.count("*").alias("n"))
+    j = segs.join(cnt, "h")
+    uniq = F.when(F.col("n") == 1,
+                  F.struct(F.col("seg_pos"), F.col("seg_text")))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segs"),
+                 F.sum((F.col("n") > 1).cast("int")).cast("long")
+                 .alias("n_dup_segs"),
+                 F.array_join(
+                     F.transform(F.array_sort(F.collect_list(uniq)),
+                                 lambda s: s["seg_text"]), " ")
+                 .alias("clean_text")))
+
+
+@_register(
+    "c30_decontam_removal",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_duck_toks()} AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, source, unnest({_duck_shingles(3)}) AS sh
+           FROM t),
+    test_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 1),
+    hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN test_sh USING (sh)
+            WHERE s.doc_id % 2 = 0)
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(h.doc_id) AS BIGINT) AS n_removed,
+           CAST(count(*) - count(h.doc_id) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN h.doc_id IS NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 2 = 0
+    GROUP BY d.source
+    """,
+    "LLM-curation: decontamination REMOVAL — drop every TRAIN doc "
+    "sharing a 3-gram shingle with the held-out split (c15 measures; "
+    "this applies the cut, the GPT-3-style direction).  The test "
+    "side collapses to DISTINCT shingles before the semi-join, so "
+    "the join shuffles shingle keys against a set whose size is the "
+    "test corpus, not the train corpus; per-source kept/removed "
+    "accounting comes from one left join on doc_id",
+)
+def c30_decontam_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", "source",
+        F.explode(D.token_shingles(F.col("text"), 3)).alias("sh"))
+    test_sh = sh.filter(F.col("doc_id") % 2 == 1).select("sh").distinct()
+    hit = (sh.filter(F.col("doc_id") % 2 == 0)
+           .join(test_sh, "sh", "left_semi")
+           .select("doc_id").distinct()
+           .withColumn("_hit", F.lit(1)))
+    return (docs.filter(F.col("doc_id") % 2 == 0)
+            .join(hit, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_train"),
+                 F.count("_hit").cast("long").alias("n_removed"),
+                 (F.count("*") - F.count("_hit")).cast("long")
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("_hit").isNull(), F.col("n_chars"))
+                       .otherwise(0)).cast("long").alias("kept_chars")))

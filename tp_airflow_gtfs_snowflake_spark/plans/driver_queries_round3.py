@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
-from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _register, _t
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+    REGISTRY, _register, _t)
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
     _duck_shingles, _duck_toks, _spread)
 
@@ -242,3 +243,122 @@ def c30_decontam_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_kept"),
                  F.sum(F.when(F.col("_hit").isNull(), F.col("n_chars"))
                        .otherwise(0)).cast("long").alias("kept_chars")))
+
+
+@_register(
+    "b44_bitmap_distinct",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+    "exact distinct via Spark's bitmap aggregates: user ids map to "
+    "(bucket, bit) positions, bitmap_construct_agg ORs per-bucket "
+    "bitmaps, bitmap_count sums exact cardinalities — the shuffle "
+    "carries fixed-size bitmaps (<=4KB/bucket) instead of raw ids, "
+    "and partials merge associatively like HLL (b41) but EXACT.  The "
+    "two-phase rewrite of COUNT(DISTINCT) every warehouse engine "
+    "does, expressed with native Spark 3.5+ functions; oracle is the "
+    "plain count-distinct spec",
+)
+def b44_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lvl1 = (ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id"))
+             .alias("bm")))
+    return (lvl1.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bm")).cast("long")
+                 .alias("distinct_users")))
+
+
+@_register(
+    "b45_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_ppm
+    FROM c
+    """,
+    "event-transition (Markov) matrix: per-user lead() pairs "
+    "consecutive events, one (from,to) aggregate counts transitions, "
+    "a window over the tiny aggregate normalizes rows to integer-ppm "
+    "shares.  One full-data shuffle on user_id serves the sequence "
+    "window; everything after runs on |event_types|^2 rows.  The "
+    "product-analytics staple behind 'what do users do next'",
+)
+def b45_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    c = (s.filter(F.col("next_type").isNotNull())
+         .groupBy(F.col("event_type").alias("from_type"),
+                  F.col("next_type").alias("to_type"))
+         .agg(F.count("*").alias("n")))
+    return c.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000000 div sum(n) over (partition by from_type)")
+        .cast("long").alias("share_ppm"))
+
+
+def _chunker_udtf():
+    """Build the chunking UDTF class lazily (pyspark import surface)."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
+    class ChunkerUdtf:
+        def eval(self, text: str):
+            toks = text.strip().lower().split()
+            n = len(toks)
+            if n == 0:
+                return
+            last = max(math.ceil((n - 8) / 24.0) - 1, 0)
+            for i in range(int(last) + 1):
+                chunk = toks[i * 24:i * 24 + 32]
+                yield i, len(chunk), " ".join(chunk)
+
+    return ChunkerUdtf
+
+
+@_register(
+    "c31_udtf_chunking",
+    # identical contract to c21: the UDTF must reproduce the native
+    # chunker bit-for-bit, so it shares c21's oracle spec verbatim
+    # (c21 registers earlier in the import chain).
+    REGISTRY["c21_doc_chunking"].oracle,
+    "Spark 4 Python UDTF surface: the c21 chunker re-expressed as an "
+    "arrow-batched user-defined TABLE function driven through a "
+    "LATERAL join — the imperative row->rows escape hatch for logic "
+    "the array HOFs can't express.  Deliberately NOT the scale path "
+    "(per-row Python; c21's native slice/explode form is), but the "
+    "value-hash oracle pins that both produce identical chunks",
+)
+def c31_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled",
+                       "true")
+    except Exception:
+        pass
+    spark.udtf.register("c31_chunker", _chunker_udtf())
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("c31_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM c31_docs d, LATERAL c31_chunker(d.text) c
+    """)
+

@@ -85,10 +85,29 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(per_query.values()), 3)
+    # The headline suite GROWS round over round (r01: 20 queries, r02+:
+    # 32, 34, ...).  The recorded BASELINE (BENCH_r01) was the 20-query
+    # suite, so the apples-to-apples regression comparator is the
+    # subtotal over exactly those 20 names — reported separately so a
+    # growing suite never reads as a slowdown.
+    r01_suite = [
+        "flagship_span_topk", "b03_delay_join", "b04_broadcast_dim_join",
+        "b05_time_bucket_agg", "b07_topk_by_aggregate",
+        "b10_span_per_group", "b11_latest_per_key",
+        "c01b_normalized_neardup", "c02_cosine_topk", "c04_json_extract",
+        "b14_asof_join", "b16_rollup_agg", "c06f_minhash_neardup_fast",
+        "c07f_simhash_neardup_fast", "q01_pricing_summary",
+        "q03_shipping_priority", "q05_local_supplier_volume",
+        "q06_forecast_revenue", "c09_ivf_ann", "c05b_image_features",
+    ]
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "n_queries": len(per_query),
+        "baseline_r01_subset_seconds": round(
+            sum(per_query.get(n, 0.0) for n in r01_suite), 3),
+        "baseline_r01_subset_n": sum(1 for n in r01_suite if n in per_query),
         "queries": per_query,
         "sf": sf,
     }

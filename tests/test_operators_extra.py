@@ -661,3 +661,31 @@ def test_cell_blocked_neardup_sub_blocks_invariant(spark):
                SIM.cell_blocked_neardup(
                    emb, threshold=0.3, sub_blocks=sb).collect()}
         assert got == base, f"sub_blocks={sb} diverged"
+
+
+class TestPagerank:
+    def _pr(self, spark, pairs, **kw):
+        from tp_airflow_gtfs_snowflake_spark.operators.components import (
+            pagerank)
+        e = spark.createDataFrame(pairs, "a long, b long")
+        return {r["node"]: r["rank"]
+                for r in pagerank(e, checkpoint=False, **kw).collect()}
+
+    def test_two_node_symmetry(self, spark):
+        r = self._pr(spark, [(1, 2), (2, 1)])
+        assert abs(r[1] - r[2]) < 1e-9
+        assert abs(r[1] - 1.0) < 1e-9  # symmetric 2-cycle fixes rank=1
+
+    def test_chain_middle_dominates(self, spark):
+        # undirected chain 1-2-3: the middle node receives from both ends
+        r = self._pr(spark, [(1, 2), (2, 1), (2, 3), (3, 2)])
+        assert r[2] > r[1] and r[2] > r[3]
+        assert abs(r[1] - r[3]) < 1e-9
+
+    def test_star_center_dominates_and_mass_conserved(self, spark):
+        leaves = list(range(2, 7))
+        edges = [(1, l) for l in leaves] + [(l, 1) for l in leaves]
+        r = self._pr(spark, edges)
+        assert all(r[1] > r[l] for l in leaves)
+        # undirected connected graph: no dangling loss -> sum == |V|
+        assert abs(sum(r.values()) - len(r)) < 1e-6

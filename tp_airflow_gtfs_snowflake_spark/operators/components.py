@@ -82,3 +82,44 @@ def dedup_keep_canonical(docs: DataFrame, edges: DataFrame,
     losers = (comp.filter(F.col("node") != F.col("component"))
               .select(F.col("node").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
+             damping: float = 0.85, n_iter: int = 10,
+             checkpoint: bool = True) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, rank) with ranks normalized so an isolated-free graph sums
+    to ~|V| (per-node teleport of (1-d), the GraphX convention).
+
+    Scale shape mirrors connected_components: each iteration is one
+    equi-join (edges x ranks, both partitioned on the source key) plus
+    one groupBy(dst) sum — two shuffles per round, no driver-side
+    state, lineage cut per round.  Dangling-node mass is dropped (the
+    standard simplified variant); centrality ORDER, which is what
+    corpus-quality weighting consumes, is unaffected.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct())
+    # out-degree rides WITH the edge so the loop body joins ranks only
+    eo = (e.join(e.groupBy("a").agg(F.count("*").alias("outdeg")), "a"))
+    if checkpoint:
+        eo = eo.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (eo.join(ranks.withColumnRenamed("node", "a"), "a")
+                   .select(F.col("b").alias("node"),
+                           (F.col("rank") / F.col("outdeg")).alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

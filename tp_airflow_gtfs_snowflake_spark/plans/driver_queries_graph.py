@@ -94,3 +94,24 @@ def c19b_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(F.length("text").cast("long")).cast("long")
                  .alias("total_chars")))
+
+
+@_register(
+    "c32_pagerank_centrality", None,
+    "LLM-curation: PageRank centrality over the near-dup/similarity "
+    "graph (symmetrized c08 edges) as a corpus quality-weighting "
+    "signal (web-scale curation weights documents by link centrality). "
+    "Fixed 10 iterations, two shuffles per round, lineage checkpointed "
+    "— same iterative discipline as c19.  rows-only check (iterated "
+    "float sums can't hash-match a SQL oracle); invariants — rank-sum "
+    "conservation, chain/star orderings, 2-node symmetry — are pinned "
+    "in tests/test_operators_extra.py",
+)
+def c32_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.components import pagerank
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+    pr = pagerank(sym, src="d1", dst="d2", n_iter=10)
+    return pr.select(F.col("node").cast("long").alias("doc_id"),
+                     F.round("rank", 6).alias("rank"))

@@ -362,3 +362,92 @@ def c31_udtf_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c31_docs d, LATERAL c31_chunker(d.text) c
     """)
 
+
+
+@_register(
+    "c33_token_freq_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t
+            WHERE len(toks) > 0),
+    vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok)
+    SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(v.tf) // count(*) AS BIGINT) AS mean_tok_freq,
+           CAST(sum(CASE WHEN v.tf < 100 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS rare_ppm
+    FROM tok k JOIN vocab v USING (tok)
+    GROUP BY k.doc_id
+    """,
+    "LLM-curation: corpus-frequency quality scoring (the integer-"
+    "exact stand-in for CCNet's LM-perplexity bucketing): pass 1 "
+    "builds the global term-frequency vocab, pass 2 joins it back to "
+    "score each doc by mean token frequency + rare-token fraction.  "
+    "At 100 TB the vocab aggregate map-side combines to ~vocabulary "
+    "size and BROADCASTS back (natural-language vocabs are millions "
+    "of rows, not billions) — scoring stays a narrow map over text",
+)
+def c33_token_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.trim(F.lower("text")), " +"))
+                       .alias("tok")))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    j = tok.join(F.broadcast(vocab), "tok")
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_toks"),
+                 F.expr("sum(tf) div count(*)").cast("long")
+                 .alias("mean_tok_freq"),
+                 F.expr("sum(case when tf < 100 then 1 else 0 end) "
+                        "* 1000000 div count(*)").cast("long")
+                 .alias("rare_ppm")))
+
+
+_MIX_PPM = {"en": 500000, "de": 2250000, "es": 1000000, "fr": 3000000}
+_MIX_SQL = " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_PPM.items())
+
+
+@_register(
+    "c34_mixture_resampling",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE {_MIX_SQL} ELSE 1000000 END AS w_ppm,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
+               ::BIGINT % 1000000 AS frac_bucket
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang,
+             w_ppm // 1000000
+             + CASE WHEN frac_bucket < w_ppm % 1000000 THEN 1 ELSE 0 END
+               AS n_copies
+      FROM w
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT)
+             AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+    "LLM-curation: deterministic mixture resampling — per-language "
+    "sampling weights (0.5x down to 3x up) applied as "
+    "floor(w) guaranteed copies plus one more iff the doc's salted "
+    "md5 bucket falls under the fractional part.  The epoch-mixing "
+    "op behind every pretraining data recipe, reproducible across "
+    "engines and cluster sizes; a pure narrow map + explode, zero "
+    "shuffle at any scale",
+)
+def c34_mixture_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w_ppm = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in _MIX_PPM.items()], F.lit(1000000))
+    frac_bucket = F.pmod(
+        D.portable_hash64(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":mix"))), F.lit(1000000))
+    n_copies = (w_ppm.cast("long") / 1000000).cast("long") + \
+        F.when(frac_bucket < w_ppm % 1000000, 1).otherwise(0)
+    n = docs.select("doc_id", "lang", n_copies.alias("n_copies"))
+    return (n.filter(F.col("n_copies") > 0)
+            .select("doc_id", "lang",
+                    F.explode(F.sequence(
+                        F.lit(0).cast("long"),
+                        F.col("n_copies") - 1)).alias("copy_idx")))

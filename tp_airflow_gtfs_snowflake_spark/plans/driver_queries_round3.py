@@ -451,3 +451,35 @@ def c34_mixture_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.sequence(
                         F.lit(0).cast("long"),
                         F.col("n_copies") - 1)).alias("copy_idx")))
+
+
+@_register(
+    "b46_period_over_period",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+           rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents
+    FROM m
+    """,
+    "period-over-period BI staple: monthly revenue with lag deltas.  "
+    "The full-data work is ONE map-side-combinable aggregate down to "
+    "|months| rows; the single-partition lag window only ever sees "
+    "that tiny aggregate — the safe way to use an unpartitioned "
+    "window at 100 TB (never on raw rows).  Integer cents keep sums "
+    "exact; month rendered as text so both engines order identically",
+)
+def b46_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+         .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("rev_cents")))
+    w = W.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select("month", "rev_cents", prev.alias("prev_cents"),
+                    (F.col("rev_cents") - prev).alias("delta_cents"))

@@ -689,3 +689,36 @@ class TestPagerank:
         assert all(r[1] > r[l] for l in leaves)
         # undirected connected graph: no dangling loss -> sum == |V|
         assert abs(sum(r.values()) - len(r)) < 1e-6
+
+
+def _make_ppm(width: int, height: int, rgb: bytes, *,
+              magic: bytes = b"P6", comment: bool = False) -> bytes:
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# synthetic fixture\n"
+    hdr += b"%d %d\n255\n" % (width, height)
+    return hdr + rgb
+
+
+def test_real_netpbm_decode_through_spark(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        decode_image_features)
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                 10, 20, 30, 200, 210, 220, 5, 5, 5])  # 3x2 RGB
+    gray = bytes([0, 64, 128, 255])                    # 2x2 gray
+    df = spark.createDataFrame(
+        [(1, _make_ppm(3, 2, rgb, comment=True)),
+         (2, _make_ppm(2, 2, gray, magic=b"P5"))],
+        "doc_id long, payload binary")
+    out = {r["doc_id"]: r
+           for r in decode_image_features(
+               df, id_col="doc_id", payload_col="payload",
+               fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"],
+            out[1]["n_channels"]) == (3, 2, 3)
+    assert (out[2]["width"], out[2]["height"],
+            out[2]["n_channels"]) == (2, 2, 1)
+    # gray fixture: one sample per coarse bin 0/2/4/7
+    assert [i for i, v in enumerate(out[2]["features"]) if v] == [0, 2, 4, 7]
+    for r in out.values():
+        assert abs(sum(r["features"]) - 1000000) <= 8

@@ -220,18 +220,58 @@ def _png_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, channels, _hist_ppm(pixels)
 
 
+def _netpbm_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Binary netpbm (P5 gray / P6 RGB, public netpbm spec): ASCII
+    header `P5|P6 <width> <height> <maxval>` with #-comments, single
+    whitespace after maxval, then raw big-endian samples.  maxval<=255
+    only (1 byte/sample)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 1 if payload[:2] == b"P5" else 3
+    # header tokenizer: whitespace-separated ints, # starts a comment
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j:j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed netpbm header")
+    if len(vals) < 3:
+        raise ValueError("truncated netpbm header")
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("netpbm maxval > 255 unsupported")
+    i += 1  # exactly one whitespace byte after maxval
+    data = payload[i:i + width * height * channels]
+    if len(data) != width * height * channels:
+        raise ValueError("truncated netpbm pixel data")
+    return width, height, channels, _hist_ppm(data)
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Dispatch on magic bytes.  BMP and PNG decode natively (PNG via
-    stdlib zlib); other formats need a codec library this container
-    doesn't ship."""
+    """Dispatch on magic bytes.  BMP, PNG and binary netpbm decode
+    natively (PNG via stdlib zlib); other formats need a codec library
+    this container doesn't ship."""
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
     if payload[:8] == _PNG_SIG:
         return _png_decode(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _netpbm_decode(payload)
     raise NotImplementedError(
-        "built-in real decodes: uncompressed BMP and PNG (8-bit, "
-        "non-interlaced).  Plug PIL/torchvision in _real_decode for "
-        "JPEG/WebP")
+        "built-in real decodes: uncompressed BMP, PNG (8-bit, "
+        "non-interlaced) and binary netpbm (P5/P6).  Plug "
+        "PIL/torchvision in _real_decode for JPEG/WebP")
 
 
 def _wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int]:

@@ -722,3 +722,49 @@ def test_real_netpbm_decode_through_spark(spark):
     assert [i for i, v in enumerate(out[2]["features"]) if v] == [0, 2, 4, 7]
     for r in out.values():
         assert abs(sum(r["features"]) - 1000000) <= 8
+
+
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """PPJoin prefix filtering is complete: identical pair set, counts
+    and scores as the naive inverted-index join on the real corpus."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard_pairs)
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    naive = {(r["d1"], r["d2"]): (r["n_common"], round(r["jaccard"], 9))
+             for r in ngram_jaccard_pairs(
+                 docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    pref = {(r["d1"], r["d2"]): (r["n_common"], round(r["jaccard"], 9))
+            for r in prefix_filtered_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert naive == pref
+    assert naive, "fixture produced no near-dup pairs (vacuous test)"
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The point of the prefix index: strictly fewer candidate pairs
+    than shingle-sharing pairs on a corpus with hot shingles."""
+    from pyspark.sql import functions as F
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    sh = D._shingle_rows(docs, "doc_id", "text", 3)
+    naive_pairs = (sh.alias("a").join(
+        sh.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count())
+    t = 0.5
+    from pyspark.sql.window import Window
+    freq = sh.groupBy("sh").agg(F.count("*").alias("gf"))
+    ranked = (sh.join(freq, "sh")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("gf", "sh")))
+              .withColumn("n_sh", F.count("*").over(
+                  Window.partitionBy("doc_id"))))
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * t) + 1)
+    pref_pairs = (prefix.alias("a").join(
+        prefix.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count())
+    assert pref_pairs < naive_pairs

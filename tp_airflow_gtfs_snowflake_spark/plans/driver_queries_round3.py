@@ -483,3 +483,27 @@ def b46_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("rev_cents").over(w)
     return m.select("month", "rev_cents", prev.alias("prev_cents"),
                     (F.col("rev_cents") - prev).alias("delta_cents"))
+
+
+@_register(
+    "c35_prefix_filter_jaccard",
+    # same exact-Jaccard spec as c08: prefix filtering must lose
+    # NOTHING, so the oracle is the full inverted-index form.
+    REGISTRY["c08_ngram_jaccard"].oracle,
+    "C1 exact Jaccard pairs via PREFIX FILTERING (All-Pairs/PPJoin): "
+    "shingle sets ordered by ascending global frequency, only the "
+    "first |x|-ceil(t|x|)+1 shingles join — complete by pigeonhole, "
+    "but the candidate join touches the RAREST shingles, cutting the "
+    "hot-shingle quadratic blowup of c08's naive inverted index.  "
+    "Sharing c08's oracle pins zero recall loss.  At 100 TB this is "
+    "the exact-similarity-join shape that stays feasible when "
+    "stopword shingles make c08 explode",
+)
+def c35_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    out = D.prefix_filtered_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                          threshold=0.5)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"),
+                      F.col("n_common").cast("long").alias("n_common"),
+                      "jaccard")

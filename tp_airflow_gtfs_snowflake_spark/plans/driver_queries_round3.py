@@ -507,3 +507,104 @@ def c35_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("d2").cast("long").alias("d2"),
                       F.col("n_common").cast("long").alias("n_common"),
                       "jaccard")
+
+
+@_register(
+    "c36_token_association",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    bg AS (SELECT list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1]) AS bgs, toks
+           FROM t WHERE len(toks) >= 2),
+    pair AS (SELECT unnest(bgs) AS bigram FROM bg),
+    uni AS (SELECT unnest(toks) AS tok FROM bg),
+    pc AS (SELECT bigram, count(*) AS c_xy FROM pair GROUP BY bigram),
+    uc AS (SELECT tok, count(*) AS c_x FROM uni GROUP BY tok),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+                   (SELECT count(*) FROM pair) AS n_pair)
+    SELECT p.bigram, CAST(p.c_xy AS BIGINT) AS c_xy,
+           CAST(x.c_x AS BIGINT) AS c_x, CAST(y.c_x AS BIGINT) AS c_y,
+           CAST(p.c_xy * t.n_uni * t.n_uni
+                // (x.c_x * y.c_x * t.n_pair) AS BIGINT) AS lift_ratio
+    FROM pc p
+    JOIN uc x ON x.tok = string_split(p.bigram, ' ')[1]
+    JOIN uc y ON y.tok = string_split(p.bigram, ' ')[2]
+    CROSS JOIN tot t
+    WHERE p.c_xy >= 20
+    """,
+    "text analytics: adjacent-token association (PMI's exact-integer "
+    "sibling — lift = p(xy)/(p(x)p(y)) as an integer ratio, no log so "
+    "both engines agree bit-for-bit).  Bigrams come from one zip_with "
+    "over the token array (no explode of pairs-within-window), margins "
+    "from two aggregates, and the tiny filtered pair table joins the "
+    "unigram margins by key.  At 100 TB: two map-side-combinable "
+    "aggregates over text + a join whose left side is only the "
+    "frequent-bigram survivors",
+)
+def c36_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), " +")
+    b = docs.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bgs = F.zip_with(F.slice("toks", 1, m), F.slice("toks", 2, m),
+                     lambda x, y: F.concat_ws(" ", x, y))
+    pair = b.select(F.explode(bgs).alias("bigram"))
+    uni = b.select(F.explode("toks").alias("tok"))
+    pc = pair.groupBy("bigram").agg(F.count("*").alias("c_xy"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("c_x"))
+    # both scalar totals in ONE narrow scan (not two explode+count jobs)
+    tot = b.agg(F.sum(F.size("toks")).alias("nu"),
+                F.sum(F.size("toks") - 1).alias("np")).first()
+    n_uni, n_pair = int(tot["nu"]), int(tot["np"])
+    p = pc.filter(F.col("c_xy") >= 20).withColumn(
+        "w1", F.split("bigram", " ")[0]).withColumn(
+        "w2", F.split("bigram", " ")[1])
+    x = uc.select(F.col("tok").alias("w1"), F.col("c_x").alias("cx1"))
+    y = uc.select(F.col("tok").alias("w2"), F.col("c_x").alias("cx2"))
+    return (p.join(F.broadcast(x), "w1").join(F.broadcast(y), "w2")
+            .select("bigram", F.col("c_xy").cast("long").alias("c_xy"),
+                    F.col("cx1").cast("long").alias("c_x"),
+                    F.col("cx2").cast("long").alias("c_y"),
+                    F.expr(f"c_xy * {n_uni}L * {n_uni}L "
+                           f"div (cx1 * cx2 * {n_pair}L)")
+                    .cast("long").alias("lift_ratio")))
+
+
+@_register(
+    "b47_equidepth_histogram",
+    """
+    WITH q AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS lo_cents,
+           CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
+    FROM q GROUP BY decile
+    """,
+    "equi-depth (quantile-bucket) histogram via ntile: each decile "
+    "holds the same row count, bucket bounds come out of min/max per "
+    "bucket (b09 is the fixed-WIDTH histogram; equi-depth is what "
+    "optimizers and feature-binning actually use).  The ntile window "
+    "is a GLOBAL sort — the one legitimately global-sort op in the "
+    "registry; at 100 TB use range partitioning + per-partition "
+    "offsets (write_range_layout) or approx_percentile instead, which "
+    "is exactly the trade b23 demonstrates.  Tiebreak on the key "
+    "makes bucket assignment deterministic",
+)
+def b47_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    q = o.select("o_totalprice",
+                 F.ntile(10).over(
+                     W.orderBy("o_totalprice", "o_orderkey"))
+                 .alias("decile"))
+    return (q.groupBy("decile")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.floor(F.min("o_totalprice") * 100).cast("long")
+                 .alias("lo_cents"),
+                 F.floor(F.max("o_totalprice") * 100).cast("long")
+                 .alias("hi_cents"))
+            .select(F.col("decile").cast("long").alias("decile"),
+                    "n", "lo_cents", "hi_cents"))

@@ -270,3 +270,26 @@ def test_pq_m1_corpus_codebook_is_identity(spark, vecs):
         for i, v in rows:
             # own id unless an earlier exact duplicate claims the code
             assert got[i] <= i
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=3, max_size=12),
+    min_size=2, max_size=14))
+def test_prefix_filter_jaccard_complete_on_random_corpora(spark, corpora):
+    """PPJoin completeness is a pigeonhole theorem, not a heuristic:
+    on random small-vocab corpora (engineered for heavy shingle
+    collisions) the prefix-filtered pair set must equal the naive
+    inverted-index pair set exactly."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard_pairs)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        naive = {(r["d1"], r["d2"], r["n_common"])
+                 for r in ngram_jaccard_pairs(
+                     df, "doc_id", "text", n=2, threshold=t).collect()}
+        pref = {(r["d1"], r["d2"], r["n_common"])
+                for r in prefix_filtered_jaccard_pairs(
+                    df, "doc_id", "text", n=2, threshold=t).collect()}
+        assert naive == pref

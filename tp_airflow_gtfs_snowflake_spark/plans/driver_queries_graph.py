@@ -115,3 +115,28 @@ def c32_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(sym, src="d1", dst="d2", n_iter=10)
     return pr.select(F.col("node").cast("long").alias("doc_id"),
                      F.round("rank", 6).alias("rank"))
+
+
+@_register(
+    "c37_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+    SELECT CAST(n_members AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM (SELECT component_id, count(*) AS n_members
+          FROM comp GROUP BY component_id)
+    GROUP BY n_members
+    """,
+    "LLM-curation: duplication profile — the size distribution of "
+    "near-dup clusters ('how duplicated is my corpus', the first "
+    "number a dedup run reports).  Two tiny aggregates on top of the "
+    "c19 component labelling; all heavy lifting is the shared edge "
+    "derivation + min-label propagation",
+)
+def c37_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = connected_components(_edges(spark, sf_dir))
+    return (comp.groupBy("component")
+            .agg(F.count("*").alias("n_members"))
+            .groupBy(F.col("n_members").cast("long").alias("cluster_size"))
+            .agg(F.count("*").cast("long").alias("n_clusters")))

@@ -608,3 +608,29 @@ def b47_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("hi_cents"))
             .select(F.col("decile").cast("long").alias("decile"),
                     "n", "lo_cents", "hi_cents"))
+
+
+@_register(
+    "b48_listagg_paths",
+    """
+    SELECT user_id,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    "ordered LISTAGG: per-user event-journey strings (Spark 4's "
+    "native listagg with WITHIN GROUP ordering; DuckDB string_agg "
+    "ORDER BY).  The journey-reconstruction shape product analytics "
+    "exports; bounded to a user subset because concatenating "
+    "unbounded groups is an anti-pattern at scale — cap, sample, or "
+    "switch to b33's array-HOF funnel form for full-corpus paths",
+)
+def b48_listagg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (ev.groupBy("user_id")
+            .agg(F.expr("listagg(event_type, '->') "
+                        "within group (order by ts, event_id)")
+                 .alias("path"),
+                 F.count("*").cast("long").alias("n_events")))

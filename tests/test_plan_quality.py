@@ -532,3 +532,32 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     p = jqe.explainString(mode)
     assert "dynamicpruning" in p.lower(), f"no DPP in plan:\n{p}"
     assert q.count() > 0
+
+
+def test_cdc_diff_on_bucketed_snapshots_is_exchange_free(spark):
+    """b43's scale claim, proven: write both snapshots bucketed on the
+    key and the full-outer CDC join plans with NO exchange on either
+    side — the diff becomes a per-bucket merge."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import write_bucketed
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    old = (o.filter(F.col("o_orderkey") % 97 != 0)
+           .select("o_orderkey", cents.alias("price_cents")))
+    new = (o.filter(F.col("o_orderkey") % 89 != 0)
+           .select("o_orderkey", (cents + 1).alias("price_cents")))
+    write_bucketed(old, "snap_old", bucket_col="o_orderkey", n_buckets=8)
+    write_bucketed(new, "snap_new", bucket_col="o_orderkey", n_buckets=8)
+    try:
+        so = spark.table("snap_old").alias("o")
+        sn = spark.table("snap_new").alias("n")
+        d = so.join(sn, F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                    "full_outer")
+        p = d._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "FullOuter" in p
+        assert "Exchange" not in p, f"bucketed CDC still shuffles:\n{p[:1200]}"
+        assert d.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_old")
+        spark.sql("DROP TABLE IF EXISTS snap_new")

@@ -768,3 +768,41 @@ def test_prefix_filter_prunes_candidates(spark):
         & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select("a.doc_id", "b.doc_id").distinct().count())
     assert pref_pairs < naive_pairs
+
+
+class TestHeavyHitters:
+    def test_guaranteed_recall_and_lower_bound(self, spark):
+        """Any item with true count > n/(k+1) must appear in the merged
+        summary, and every estimate must be a lower bound within
+        n/(k+1) of the true count."""
+        from tp_airflow_gtfs_snowflake_spark.operators.heavy_hitters import (
+            misra_gries_partials)
+        # skewed stream: item 'h0' dominates, long tail of singletons
+        rows = ([("h0",)] * 500 + [("h1",)] * 200
+                + [(f"t{i}",) for i in range(300)])
+        df = spark.createDataFrame(rows, "tok string").repartition(8)
+        k = 16
+        n = len(rows)
+        merged = {r["item"]: r["est_count"]
+                  for r in misra_gries_partials(df, "tok", k=k)
+                  .groupBy("item")
+                  .agg(__import__("pyspark.sql.functions",
+                                  fromlist=["sum"]).sum("mg_count")
+                       .alias("est_count")).collect()}
+        true = {"h0": 500, "h1": 200}
+        bound = n / (k + 1)
+        for item, tc in true.items():
+            if tc > bound:
+                assert item in merged, f"{item} (count {tc}) missing"
+            if item in merged:
+                assert merged[item] <= tc
+                assert tc - merged[item] <= bound
+
+    def test_summary_size_bounded(self, spark):
+        from tp_airflow_gtfs_snowflake_spark.operators.heavy_hitters import (
+            misra_gries_partials)
+        rows = [(f"x{i % 97}",) for i in range(2000)]
+        df = spark.createDataFrame(rows, "tok string").repartition(4)
+        k = 8
+        # <= k surviving counters per partition summary
+        assert misra_gries_partials(df, "tok", k=k).count() <= 4 * k

@@ -634,3 +634,23 @@ def b48_listagg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "within group (order by ts, event_id)")
                  .alias("path"),
                  F.count("*").cast("long").alias("n_events")))
+
+
+@_register(
+    "c38_heavy_hitters", None,
+    "frequent-items sketch: Misra-Gries summaries per partition "
+    "(vectorized mapInPandas, k=32 counters), merged with one "
+    "groupBy-sum into guaranteed-superset heavy hitters over the "
+    "corpus token stream — the mergeable-summary discipline of "
+    "b41 (HLL) and b44 (bitmaps) applied to top-k items.  rows-only "
+    "check (counter state depends on partition order); the n/(k+1) "
+    "undercount bound and planted-heavy-item recall are pinned in "
+    "tests/test_operators_extra.py",
+)
+def c38_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.heavy_hitters import (
+        heavy_hitters)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=32, top=10)

@@ -202,3 +202,29 @@ def test_tws_odometer_matches_applyinpandas(spark, tmp_path):
     new = final_totals(vehicle_odometer_tws, "odo_new")
     assert new == old
     assert any(n > 1 for n, _ in new.values())  # state crossed batches
+
+
+def test_sliding_hll_union_tracks_exact_within_5pct(spark):
+    """b49: 7-day distinct estimates from unioned daily HLL partials
+    must track the exact sliding count-distinct within 5% on every
+    window of the real event stream."""
+    from pyspark.sql import functions as F
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY, _t)
+    est = {r["day"]: r["distinct_users_7d_est"]
+           for r in REGISTRY["b49_sliding_distinct_sketch"]
+           .fn(spark, "/root/testdata/sf0.01").collect()}
+    ev = _t(spark, "/root/testdata/sf0.01", "events") \
+        .select(F.to_date("ts").alias("day"), "user_id")
+    d = ev.select("day").distinct().alias("d")
+    exact = {r["day"]: r["n"]
+             for r in d.join(
+                 ev.alias("e"),
+                 (F.col("e.day") >= F.date_sub(F.col("d.day"), 6))
+                 & (F.col("e.day") <= F.col("d.day")))
+             .groupBy(F.col("d.day").alias("day"))
+             .agg(F.countDistinct("e.user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for day, e in est.items():
+        assert abs(e - exact[day]) <= 0.05 * exact[day], \
+            f"{day}: est {e} vs exact {exact[day]}"

@@ -683,3 +683,62 @@ def b49_sliding_distinct_sketch(spark: SparkSession, sf_dir: str
                  F.hll_sketch_estimate(F.hll_union_agg("w.sk"))
                  .cast("long").alias("distinct_users_7d_est"))
             .orderBy("day"))
+
+
+@_register(
+    "c39_int8_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, label, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS maxabs
+      FROM e
+    ), q AS (
+      SELECT vec_id, label, maxabs,
+             list_transform(emb,
+               x -> CAST(floor(x * 127 / maxabs + 0.5) AS BIGINT)) AS codes
+      FROM m WHERE maxabs > 0
+    )
+    SELECT vec_id, label,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_ppm,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+             AS code_abs_sum,
+           CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT)
+             AS code_max_abs
+    FROM q
+    """,
+    "vector-corpus compression: symmetric int8 quantization with a "
+    "per-vector max-abs scale (the storage format embedding stores "
+    "and GPU kernels consume — 4x smaller than float32).  Quantize = "
+    "one narrow transform over the array column, no shuffle at any "
+    "scale; codes stay in [-127,127] by construction.  floor(x+0.5) "
+    "arithmetic is IEEE-identical in both engines, so the oracle "
+    "checks the exact codes via integer checksums",
+)
+def c39_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    m = emb.select(
+        "vec_id", "label", dbl.alias("emb"),
+        F.array_max(F.transform(dbl, lambda x: F.abs(x))).alias("maxabs"))
+    codes = F.transform(
+        "emb", lambda x: F.floor(x * 127 / F.col("maxabs") + 0.5)
+        .cast("long"))
+    q = m.filter(F.col("maxabs") > 0).select(
+        "vec_id", "label", "maxabs", codes.alias("codes"))
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id", "label",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.floor(F.col("maxabs") * 1000000).cast("long").alias("scale_ppm"),
+        F.aggregate("codes", zero, lambda a, c: a + c).cast("long")
+        .alias("code_sum"),
+        F.aggregate("codes", zero, lambda a, c: a + F.abs(c)).cast("long")
+        .alias("code_abs_sum"),
+        F.array_max(F.transform("codes", lambda c: F.abs(c)))
+        .cast("long").alias("code_max_abs"))

@@ -742,3 +742,52 @@ def c39_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("code_abs_sum"),
         F.array_max(F.transform("codes", lambda c: F.abs(c)))
         .cast("long").alias("code_max_abs"))
+
+
+@_register(
+    "b50_try_arithmetic",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 7 AS div7,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN 'not-a-number'
+                  ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS numish
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents // NULLIF(div7, 0)) AS BIGINT) AS safe_div_sum,
+           CAST(sum(CASE WHEN div7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_by_zero,
+           CAST(sum(TRY_CAST(numish AS BIGINT)) AS BIGINT) AS parsed_sum,
+           CAST(sum(CASE WHEN TRY_CAST(numish AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsable
+    FROM s
+    """,
+    "ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by default "
+    "(div-by-zero and bad casts THROW mid-job — the failure mode that "
+    "kills an 8-hour 100 TB job at hour 7), so dirty-data pipelines "
+    "route through try_divide / try_cast which yield NULL instead.  "
+    "Engineered zero divisors and unparsable strings on every 7th/5th "
+    "key; the oracle expresses the same null-on-error semantics with "
+    "NULLIF guards and TRY_CAST",
+)
+def b50_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 7).alias("div7"),
+        F.when(F.col("o_orderkey") % 5 == 0, "not-a-number")
+        .otherwise((F.col("o_orderkey") % 100).cast("string"))
+        .alias("numish"))
+    parsed = F.col("numish").try_cast("long")
+    return s.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.try_divide("cents", "div7").cast("long")).cast("long")
+        .alias("safe_div_sum"),
+        F.sum((F.col("div7") == 0).cast("int")).cast("long")
+        .alias("n_div_by_zero"),
+        F.sum(parsed).cast("long").alias("parsed_sum"),
+        F.sum(parsed.isNull().cast("int")).cast("long")
+        .alias("n_unparsable"))

@@ -791,3 +791,101 @@ def b50_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(parsed).cast("long").alias("parsed_sum"),
         F.sum(parsed.isNull().cast("int")).cast("long")
         .alias("n_unparsable"))
+
+
+_VOCAB = ("table", "row", "scan", "join", "hash", "value", "key", "agg",
+          "fast", "slow", "data", "query", "the", "a", "column", "batch")
+_VOCAB_SQL = ", ".join(f"'{w}'" for w in _VOCAB)
+
+
+@_register(
+    "c40_vocab_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_duck_toks()} AS toks
+               FROM documents),
+    m AS (SELECT doc_id, lang, len(toks) AS n_tok,
+                 len(list_filter(toks, w -> w NOT IN ({_VOCAB_SQL})))
+                   AS n_oov
+          FROM t WHERE len(toks) > 0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS n_oov,
+           CAST(sum(n_oov) * 1000000 // sum(n_tok) AS BIGINT)
+             AS oov_ppm,
+           CAST(sum(CASE WHEN n_oov * 1000000 // n_tok > 500000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_majority_oov
+    FROM m GROUP BY lang
+    """,
+    "LLM-curation: tokenizer-vocabulary coverage audit — per-language "
+    "out-of-vocabulary token rates against a fixed vocab (the check "
+    "run before committing to a tokenizer: high OOV = wasted UNK "
+    "mass).  The vocab rides as a literal IN-list (broadcast "
+    "semantics at any scale; a real 100k-token vocab would broadcast "
+    "a lookup table instead — same plan shape as c33's join-back); "
+    "one narrow map + one combinable aggregate",
+)
+def c40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), " +")
+    m = (docs.select("lang", toks.alias("toks"))
+         .withColumn("n_tok", F.size("toks"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("n_oov", F.size(F.filter(
+             "toks", lambda w: ~w.isin(*_VOCAB)))))
+    return (m.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.sum("n_oov").cast("long").alias("n_oov"),
+                 F.expr("sum(n_oov) * 1000000 div sum(n_tok)")
+                 .cast("long").alias("oov_ppm"),
+                 F.sum((F.expr("n_oov * 1000000 div n_tok") > 500000)
+                       .cast("int")).cast("long")
+                 .alias("n_docs_majority_oov")))
+
+
+@_register(
+    "b51_first_touch_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             min(CASE WHEN event_type = 'click' THEN ts_us END)
+               OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 604800000000 PRECEDING
+                           AND CURRENT ROW) AS first_click_us
+      FROM ev
+    )
+    SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+           first_click_us,
+           (ts_us - first_click_us) // 1000000 AS latency_s
+    FROM w WHERE event_type = 'purchase' AND first_click_us IS NOT NULL
+    """,
+    "first-touch attribution: for every purchase, the EARLIEST click "
+    "in the trailing 7-day window (b14's as-of join is last-touch; "
+    "marketing attribution needs first-touch).  One shuffle on "
+    "user_id serves a RANGE-frame conditional MIN over the unioned "
+    "event stream — no self-join, no per-purchase probe.  Epoch-"
+    "microsecond range bounds keep the frame arithmetic integer-exact",
+)
+def b51_first_touch_attribution(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("ts_us")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-604800000000, 0))
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts_us"))).over(w)
+    return (ev.withColumn("first_click_us", first_click)
+            .filter((F.col("event_type") == "purchase")
+                    & F.col("first_click_us").isNotNull())
+            .select("user_id", F.col("event_id").alias("purchase_id"),
+                    F.col("ts_us").alias("purchase_ts_us"),
+                    "first_click_us",
+                    ((F.col("ts_us") - F.col("first_click_us"))
+                     / 1000000).cast("long").alias("latency_s")))

@@ -806,3 +806,26 @@ class TestHeavyHitters:
         k = 8
         # <= k surviving counters per partition summary
         assert misra_gries_partials(df, "tok", k=k).count() <= 4 * k
+
+
+def test_minhash_bipartite_finds_cross_pair_only(spark):
+    """Bipartite LSH: a planted near-dup ACROSS corpora is found; the
+    near-dup pair WITHIN corpus A must not be emitted."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        minhash_bipartite_pairs, portable_hash64)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    a = spark.createDataFrame(
+        [(1, base + "mu"), (2, base + "nu"),   # intra-A near-dups
+         (3, "completely unrelated text having no overlap at all ok")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(101, base + "mu"),                    # cross near-dup of 1
+         (102, "different holdout content with nothing in common xyz")],
+        "doc_id long, text string")
+    out = minhash_bipartite_pairs(a, b, "doc_id", "text",
+                                  num_hashes=16, bands=4, shingle_n=3,
+                                  threshold=0.5,
+                                  hash_fn=portable_hash64).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 101) in pairs
+    assert all(ib >= 100 for _, ib in pairs), "intra-corpus pair leaked"

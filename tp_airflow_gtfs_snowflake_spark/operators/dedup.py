@@ -170,11 +170,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
-                           rows_per_band: int) -> DataFrame:
-    """Band the signatures; docs sharing any band bucket are candidate
-    pairs.  Shuffles only (band_id, band_hash, doc_id)."""
-    banded = signatures.select(
+def _banded(signatures: DataFrame, bands: int,
+            rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: one md5 bucket per signature band."""
+    return signatures.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         "signature",
@@ -184,6 +183,13 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
             "signature",
             F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
     )
+
+
+def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
+                           rows_per_band: int) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidate
+    pairs.  Shuffles only (band_id, band_hash, doc_id)."""
+    banded = _banded(signatures, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -399,3 +405,45 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str,
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
             .select("d1", "d2", "n_common", "jaccard"))
+
+
+def minhash_bipartite_pairs(df_a: DataFrame, df_b: DataFrame,
+                            id_col: str, text_col: str, *,
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_n: int = 3, threshold: float = 0.5,
+                            hash_fn: HashFn = F.xxhash64) -> DataFrame:
+    """Cross-corpus (bipartite) MinHash-LSH: near-dup pairs BETWEEN two
+    corpora — the scale path for decontamination, where corpus A is
+    100 TB of train text and corpus B the held-out/eval set.  Banding
+    each side separately and equi-joining on (band, bucket) means
+    intra-corpus collisions never materialize (a self-join + parity
+    filter would generate then discard them), and the join shuffles
+    only (band, 128-bit bucket, id) tuples from each side.
+
+    Returns (id_a, id_b, jaccard) for candidate pairs whose EXACT
+    n-gram Jaccard (verified on candidates only) meets the threshold.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    ba = _banded(minhash_signatures(df_a, id_col, text_col, num_hashes,
+                                    shingle_n, hash_fn), bands, rows)
+    bb = _banded(minhash_signatures(df_b, id_col, text_col, num_hashes,
+                                    shingle_n, hash_fn), bands, rows)
+    cand = (ba.alias("a").join(bb.alias("b"), ["band", "bucket"])
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    sh_a = _shingle_rows(df_a, id_col, text_col, shingle_n) \
+        .select(F.col("doc_id").alias("id_a"), "sh")
+    sh_b = _shingle_rows(df_b, id_col, text_col, shingle_n) \
+        .select(F.col("doc_id").alias("id_b"), "sh")
+    common = (cand.join(sh_a, "id_a").join(sh_b, ["id_b", "sh"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    na = sh_a.groupBy("id_a").agg(F.count("*").alias("n1"))
+    nb = sh_b.groupBy("id_b").agg(F.count("*").alias("n2"))
+    return (common.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        F.col("n_common")
+                        / (F.col("n1") + F.col("n2") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -889,3 +889,59 @@ def b51_first_touch_attribution(spark: SparkSession, sf_dir: str
                     "first_click_us",
                     ((F.col("ts_us") - F.col("first_click_us"))
                      / 1000000).cast("long").alias("latency_s")))
+
+
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (  # noqa: E402
+    _duck_hash64, _duck_minhash_band_case, _duck_minhash_mins)
+
+
+@_register(
+    "c41_bipartite_lsh_decontam",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {{P}} AS h FROM sh),
+    m AS (SELECT doc_id,
+                {_duck_minhash_mins(16)}
+          FROM hx GROUP BY doc_id),
+    banded AS (SELECT doc_id, b.band AS band,
+                      md5({_duck_minhash_band_case(16, 4)}) AS bucket
+               FROM m, range(0, 4) b(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS test_id
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+    common AS (SELECT c.train_id, c.test_id, count(*) AS n_common
+               FROM cand c
+               JOIN sh s1 ON s1.doc_id = c.train_id
+               JOIN sh s2 ON s2.doc_id = c.test_id AND s2.sh = s1.sh
+               GROUP BY c.train_id, c.test_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT train_id, test_id,
+           n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common JOIN sizes x ON x.doc_id = train_id
+                JOIN sizes y ON y.doc_id = test_id
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.35
+    """.replace("{P}", str(D.MINHASH_P)),
+    "LLM-curation: BIPARTITE MinHash-LSH decontamination — near-dup "
+    "pairs BETWEEN the train and held-out splits via separately-"
+    "banded signatures equi-joined on (band, bucket), exact Jaccard "
+    "verify on candidates only.  c30's exact shingle semi-join "
+    "shuffles every shingle of 100 TB of train text; this shuffles "
+    "16-hash signatures and verifies only collided pairs — the "
+    "cross-corpus sibling of c06, with intra-corpus collisions never "
+    "materialized.  The oracle mirrors the full LSH pipeline "
+    "(portable md5 minhash) so candidate generation itself is "
+    "hash-checked",
+)
+def c41_bipartite_lsh_decontam(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    out = D.minhash_bipartite_pairs(
+        train, test, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_n=3, threshold=0.35, hash_fn=D.portable_hash64)
+    return out.select(F.col("id_a").cast("long").alias("train_id"),
+                      F.col("id_b").cast("long").alias("test_id"),
+                      "jaccard")

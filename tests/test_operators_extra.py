@@ -829,3 +829,29 @@ def test_minhash_bipartite_finds_cross_pair_only(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 101) in pairs
     assert all(ib >= 100 for _, ib in pairs), "intra-corpus pair leaked"
+
+
+def test_leakage_free_split_never_straddles_components(spark):
+    """Every near-dup pair must land entirely in one split: group-keyed
+    hashing makes straddling impossible by construction — verify on the
+    real corpus edge set."""
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as DD
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        connected_components)
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    edges = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.5).select("d1", "d2")
+    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
+    keyed = (docs.join(comp, "doc_id", "left")
+             .withColumn("group_id", F.coalesce("component", "doc_id")))
+    split = F.pmod(DD.portable_hash64(
+        F.concat(F.col("group_id").cast("string"), F.lit(":split"))),
+        F.lit(10)) < 8
+    assign = {r["doc_id"]: r["s"]
+              for r in keyed.select("doc_id", split.alias("s")).collect()}
+    pairs = edges.collect()
+    assert pairs, "no near-dup pairs: vacuous"
+    for r in pairs:
+        assert assign[r["d1"]] == assign[r["d2"]], \
+            f"pair ({r['d1']},{r['d2']}) straddles the split"

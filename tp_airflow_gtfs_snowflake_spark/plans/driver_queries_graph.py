@@ -140,3 +140,53 @@ def c37_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_members"))
             .groupBy(F.col("n_members").cast("long").alias("cluster_size"))
             .agg(F.count("*").cast("long").alias("n_clusters")))
+
+
+@_register(
+    "c42_leakage_free_split",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, d.lang,
+             COALESCE(c.component_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), split AS (
+      SELECT doc_id, lang, group_id,
+             CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)
+                                            || ':split'), 1, 15))::BIGINT
+                       % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM keyed
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+    FROM split GROUP BY split
+    """,
+    "LLM-curation: leakage-free train/val split — the split key is "
+    "the near-dup COMPONENT id (docs with no near-dup use their own "
+    "id), hashed deterministically, so near-duplicates can never "
+    "straddle the boundary and inflate eval scores.  Composes the "
+    "c19 component labelling with c17's portable hash-split; the "
+    "per-doc decision is a broadcast join against the (tiny) "
+    "component map plus a narrow hash — trivial at 100 TB.  The "
+    "no-straddling invariant is pinned by pytest",
+)
+def c42_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        portable_hash64)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    comp = connected_components(_edges(spark, sf_dir)) \
+        .withColumnRenamed("node", "doc_id")
+    keyed = (docs.join(F.broadcast(comp), "doc_id", "left")
+             .withColumn("group_id",
+                         F.coalesce("component", "doc_id")))
+    split = F.when(
+        F.pmod(portable_hash64(
+            F.concat(F.col("group_id").cast("string"), F.lit(":split"))),
+            F.lit(10)) < 8, "train").otherwise("val")
+    return (keyed.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("group_id").cast("long")
+                 .alias("n_groups")))

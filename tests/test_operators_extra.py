@@ -855,3 +855,23 @@ def test_leakage_free_split_never_straddles_components(spark):
     for r in pairs:
         assert assign[r["d1"]] == assign[r["d2"]], \
             f"pair ({r['d1']},{r['d2']}) straddles the split"
+
+
+def test_mllib_tfidf_invariants(spark):
+    """c44: one vector per doc; a token present in EVERY doc has IDF 0
+    (so a single-token corpus yields all-zero tf-idf vectors)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+    df = spark.createDataFrame(
+        [(1, "common common"), (2, "common"), (3, "common")],
+        "doc_id long, text string")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=64)
+    tfd = tf.transform(tok.transform(df))
+    out = IDF(inputCol="tf", outputCol="tfidf").fit(tfd).transform(tfd)
+    rows = out.select(
+        F.aggregate(vector_to_array("tfidf"), F.lit(0.0),
+                    lambda a, x: a + F.abs(x)).alias("l1")).collect()
+    assert len(rows) == 3
+    # idf = ln((n+1)/(df+1)) = ln(4/4) = 0 for the ubiquitous token
+    assert all(abs(r["l1"]) < 1e-12 for r in rows)

@@ -945,3 +945,73 @@ def c41_bipartite_lsh_decontam(spark: SparkSession, sf_dir: str
     return out.select(F.col("id_a").cast("long").alias("train_id"),
                       F.col("id_b").cast("long").alias("test_id"),
                       "jaccard")
+
+
+@_register(
+    "c43_dup_ngram_rate",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_duck_toks()} AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, lang, unnest({_duck_shingles(5)}) AS sh
+           FROM t),
+    cnt AS (SELECT sh, count(*) AS n FROM sh GROUP BY sh)
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(DISTINCT s.sh) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM sh s JOIN cnt c USING (sh)
+    GROUP BY s.lang
+    """,
+    "LLM-curation: duplicate n-gram rate — the fraction of 5-gram "
+    "occurrences whose n-gram appears elsewhere in the corpus (the "
+    "memorization-risk metric of Lee et al. 2022, 'Deduplicating "
+    "Training Data Makes Language Models Better').  Global counts "
+    "group on the shingle (at 100 TB: on its xxhash64), join-back is "
+    "by the same key; per-language ppm rates come out of one "
+    "combinable aggregate",
+)
+def c43_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "lang", F.explode(D.token_shingles(F.col("text"), 5)).alias("sh"))
+    cnt = sh.groupBy("sh").agg(F.count("*").alias("n"))
+    return (sh.join(cnt, "sh")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_ngrams"),
+                 F.countDistinct("sh").cast("long").alias("n_distinct"),
+                 F.expr("sum(case when n > 1 then 1 else 0 end) "
+                        "* 1000000 div count(*)").cast("long")
+                 .alias("dup_ppm")))
+
+
+@_register(
+    "c44_mllib_tfidf", None,
+    "MLlib pipeline surface: Tokenizer -> HashingTF -> IDF over the "
+    "corpus — the pyspark.ml feature pipeline (c14 is the exact-"
+    "integer tf-idf twin with a SQL oracle; this exercises the "
+    "estimator/transformer API the ML ecosystem expects, sparse "
+    "vectors and all).  rows-only check (MLlib hashing/IDF floats "
+    "have no DuckDB twin); invariants — one vector per doc, "
+    "dimensionality, IDF of a ubiquitous token is 0 — pinned in "
+    "pytest",
+)
+def c44_mllib_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    docs = _spread(spark, _t(spark, sf_dir, "documents")) \
+        .select("doc_id", F.lower(F.trim("text")).alias("text"))
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1024)
+    tfd = tf.transform(tok.transform(docs))
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    # project to a stable, comparable shape (vector norms, not floats
+    # of a specific hash layout)
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array("tfidf")
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != 0)).cast("long")
+        .alias("n_nonzero"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("sq_norm"))

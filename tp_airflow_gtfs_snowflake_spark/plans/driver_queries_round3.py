@@ -1015,3 +1015,54 @@ def c44_mllib_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nonzero"),
         F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x), 6)
         .alias("sq_norm"))
+
+
+@_register(
+    "b53_schema_drift_union",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(NULL AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+               AS channel
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), u AS (
+      SELECT *, 'v1' AS src FROM v1
+      UNION ALL
+      SELECT *, 'v2' AS src FROM v2
+    )
+    SELECT src, COALESCE(channel, 'unknown') AS channel,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price_cents) AS BIGINT) AS cents
+    FROM u GROUP BY src, COALESCE(channel, 'unknown')
+    """,
+    "schema-drift ingestion: an old extract version lacking the "
+    "`channel` column unions with the new one via unionByName("
+    "allowMissingColumns) + explicit defaults — the multi-source "
+    "reconciliation every long-lived pipeline does when upstream "
+    "schemas evolve.  Narrow union, no shuffle until the final "
+    "aggregate; drifted columns surface as typed NULLs, never "
+    "position-swapped values (the classic UNION-by-position bug)",
+)
+def b53_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    v1 = (o.filter(F.col("o_orderkey") % 3 == 0)
+          .select("o_orderkey", "o_custkey", cents.alias("price_cents"))
+          .withColumn("src", F.lit("v1")))      # no channel column
+    v2 = (o.filter(F.col("o_orderkey") % 3 != 0)
+          .select("o_orderkey", "o_custkey", cents.alias("price_cents"),
+                  F.when(F.col("o_orderkey") % 2 == 0, "web")
+                  .otherwise("store").alias("channel"))
+          .withColumn("src", F.lit("v2")))
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (u.groupBy("src",
+                      F.coalesce("channel", F.lit("unknown"))
+                      .alias("channel"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("price_cents").cast("long").alias("cents")))

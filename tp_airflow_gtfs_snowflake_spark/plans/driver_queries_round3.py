@@ -1066,3 +1066,59 @@ def b53_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("channel"))
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum("price_cents").cast("long").alias("cents")))
+
+
+@_register(
+    "b54_nested_denormalize",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(*) AS n_items,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS order_cents,
+             max(CAST(l_quantity AS BIGINT)) AS max_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(p.n_items) AS BIGINT) AS n_items,
+           CAST(sum(p.order_cents) AS BIGINT) AS cents,
+           CAST(max(p.max_qty) AS BIGINT) AS max_qty
+    FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    "nested denormalization: line items collect into a per-order "
+    "SORTED array<struct> (the layout that saves the orders-lineitem "
+    "join on every downstream read at 100 TB), then per-order stats "
+    "come from array HOF folds over the nested column — no "
+    "re-explode.  The oracle computes identical numbers relationally, "
+    "so the nested construct+consume round-trip is value-checked; "
+    "the struct array is sorted by line number so the layout is "
+    "deterministic",
+)
+def b54_nested_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    nested = (li.select(
+        "l_orderkey",
+        F.struct(F.col("l_linenumber"),
+                 F.floor(F.col("l_extendedprice") * 100).cast("long")
+                 .alias("cents"),
+                 F.col("l_quantity").cast("long").alias("qty"))
+        .alias("item"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items")))
+    zero = F.lit(0).cast("long")
+    per_order = nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate("items", zero, lambda a, it: a + it["cents"])
+        .alias("order_cents"),
+        F.array_max(F.transform("items", lambda it: it["qty"]))
+        .alias("max_qty"))
+    return (per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("n_items").cast("long").alias("n_items"),
+                 F.sum("order_cents").cast("long").alias("cents"),
+                 F.max("max_qty").cast("long").alias("max_qty")))

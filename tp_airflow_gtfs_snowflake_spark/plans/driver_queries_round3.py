@@ -1122,3 +1122,63 @@ def b54_nested_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_items").cast("long").alias("n_items"),
                  F.sum("order_cents").cast("long").alias("cents"),
                  F.max("max_qty").cast("long").alias("max_qty")))
+
+
+@_register(
+    "c45_token_budget_apportionment",
+    """
+    WITH w AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT source, weight,
+             CAST(100000 * weight // wsum AS BIGINT) AS base_alloc,
+             CAST(100000 * weight % wsum AS BIGINT) AS remainder
+      FROM w CROSS JOIN tot
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source)
+               AS rnk,
+             CAST(100000 - sum(base_alloc) OVER () AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT source, weight, base_alloc,
+           CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc
+                + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM ranked
+    """,
+    "LLM-curation: token-budget apportionment — split a 100k-token "
+    "training budget across sources proportional to their content "
+    "mass with the largest-remainder method (exact integer "
+    "allocations that sum to the budget; floor division alone leaves "
+    "a deficit).  The data-mixing planning step before c34 executes "
+    "the sampling.  All work happens on the |sources|-row aggregate; "
+    "the windows only ever see that tiny table",
+)
+def c45_token_budget_apportionment(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight"))
+    tot = w.agg(F.sum("weight").cast("long").alias("wsum"))
+    base = (w.crossJoin(F.broadcast(tot))
+            .select("source", "weight",
+                    F.expr("100000 * weight div wsum").cast("long")
+                    .alias("base_alloc"),
+                    F.expr("100000 * weight % wsum").cast("long")
+                    .alias("remainder")))
+    ranked = (base
+              .withColumn("rnk", F.row_number().over(
+                  W.orderBy(F.desc("remainder"), F.asc("source"))))
+              .withColumn("leftover",
+                          (F.lit(100000)
+                           - F.sum("base_alloc").over(
+                               W.partitionBy())).cast("long")))
+    extra = F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source", "weight", "base_alloc",
+        extra.cast("long").alias("extra"),
+        (F.col("base_alloc") + extra).cast("long").alias("alloc"))

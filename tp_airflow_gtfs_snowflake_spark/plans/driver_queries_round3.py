@@ -1182,3 +1182,88 @@ def c45_token_budget_apportionment(spark: SparkSession, sf_dir: str
         "source", "weight", "base_alloc",
         extra.cast("long").alias("extra"),
         (F.col("base_alloc") + extra).cast("long").alias("alloc"))
+
+
+from tp_airflow_gtfs_snowflake_spark.functions import text as T  # noqa: E402
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (  # noqa: E402
+    _STOP_SQL)
+
+
+@_register(
+    "c46_langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['de']}))) AS s_de,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['en']}))) AS s_en,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['es']}))) AS s_es,
+        len(list_filter({_duck_toks()}, x -> x IN ({_STOP_SQL['fr']}))) AS s_fr
+      FROM documents
+    ), p AS (
+      SELECT lang,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM s
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS correct_ppm
+    FROM p GROUP BY lang, lang_pred
+    """,
+    "classifier evaluation as a query: the language-ID confusion "
+    "matrix (true lang x predicted lang with per-cell counts and "
+    "correctness ppm) — the eval rollup every model-in-the-loop "
+    "curation step reports.  Prediction is the c03c stopword-argmax "
+    "narrow map; the matrix is one combinable aggregate over "
+    "|langs|^2 cells",
+)
+def c46_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    p = docs.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+    return (p.groupBy("lang", "lang_pred")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.expr("sum(case when lang = lang_pred then 1 else 0 "
+                        "end) * 1000000 div count(*)").cast("long")
+                 .alias("correct_ppm")))
+
+
+@_register(
+    "b55_pareto_contribution",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS pri,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderpriority
+    ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r)
+    SELECT pri, cents,
+           CAST(cents * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(sum(cents) OVER (ORDER BY cents DESC, pri)
+                * 1000000 // total AS BIGINT) AS cum_share_ppm
+    FROM r CROSS JOIN t
+    """,
+    "Pareto / contribution analysis: each priority class's share of "
+    "total revenue plus the cumulative share in descending order (the "
+    "'which 20% drives 80%' rollup).  All windows run on the "
+    "|groups|-row aggregate; integer-cents and ppm keep every value "
+    "exact.  The scalar total broadcasts — no second scan of the fact",
+)
+def b55_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    r = (o.groupBy(F.col("o_orderpriority").alias("pri"))
+         .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+              .cast("long").alias("cents")))
+    t = r.agg(F.sum("cents").cast("long").alias("total"))
+    w = W.orderBy(F.desc("cents"), F.asc("pri"))
+    # integer div throughout: double division + cast truncation can
+    # disagree with the oracle's floor-div at exact integer boundaries
+    return (r.crossJoin(F.broadcast(t))
+            .withColumn("_cum", F.sum("cents").over(w))
+            .select("pri", "cents",
+                    F.expr("cents * 1000000 div total").cast("long")
+                    .alias("share_ppm"),
+                    F.expr("_cum * 1000000 div total").cast("long")
+                    .alias("cum_share_ppm")))

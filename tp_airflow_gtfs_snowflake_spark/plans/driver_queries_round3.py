@@ -1267,3 +1267,95 @@ def b55_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("share_ppm"),
                     F.expr("_cum * 1000000 div total").cast("long")
                     .alias("cum_share_ppm")))
+
+
+@_register(
+    "b56_date_spine_zero_fill",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(d.cents, 0) AS BIGINT) AS cents,
+           (d.day IS NULL) AS zero_filled
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    "calendar-spine zero-fill: generate the full day spine with "
+    "sequence() between the observed bounds, LEFT JOIN the daily "
+    "aggregate, and absent days surface as explicit zero rows — "
+    "'no data' must be a row, not a gap, for every downstream "
+    "moving-window and charting consumer (b34's RANGE frames skip "
+    "absent days; this materializes them).  The spine is tiny and "
+    "broadcasts; the fact is touched once by the aggregate",
+)
+def b56_date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min(F.to_date("ts")).alias("lo"),
+                    F.max(F.to_date("ts")).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .alias("cents")))
+    return (spine.join(daily, "day", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_purchases"),
+                    F.coalesce("cents", F.lit(0)).cast("long")
+                    .alias("cents"),
+                    F.col("n").isNull().alias("zero_filled")))
+
+
+@_register(
+    "b57_interarrival_histogram",
+    """
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT CASE WHEN gap_us < 60000000 THEN '<1m'
+                WHEN gap_us < 3600000000 THEN '1m-1h'
+                WHEN gap_us < 86400000000 THEN '1h-1d'
+                ELSE '>=1d' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(gap_us) AS BIGINT) AS min_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    "inter-arrival-time histogram: per-user lag gaps bucketed on "
+    "integer epoch-microsecond thresholds (<1m / 1m-1h / 1h-1d / "
+    ">=1d) — the session-timeout calibration picture behind b29's "
+    "30-minute sessionization choice.  One user_id shuffle for the "
+    "lag window, then a 4-row aggregate",
+)
+def b57_interarrival_histogram(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select((F.unix_micros("ts")
+                   - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+    bucket = (F.when(F.col("gap_us") < 60_000_000, "<1m")
+              .when(F.col("gap_us") < 3_600_000_000, "1m-1h")
+              .when(F.col("gap_us") < 86_400_000_000, "1h-1d")
+              .otherwise(">=1d"))
+    return (g.filter(F.col("gap_us").isNotNull())
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("gap_us").cast("long").alias("min_us"),
+                 F.max("gap_us").cast("long").alias("max_us")))

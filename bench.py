@@ -52,6 +52,8 @@ HEADLINE = [
     "b38_scd2_intervals",   # SCD2 window builder
     "b43_snapshot_diff",    # CDC full-outer snapshot reconciliation
     "c29_segment_dedup",    # CCNet-style segment-level corpus dedup
+    "c41_bipartite_lsh_decontam",  # cross-corpus LSH decontamination
+    "b54_nested_denormalize",      # array<struct> build + HOF consume
 ]
 
 

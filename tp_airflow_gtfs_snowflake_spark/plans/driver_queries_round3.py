@@ -1359,3 +1359,58 @@ def b57_interarrival_histogram(spark: SparkSession, sf_dir: str
             .agg(F.count("*").cast("long").alias("n"),
                  F.min("gap_us").cast("long").alias("min_us"),
                  F.max("gap_us").cast("long").alias("max_us")))
+
+
+@_register(
+    "c47_vocab_truncation",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_duck_toks()}) AS tok FROM documents
+    ), c AS (
+      SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok
+    ), t AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY lang
+    ), r AS (
+      SELECT c.lang, c.tok, c.n, t.total,
+             sum(c.n) OVER (PARTITION BY c.lang
+                            ORDER BY c.n DESC, c.tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - c.n AS cum_before
+      FROM c JOIN t USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN cum_before * 10 < total * 9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS vocab_90p,
+           CAST(sum(CASE WHEN cum_before * 10 < total * 9
+                         THEN n ELSE 0 END) * 1000000 // max(total)
+                AS BIGINT) AS coverage_ppm
+    FROM r GROUP BY lang
+    """,
+    "LLM-curation: top-p (nucleus) vocabulary truncation — per "
+    "language, the minimal token set covering >=90% of occurrence "
+    "mass (tokens ranked by frequency; a token is kept while the "
+    "cumulative mass BEFORE it is under the threshold, so the "
+    "boundary token that crosses 90% is included).  The tokenizer-"
+    "vocab sizing decision, integer arithmetic throughout.  Windows "
+    "run on the per-language distinct-token aggregate, never raw "
+    "tokens",
+)
+def c47_vocab_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "lang", F.explode(F.split(F.trim(F.lower("text")), " +"))
+        .alias("tok"))
+    c = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").cast("long").alias("total"))
+    w = (W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    r = (c.join(t, "lang")
+         .withColumn("cum_before", F.sum("n").over(w) - F.col("n")))
+    kept = F.col("cum_before") * 10 < F.col("total") * 9
+    return (r.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_distinct"),
+                 F.sum(kept.cast("int")).cast("long").alias("vocab_90p"),
+                 F.expr("sum(case when cum_before * 10 < total * 9 "
+                        "then n else 0 end) * 1000000 div max(total)")
+                 .cast("long").alias("coverage_ppm")))

@@ -1414,3 +1414,66 @@ def c47_vocab_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(case when cum_before * 10 < total * 9 "
                         "then n else 0 end) * 1000000 div max(total)")
                  .cast("long").alias("coverage_ppm")))
+
+
+from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine  # noqa: E402
+
+
+@_register(
+    "c48_hard_negative_mining",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding::DOUBLE[] AS aemb
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS cand_id,
+             e.label AS cand_label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], a.aemb),
+                   6) AS sim
+      FROM a JOIN embeddings e ON e.label <> a.anchor_label
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY sim DESC, cand_id) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, cand_id AS negative_id,
+           cand_label AS negative_label, sim
+    FROM best WHERE rn = 1
+    """,
+    "LLM-curation: hard-negative mining — for each anchor, the most "
+    "cosine-similar embedding of a DIFFERENT label (the contrastive-"
+    "training pair every embedding-model pipeline mines).  Anchors "
+    "broadcast; scoring is a narrow map over the corpus; the argmax "
+    "is one max_by aggregate per anchor (deterministic smallest-id "
+    "tie-break), no global sort.  At corpus scale swap the exact "
+    "scan for the IVF/PQ candidates (c09/c26) and keep this exact "
+    "re-rank on the shortlist",
+)
+def c48_hard_negative_mining(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    a = (emb.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("anchor_label"),
+                 F.col("embedding").alias("aemb")))
+    scored = (emb.join(F.broadcast(a),
+                       F.col("label") != F.col("anchor_label"))
+              .select("anchor_id", "anchor_label",
+                      F.col("vec_id").alias("cand_id"),
+                      F.col("label").alias("cand_label"),
+                      F.round(cosine(F.col("embedding"),
+                                     F.col("aemb")), 6).alias("sim")))
+    # argmax via max over (sim, -cand_id): unique, smallest id on ties
+    best = (scored.groupBy("anchor_id", "anchor_label")
+            .agg(F.max(F.struct(
+                F.col("sim"),
+                (-F.col("cand_id")).alias("neg_id"))).alias("b")))
+    neg = (-F.col("b.neg_id")).cast("long")
+    lbl = emb.select(F.col("vec_id").alias("negative_id"),
+                     F.col("label").alias("negative_label"))
+    return (best.select("anchor_id", "anchor_label",
+                        neg.alias("negative_id"), F.col("b.sim").alias("sim"))
+            .join(F.broadcast(lbl), "negative_id")
+            .select("anchor_id", "anchor_label", "negative_id",
+                    "negative_label", "sim"))

@@ -1477,3 +1477,37 @@ def c48_hard_negative_mining(spark: SparkSession, sf_dir: str
             .join(F.broadcast(lbl), "negative_id")
             .select("anchor_id", "anchor_label", "negative_id",
                     "negative_label", "sim"))
+
+
+@_register(
+    "b58_topn_with_ties",
+    """
+    WITH agg AS (
+      SELECT event_type, user_id % 100 AS cohort,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id % 100
+    ), r AS (
+      SELECT *, rank() OVER (PARTITION BY event_type
+                             ORDER BY n_events DESC) AS rnk
+      FROM agg
+    )
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, cohort, n_events
+    FROM r WHERE rnk <= 3
+    """,
+    "top-N WITH TIES: rank() keeps every cohort tied at the boundary "
+    "(b42's row_number form arbitrarily drops tied rows — correct for "
+    "sampling, wrong for 'which cohorts are top-3', where a tie IS "
+    "the answer).  Same two-phase shape: combinable pre-aggregate, "
+    "then a window over the small aggregate; output size is data-"
+    "dependent by design",
+)
+def b58_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = (ev.groupBy("event_type",
+                      (F.col("user_id") % 100).alias("cohort"))
+           .agg(F.count("*").cast("long").alias("n_events")))
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (agg.withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("event_type", F.col("rnk").cast("long").alias("rnk"),
+                    "cohort", "n_events"))

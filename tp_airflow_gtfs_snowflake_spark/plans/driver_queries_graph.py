@@ -190,3 +190,46 @@ def c42_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.countDistinct("group_id").cast("long")
                  .alias("n_groups")))
+
+
+@_register(
+    "c49_quality_canonical_dedup",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.component_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY group_id
+                 ORDER BY n_chars DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked WHERE rn = 1
+    GROUP BY lang
+    """,
+    "LLM-curation: QUALITY-aware canonical selection — keep the "
+    "longest (highest-content) document per near-dup cluster instead "
+    "of c19b's min-id convention (the keeper choice real pipelines "
+    "make: dedup should discard the truncated copies, not the id-"
+    "unlucky ones).  max-per-group over the component labelling via "
+    "one bounded window; unpaired docs are their own group",
+)
+def c49_quality_canonical_dedup(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    from pyspark.sql.window import Window as W
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    comp = connected_components(_edges(spark, sf_dir)) \
+        .withColumnRenamed("node", "doc_id")
+    keyed = (docs.join(F.broadcast(comp), "doc_id", "left")
+             .withColumn("group_id", F.coalesce("component", "doc_id")))
+    w = W.partitionBy("group_id").orderBy(F.desc("n_chars"),
+                                          F.asc("doc_id"))
+    return (keyed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))

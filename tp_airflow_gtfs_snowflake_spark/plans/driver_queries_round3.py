@@ -1511,3 +1511,50 @@ def b58_topn_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= 3)
             .select("event_type", F.col("rnk").cast("long").alias("rnk"),
                     "cohort", "n_events"))
+
+
+@_register(
+    "c50_corpus_datacard",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      {_duck_toks()} AS toks
+               FROM documents),
+    m AS (SELECT doc_id, lang, source, n_chars, len(toks) AS n_tok
+          FROM t)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(n_tok) AS BIGINT) AS min_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens,
+           CAST(CAST(sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000 // count(*) AS BIGINT)
+             AS short_doc_ppm
+    FROM m
+    """,
+    "LLM-curation: the one-row corpus datacard — doc/lang/source "
+    "cardinalities, token and char totals, length extremes and the "
+    "short-document fraction, all from a single pass (the summary "
+    "block every dataset datasheet leads with).  One combinable "
+    "aggregate; distinct counts are over low-cardinality dims",
+)
+def c50_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    m = docs.select(
+        "lang", "source", "n_chars",
+        F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_tok"))
+    return m.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.expr("sum(n_tok) div count(*)").cast("long")
+        .alias("mean_tokens"),
+        F.expr("sum(case when n_tok < 10 then 1 else 0 end) "
+               "* 1000000 div count(*)").cast("long")
+        .alias("short_doc_ppm"))

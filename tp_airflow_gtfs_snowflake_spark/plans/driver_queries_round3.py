@@ -1558,3 +1558,102 @@ def c50_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(case when n_tok < 10 then 1 else 0 end) "
                "* 1000000 div count(*)").cast("long")
         .alias("short_doc_ppm"))
+
+
+@_register(
+    "b59_running_peak_drawdown",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             sum(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_cents
+      FROM events
+    ), p AS (
+      SELECT user_id,
+             max(running_cents) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_cents,
+             running_cents
+      FROM s
+    )
+    SELECT user_id,
+           CAST(max(peak_cents) AS BIGINT) AS peak_cents,
+           CAST(max(peak_cents - running_cents) AS BIGINT)
+             AS max_drawdown_cents
+    FROM p GROUP BY user_id HAVING user_id < 100
+    """,
+    "running-extremum analytics: per-user cumulative value, its "
+    "running peak (cummax window), and the maximum drawdown "
+    "(peak-to-trough gap) — the time-series envelope metric.  Two "
+    "stacked windows share ONE user_id shuffle and sort; integer "
+    "cents keep every running sum exact",
+)
+def b59_running_peak_drawdown(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = ev.select(
+        "user_id",
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+        .alias("running_cents"),
+        F.max(F.sum(F.floor(F.col("value") * 100).cast("long")).over(w))
+        .over(w).alias("peak_cents"))
+    return (s.filter(F.col("user_id") < 100)
+            .groupBy("user_id")
+            .agg(F.max("peak_cents").cast("long").alias("peak_cents"),
+                 F.max(F.col("peak_cents") - F.col("running_cents"))
+                 .cast("long").alias("max_drawdown_cents")))
+
+
+@_register(
+    "b60_ignore_nulls_carry",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100) AS BIGINT) END
+               AS purchase_cents
+      FROM events
+    ), c AS (
+      SELECT user_id, event_id, ts_us, purchase_cents,
+             last_value(purchase_cents IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_cents
+      FROM s
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN last_purchase_cents IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_before_first_purchase,
+           CAST(max(last_purchase_cents) AS BIGINT) AS max_carried
+    FROM c GROUP BY user_id HAVING user_id < 100
+    """,
+    "IGNORE NULLS window semantics: carry the most recent purchase "
+    "amount forward across non-purchase events with last_value(... "
+    "IGNORE NULLS) — the 'current state as of each event' pattern "
+    "(b35's gap-fill sibling on the event grain).  One user_id "
+    "shuffle; events before the first purchase stay NULL and are "
+    "counted, not fabricated",
+)
+def b60_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.floor(F.col("value") * 100).cast("long"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = ev.select(
+        "user_id", cents.alias("purchase_cents"),
+        F.last(cents, ignorenulls=True).over(w)
+        .alias("last_purchase_cents"))
+    return (c.filter(F.col("user_id") < 100)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.col("last_purchase_cents").isNull().cast("int"))
+                 .cast("long").alias("n_before_first_purchase"),
+                 F.max("last_purchase_cents").cast("long")
+                 .alias("max_carried")))

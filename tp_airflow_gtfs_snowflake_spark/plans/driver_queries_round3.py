@@ -1657,3 +1657,71 @@ def b60_ignore_nulls_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_before_first_purchase"),
                  F.max("last_purchase_cents").cast("long")
                  .alias("max_carried")))
+
+
+@_register(
+    "b61_point_in_time_join",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE event_type <> 'purchase'
+    ), starts AS (
+      SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS valid_to_us
+      FROM ch WHERE prev_type IS NULL OR event_type <> prev_type
+    ), purch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND user_id < 200
+    )
+    SELECT s.state,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(p.cents) AS BIGINT) AS cents
+    FROM purch p JOIN starts s
+      ON s.user_id = p.user_id
+     AND p.ts_us >= s.valid_from_us
+     AND (s.valid_to_us IS NULL OR p.ts_us < s.valid_to_us)
+    GROUP BY s.state
+    """,
+    "point-in-time (SCD2 interval) join: each purchase matches the "
+    "dimension VERSION valid at its event time (half-open intervals "
+    "from the b38-style change detector over NON-purchase events, "
+    "so a purchase inherits the browsing state preceding it) — the "
+    "feature-store "
+    "correctness op that prevents label leakage from future "
+    "attribute values.  The join is an equi-join on the entity key "
+    "with the interval predicate evaluated inside it; per-key "
+    "version chains are short, so the per-key cross-check is "
+    "bounded.  Purchases at a state-change instant land in the NEW "
+    "interval (>= from, < to), never both",
+)
+def b61_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (ev.filter(F.col("event_type") != "purchase")
+          .select("user_id", "event_type",
+                  F.unix_micros("ts").alias("ts_us"),
+                  F.lag("event_type").over(w).alias("prev_type")))
+    w2 = W.partitionBy("user_id").orderBy("ts_us")
+    starts = (ch.filter(F.col("prev_type").isNull()
+                        | (F.col("event_type") != F.col("prev_type")))
+              .select("user_id", F.col("event_type").alias("state"),
+                      F.col("ts_us").alias("valid_from_us"),
+                      F.lead("ts_us").over(w2).alias("valid_to_us")))
+    purch = (ev.filter((F.col("event_type") == "purchase")
+                       & (F.col("user_id") < 200))
+             .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("cents")))
+    j = purch.alias("p").join(
+        starts.alias("s"),
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts_us") >= F.col("s.valid_from_us"))
+        & (F.col("s.valid_to_us").isNull()
+           | (F.col("p.ts_us") < F.col("s.valid_to_us"))))
+    return (j.groupBy("s.state")
+            .agg(F.count("*").cast("long").alias("n_purchases"),
+                 F.sum("p.cents").cast("long").alias("cents")))

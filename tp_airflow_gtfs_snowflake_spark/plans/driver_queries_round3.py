@@ -1725,3 +1725,38 @@ def b61_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("s.state")
             .agg(F.count("*").cast("long").alias("n_purchases"),
                  F.sum("p.cents").cast("long").alias("cents")))
+
+
+@_register(
+    "b62_group_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM r WHERE rn = 1 AND user_id < 200
+    """,
+    "per-group MODE with a deterministic tie-break: most frequent "
+    "event type per user via two-level aggregate + max_by over "
+    "struct(count, reversed-type) — never the built-in mode(), whose "
+    "tie behavior is engine-arbitrary and would flake the hash.  "
+    "Map-side combinable both levels; the argmax never sorts",
+)
+def b62_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count("*").cast("long").alias("n")))
+    # argmax by (n desc, event_type asc): max over struct with the
+    # type's sort direction inverted via unicode complement is fragile;
+    # use min_by over (-n, event_type) instead — exact same ordering.
+    best = (c.groupBy("user_id")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                                F.col("event_type").alias("t"))).alias("b")))
+    return (best.filter(F.col("user_id") < 200)
+            .select("user_id", F.col("b.t").alias("mode_type"),
+                    (-F.col("b.neg_n")).cast("long").alias("mode_n")))

@@ -1760,3 +1760,78 @@ def b62_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (best.filter(F.col("user_id") < 200)
             .select("user_id", F.col("b.t").alias("mode_type"),
                     (-F.col("b.neg_n")).cast("long").alias("mode_n")))
+
+
+@_register(
+    "b63_first_seen_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             strftime(date_trunc('month', min(ts)), '%Y-%m')
+               AS first_month
+      FROM events GROUP BY user_id
+    )
+    SELECT first_month, CAST(count(*) AS BIGINT) AS new_users
+    FROM f GROUP BY first_month
+    """,
+    "growth accounting: users bucketed by their FIRST-seen month (one "
+    "min aggregate per user, then a month rollup — the 'new users per "
+    "period' number; b30's retention cohorts consume exactly this "
+    "grouping).  Both aggregates map-side combine; no window, no "
+    "self-join",
+)
+def b63_first_seen_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = (ev.groupBy("user_id")
+         .agg(F.date_format(F.min("ts"), "yyyy-MM").alias("first_month")))
+    return (f.groupBy("first_month")
+            .agg(F.count("*").cast("long").alias("new_users")))
+
+
+@_register(
+    "c51_source_dup_rate",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    paired AS (
+      SELECT DISTINCT d FROM (
+        SELECT d1 AS d FROM common
+          JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+        WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
+        UNION ALL
+        SELECT d2 FROM common
+          JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+        WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5)
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.d) AS BIGINT) AS n_duplicated,
+           CAST(count(p.d) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+    FROM documents d LEFT JOIN paired p ON p.d = d.doc_id
+    GROUP BY d.source
+    """,
+    "LLM-curation: per-source duplication rate — the share of each "
+    "source's documents that participate in ANY near-dup pair (c08 "
+    "edges), the ranking that tells you WHICH feed to fix upstream.  "
+    "The paired-doc set is tiny and broadcast-joins back to the "
+    "corpus; per-source ppm from one aggregate",
+)
+def c51_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.5)
+    paired = (pairs.select(F.col("d1").alias("d"))
+              .unionByName(pairs.select(F.col("d2").alias("d")))
+              .distinct()
+              .withColumn("_p", F.lit(1)))
+    return (docs.join(F.broadcast(paired),
+                      docs["doc_id"] == paired["d"], "left")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count("_p").cast("long").alias("n_duplicated"),
+                 F.expr("count(_p) * 1000000 div count(*)").cast("long")
+                 .alias("dup_ppm")))

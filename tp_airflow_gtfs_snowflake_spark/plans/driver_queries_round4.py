@@ -1,0 +1,508 @@
+"""Round-4 additions: arbitrary GROUPING SETS, time-weighted average,
+OHLC bucket rollup, integer least-squares trend, MAD outlier fences,
+graph triangle census, duplicate-span flagging, and a bigram
+corpus-frequency LM proxy.
+
+Analytics (b64-b68):
+- b64: arbitrary GROUPING SETS — b16/b17 cover ROLLUP/CUBE; the
+  general form ((a,b),(b),()) is NOT a rollup of its own columns and
+  exercises Spark's Expand operator with a hand-picked set list.
+- b65: time-weighted average (TimescaleDB `time_weight` analogue) —
+  irregular samples weighted by their holding duration, the correct
+  mean for sensor/price series; last sample of each group carries no
+  weight (no successor).  One window + one aggregate.
+- b66: OHLC candlestick rollup (first/last/min/max per bucket).  The
+  Spark side is ONE hash aggregate via min_by/max_by over a
+  (ts, event_id) struct key — no window, map-side combinable; the
+  oracle uses the textbook double-row_number window form.
+- b67: per-group linear trend as INTEGER least squares — slope from
+  (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²) over exact BIGINT moment sums on a
+  daily pre-aggregate; ppm scaling + truncating div keep both engines
+  bit-identical (no float accumulation order to disagree on).
+- b68: median-absolute-deviation outlier fence — exact interpolated
+  median (Spark `percentile` == DuckDB `quantile_cont`, both
+  (n−1)·p), MAD via a second aggregate over |x−med|, then a ±3·MAD
+  count.  Two aggregate passes + one broadcast join-back per stage;
+  halves of integer cents are exact in doubles, so no fp drift.
+
+Curation / graph (c52-c54):
+- c52: triangle census + global clustering coefficient over the c08
+  near-dup graph — triangles via the oriented 3-way equi-join on
+  d1<d2<d3 edges (each triangle counted exactly once), wedges from
+  the degree sequence; the standard "is my dup graph clumpy or
+  chained" diagnostic before choosing a canonicalization strategy.
+- c53: duplicate-span flagging (Lee et al. 2022 "Deduplicating
+  Training Data Makes Language Models Better" — exact substring
+  dedup, here at fixed n=5 token grain): global 5-gram occurrence
+  counts (> 1 occurrence anywhere = duplicated), each hit flags its
+  5-token span, spans merge per doc via the gaps-and-islands running
+  max; reports flagged-token ppm + merged-island count per doc.
+- c54: bigram corpus-frequency score — a log-free stand-in for the
+  CCNet/KenLM perplexity filter: docs whose bigrams are globally
+  rare (mean corpus count low, singleton ppm high) are flagged the
+  same way high-perplexity docs are.  Integer sums, oracle-exact.
+
+Engine-parity conventions follow driver_queries: BIGINT casts,
+floor(value*100) integer cents, truncating `div`/`//` (verified to
+agree on negatives), identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+    REGISTRY, _register, _t)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_toks, _spread)
+
+
+@_register(
+    "b64_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(grouping(event_type) AS BIGINT) AS g_type,
+           CAST(grouping(isodow(ts)) AS BIGINT) AS g_dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, isodow(ts)), (isodow(ts)), ())
+    """,
+    "arbitrary GROUPING SETS ((type,dow),(dow),()) — not a rollup of "
+    "its own columns (the (event_type) stratum is deliberately "
+    "absent), so it exercises the explicit set-list Expand path.  "
+    "Physically one Expand (3x input) + one hash aggregate; at 100 TB "
+    "prefer computing the finest stratum once and re-aggregating the "
+    "coarser strata from it when the finest group count is small",
+)
+def b64_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "iso_dow", (F.weekday("ts") + 1).cast("long"))
+    return (ev.groupingSets([["event_type", "iso_dow"], ["iso_dow"], []],
+                            "event_type", "iso_dow")
+            .agg(F.grouping("event_type").cast("long").alias("g_type"),
+                 F.grouping("iso_dow").cast("long").alias("g_dow"),
+                 F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("value_cents"))
+            .select("event_type", "iso_dow", "g_type", "g_dow",
+                    "n_events", "value_cents"))
+
+
+@_register(
+    "b65_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS es, event_id
+      FROM events
+    ), seg AS (
+      SELECT event_type, event_date, cents,
+             lead(es) OVER (PARTITION BY event_type, event_date
+                            ORDER BY es, event_id) - es AS dur_s
+      FROM e
+    )
+    SELECT event_type, event_date,
+           CAST(sum(dur_s) AS BIGINT) AS dur_sum_s,
+           CAST(sum(cents * dur_s) AS BIGINT) AS weighted_sum,
+           CAST(sum(cents * dur_s) // nullif(sum(dur_s), 0) AS BIGINT)
+             AS twa_cents
+    FROM seg WHERE dur_s IS NOT NULL
+    GROUP BY event_type, event_date
+    """,
+    "time-weighted average over irregular samples (TimescaleDB "
+    "time_weight 'LOCF' analogue): each sample holds until the next "
+    "one in its (type, day) partition; the last sample has no "
+    "successor and drops out.  ONE window (lead) + one map-side- "
+    "combinable aggregate; epoch seconds + integer cents keep every "
+    "product exact.  At 100 TB the window partitions by (type, day) "
+    "so state is bounded per partition and days parallelize",
+)
+def b65_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("unix_micros(ts) div 1000000").alias("es"), "event_id")
+    w = W.partitionBy("event_type", "event_date").orderBy("es", "event_id")
+    seg = ev.withColumn("dur_s", F.lead("es").over(w) - F.col("es"))
+    return (seg.filter(F.col("dur_s").isNotNull())
+            .groupBy("event_type", "event_date")
+            .agg(F.sum("dur_s").cast("long").alias("dur_sum_s"),
+                 F.sum(F.col("cents") * F.col("dur_s")).cast("long")
+                 .alias("weighted_sum"),
+                 F.expr("sum(cents * dur_s) div nullif(sum(dur_s), 0)")
+                 .cast("long").alias("twa_cents")))
+
+
+@_register(
+    "b66_ohlc",
+    """
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+             CAST(floor(value * 100) AS BIGINT) AS cents, ts, event_id
+      FROM events
+    ), w AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, event_date
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, event_date
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, event_date,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type, event_date
+    """,
+    "OHLC candlestick rollup per (type, day).  Spark side is ONE hash "
+    "aggregate — open/close via min_by/max_by over a (ts, event_id) "
+    "struct key (deterministic under ts ties), high/low plain min/max "
+    "— no window, no sort, map-side combinable: the shape that "
+    "aggregates 100 TB of ticks in a single shuffle of 4 longs per "
+    "group.  The oracle is the textbook double-row_number window form "
+    "— same result, but it sorts every partition; the delta between "
+    "the two IS the scale argument for min_by",
+)
+def b66_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.struct("ts", "event_id").alias("ord"))
+    return (ev.groupBy("event_type", "event_date")
+            .agg(F.expr("min_by(cents, ord)").cast("long").alias("open_cents"),
+                 F.max("cents").cast("long").alias("high_cents"),
+                 F.min("cents").cast("long").alias("low_cents"),
+                 F.expr("max_by(cents, ord)").cast("long")
+                 .alias("close_cents"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+@_register(
+    "b67_integer_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy, sxy, sxx,
+           CAST(CAST(sign(n * sxy - sx * sy) AS BIGINT)
+                * (1000000 * abs(n * sxy - sx * sy)
+                   // nullif(n * sxx - sx * sx, 0)) AS BIGINT)
+             AS slope_cents_ppm
+    FROM m
+    """,
+    "per-group linear trend (daily-revenue slope) as INTEGER least "
+    "squares: the five moment sums (n, Σx, Σy, Σxy, Σx²) are exact "
+    "BIGINTs over a daily pre-aggregate, slope = ppm-scaled "
+    "(n·Σxy−ΣxΣy)/(n·Σx²−(Σx)²) with sign·abs-div so truncation "
+    "agrees across engines on negative slopes.  regr_slope exists in "
+    "both engines but sums doubles — partition-order-dependent at "
+    "scale; moment sums are associative/commutative in ℤ, so the "
+    "map-side combine is exact no matter how 100 TB is partitioned",
+)
+def b67_integer_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .cast("long").alias("y")))
+    m = (daily.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.withColumn(
+        "slope_cents_ppm",
+        (F.signum(num).cast("long")
+         * F.expr("1000000 * abs(n * sxy - sx * sy) "
+                  "div nullif(n * sxx - sx * sx, 0)")).cast("long"))
+
+
+@_register(
+    "b68_mad_outliers",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      FROM e GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.cents - m.med_cents), 0.5) AS mad_cents
+      FROM e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med_cents, d.mad_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (abs(e.cents - m.med_cents)
+                                 > 3 * d.mad_cents) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) FILTER (abs(e.cents - m.med_cents)
+                                 > 3 * d.mad_cents)
+                * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+    FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med_cents, d.mad_cents
+    """,
+    "median-absolute-deviation outlier fence (robust alternative to "
+    "b31's mean±3σ: immune to the outliers it hunts).  Exact "
+    "interpolated median — Spark `percentile` and DuckDB "
+    "`quantile_cont` both compute the (n−1)·p rule, and integer-cent "
+    "halves are exact doubles, so no fp drift.  Three aggregate "
+    "passes over the fact with the tiny per-type medians BROADCAST "
+    "back between passes; at 100 TB swap the exact percentile for "
+    "approx_percentile partials and keep the same plan shape",
+)
+def b68_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long")
+        .alias("cents"))
+    med = (e.groupBy("event_type")
+           .agg(F.expr("percentile(cents, 0.5)").alias("med_cents")))
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = (with_med.groupBy("event_type")
+           .agg(F.expr("percentile(abs(cents - med_cents), 0.5)")
+                .alias("mad_cents")))
+    dev = F.abs(F.col("cents") - F.col("med_cents"))
+    return (with_med.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med_cents", "mad_cents")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.count_if(dev > 3 * F.col("mad_cents")).cast("long")
+                 .alias("n_outliers"),
+                 F.expr("count_if(abs(cents - med_cents) > 3 * mad_cents) "
+                        "* 1000000 div count(*)").cast("long")
+                 .alias("outlier_ppm")))
+
+
+def _duck_edges(threshold: float = 0.5) -> str:
+    """Near-dup edge CTE chain (mirrors dedup.ngram_jaccard_pairs at
+    n=3): emits `e(d1, d2)` with d1 < d2."""
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _duck_shingles)
+    return f"""
+    t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    e AS (SELECT d1, d2 FROM common
+            JOIN sizes x ON x.doc_id = d1 JOIN sizes y ON y.doc_id = d2
+          WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common)
+                >= {threshold})
+    """
+
+
+@_register(
+    "c52_triangle_census",
+    f"""
+    WITH {_duck_edges(0.5)},
+    deg AS (SELECT d, count(*) AS dg FROM (
+              SELECT d1 AS d FROM e UNION ALL SELECT d2 FROM e)
+            GROUP BY d),
+    tri AS (SELECT count(*) AS n FROM e e1
+            JOIN e e2 ON e2.d1 = e1.d2
+            JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_linked_docs,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           CAST(3 * (SELECT n FROM tri) * 1000000
+                // nullif((SELECT sum(dg * (dg - 1) // 2) FROM deg), 0)
+                AS BIGINT) AS clustering_ppm
+    """,
+    "triangle census + global clustering coefficient (3·tri/wedges) "
+    "over the c08 near-dup graph.  Triangles via the oriented 3-way "
+    "equi-join on d1<d2 edges — each triangle (a<b<c) matches exactly "
+    "once, no /6 correction, no cartesian; wedges from the degree "
+    "sequence alone.  The clumpy-vs-chained diagnostic that decides "
+    "whether c19's connected components will produce giant clusters.  "
+    "At 100 TB: orient edges low-degree-first instead of by id "
+    "(classic heavy-hitter bound) and the same join computes it",
+)
+def c52_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    e = (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+         .select("d1", "d2"))
+    deg = (e.select(F.col("d1").alias("d"))
+           .unionByName(e.select(F.col("d2").alias("d")))
+           .groupBy("d").agg(F.count("*").alias("dg")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e2.d1") == F.col("e1.d2"))
+           .join(e3, (F.col("e3.d1") == F.col("e1.d1"))
+                 & (F.col("e3.d2") == F.col("e2.d2")))
+           .agg(F.count("*").alias("n")))
+    wedges = deg.agg(F.expr("sum(dg * (dg - 1) div 2)").alias("w"))
+    return (docs.agg(F.count("*").cast("long").alias("n_docs"))
+            .crossJoin(F.broadcast(
+                deg.agg(F.count("*").cast("long").alias("n_linked_docs"))))
+            .crossJoin(F.broadcast(
+                e.agg(F.count("*").cast("long").alias("n_edges"))))
+            .crossJoin(F.broadcast(
+                wedges.select(F.col("w").cast("long").alias("n_wedges"))))
+            .crossJoin(F.broadcast(
+                tri.select(F.col("n").cast("long").alias("n_triangles"))))
+            .withColumn("clustering_ppm",
+                        F.expr("3 * n_triangles * 1000000 "
+                               "div nullif(n_wedges, 0)").cast("long")))
+
+
+@_register(
+    "c53_dup_span_flagging",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+            FROM t),
+    occ AS (SELECT doc_id, i,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+            FROM pos),
+    dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) > 1),
+    spans AS (SELECT o.doc_id, o.i AS s, o.i + 4 AS f
+              FROM occ o JOIN dup d ON d.sh = o.sh),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(s, f + 1)) AS p
+            FROM spans),
+    isl AS (SELECT doc_id, s,
+                   max(f) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pme
+            FROM spans),
+    per_doc AS (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             (SELECT count(*) FROM cov c WHERE c.doc_id = t.doc_id)
+               AS n_flagged,
+             (SELECT count(*) FILTER (pme IS NULL OR s > pme)
+              FROM isl i WHERE i.doc_id = t.doc_id) AS n_islands
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_flagged AS BIGINT) AS n_flagged,
+           CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(n_flagged * 1000000 // n_tokens AS BIGINT)
+             AS flagged_ppm
+    FROM per_doc
+    """,
+    "duplicate-span flagging (Lee et al. 2022 exact-substring dedup "
+    "at 5-token grain): any 5-gram occurring >1 time ANYWHERE in the "
+    "corpus flags its span; per-doc spans merge via the "
+    "gaps-and-islands running-max window.  Physically: one "
+    "posexplode + one global 5-gram count (the only full shuffle) + "
+    "a semi-join back, then per-doc windows over the tiny flagged "
+    "set.  At 100 TB the 5-gram count is the standard hash-partition "
+    "pass (CityHash the gram first so keys are fixed-width), and "
+    "span merge stays per-doc-local — the exact layout Lee et al.'s "
+    "suffix-array pass replaces only when the grain must be variable",
+)
+def c53_dup_span_flagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("toks"))
+    occ = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens"),
+        F.posexplode(F.expr(
+            "CASE WHEN size(toks) >= 5 THEN "
+            "transform(sequence(1, size(toks) - 4), "
+            "i -> concat_ws(' ', slice(toks, i, 5))) "
+            "ELSE array() END")).alias("i0", "sh")
+    ).select("doc_id", "n_tokens", (F.col("i0") + 1).alias("s"), "sh")
+    dup = occ.groupBy("sh").agg(F.count("*").alias("c")).filter("c > 1")
+    spans = (occ.join(dup.select("sh"), "sh")
+             .select("doc_id", "s", (F.col("s") + 4).alias("f")))
+    cov = (spans.select("doc_id",
+                        F.explode(F.sequence("s", "f")).alias("p"))
+           .distinct()
+           .groupBy("doc_id").agg(F.count("*").alias("n_flagged")))
+    w = (W.partitionBy("doc_id").orderBy("s")
+         .rowsBetween(W.unboundedPreceding, -1))
+    isl = (spans.withColumn("pme", F.max("f").over(w))
+           .groupBy("doc_id")
+           .agg(F.count_if(F.col("pme").isNull()
+                           | (F.col("s") > F.col("pme")))
+                .alias("n_islands")))
+    base = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (base.join(cov, "doc_id", "left").join(isl, "doc_id", "left")
+            .select("doc_id", F.col("n_tokens").cast("long"),
+                    F.coalesce("n_flagged", F.lit(0)).cast("long")
+                    .alias("n_flagged"),
+                    F.coalesce("n_islands", F.lit(0)).cast("long")
+                    .alias("n_islands"),
+                    F.expr("coalesce(n_flagged, 0) * 1000000 "
+                           "div n_tokens").cast("long")
+                    .alias("flagged_ppm")))
+
+
+@_register(
+    "c54_bigram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  toks[i] || ' ' || toks[i+1] AS bg
+           FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                 FROM t)),
+    cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(c.c) AS BIGINT) AS freq_sum,
+           CAST(sum(c.c) // count(*) AS BIGINT) AS mean_freq,
+           CAST(count(*) FILTER (c.c = 1) AS BIGINT) AS n_singletons,
+           CAST(count(*) FILTER (c.c = 1) * 1000000 // count(*)
+                AS BIGINT) AS singleton_ppm
+    FROM bg b JOIN cnt c ON c.bg = b.bg
+    GROUP BY b.doc_id
+    """,
+    "bigram corpus-frequency score — log-free proxy for the "
+    "CCNet/KenLM perplexity filter: per-doc mean global frequency of "
+    "its bigram OCCURRENCES plus singleton ppm (bigrams seen nowhere "
+    "else).  Low mean_freq / high singleton_ppm ≈ high perplexity "
+    "under a corpus-trained LM, computed with two shuffles (global "
+    "bigram count, join-back + per-doc agg) and zero floats.  At "
+    "100 TB: hash the bigram to a fixed-width key before the count "
+    "and cache the heavy head of the count table as a broadcast "
+    "(Zipf: the top 1% of bigrams covers most occurrences)",
+)
+def c54_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("toks"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), "
+            "(a, b) -> concat(a, ' ', b))")).alias("bg"))
+    cnt = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    return (bg.join(cnt, "bg")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("c").cast("long").alias("freq_sum"),
+                 F.expr("sum(c) div count(*)").cast("long")
+                 .alias("mean_freq"),
+                 F.count_if(F.col("c") == 1).cast("long")
+                 .alias("n_singletons"),
+                 F.expr("count_if(c = 1) * 1000000 div count(*)")
+                 .cast("long").alias("singleton_ppm")))

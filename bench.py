@@ -66,9 +66,12 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # min of 2 runs per query: the steady-state number a resident
+    # min of 3 runs per query: the steady-state number a resident
     # cluster would see (run 1 pays codegen compilation + broadcast
-    # warmup that is per-process, not per-query, cost).
+    # warmup that is per-process, not per-query, cost).  A JVM GC
+    # between queries keeps one query's garbage from billing a GC
+    # storm to the next (measured: single-query swings of 2-4 s at
+    # sf0.1 without it, rotating across the suite run to run).
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -78,7 +81,8 @@ def main() -> None:
         # failure per-query and keep going (round 2 lost its entire
         # BENCH to a single NameError).
         try:
-            for _ in range(2):
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 times.append(time.perf_counter() - t0)

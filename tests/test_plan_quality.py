@@ -561,3 +561,45 @@ def test_cdc_diff_on_bucketed_snapshots_is_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS snap_old")
         spark.sql("DROP TABLE IF EXISTS snap_new")
+
+
+def test_b66_ohlc_is_two_phase_aggregate_no_window(spark):
+    """OHLC via min_by/max_by must stay a two-phase aggregate with a
+    single exchange — never the oracle's double-row_number Window
+    form.  (A struct ordering key puts a struct in the agg buffer, so
+    Spark picks SortAggregate over HashAggregate: still partial+final
+    with map-side combine, and the sort is by GROUP KEYS within
+    partitions, not a per-group data sort.)"""
+    p = _plan(spark, "b66_ohlc")
+    assert "Window" not in p, f"b66 regressed to a window plan:\n{p}"
+    assert "partial_min_by" in p, f"b66 lost map-side combine:\n{p}"
+    n_exchanges = sum(1 for l in p.splitlines()
+                      if ") Exchange" in l or l.strip().startswith("Exchange"))
+    assert n_exchanges <= 1, f"b66 shuffles more than once:\n{p}"
+
+
+def test_b70_null_safe_join_stays_hash_partitionable(spark):
+    """EqualNullSafe is an equi condition for Catalyst: the join must
+    be a hash/sort-merge join on the null-safe key, never a
+    nested-loop or cartesian fallback."""
+    p = _plan(spark, "b70_null_safe_join")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p)
+
+
+def test_c53_span_flagging_joins_are_equi(spark):
+    """The dup-5-gram join-back must key on the gram (equi), and the
+    final per-doc assembly must not degrade to a nested loop."""
+    p = _plan(spark, "c53_dup_span_flagging")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_b68_mad_medians_broadcast_back(spark):
+    """The tiny per-type median/MAD tables must broadcast back to the
+    fact — a shuffled join here would shuffle the fact three times."""
+    p = _plan(spark, "b68_mad_outliers")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p

@@ -165,14 +165,17 @@ def b65_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events
     FROM w GROUP BY event_type, event_date
     """,
-    "OHLC candlestick rollup per (type, day).  Spark side is ONE hash "
-    "aggregate — open/close via min_by/max_by over a (ts, event_id) "
-    "struct key (deterministic under ts ties), high/low plain min/max "
-    "— no window, no sort, map-side combinable: the shape that "
-    "aggregates 100 TB of ticks in a single shuffle of 4 longs per "
-    "group.  The oracle is the textbook double-row_number window form "
-    "— same result, but it sorts every partition; the delta between "
-    "the two IS the scale argument for min_by",
+    "OHLC candlestick rollup per (type, day).  Spark side is ONE "
+    "two-phase aggregate — open/close via min_by/max_by over a "
+    "(ts, event_id) struct key (deterministic under ts ties), "
+    "high/low plain min/max — no window, map-side combinable, one "
+    "shuffle of a handful of longs per group.  (The struct ordering "
+    "key lands it on SortAggregate — struct in the agg buffer can't "
+    "hash-aggregate — but the sort is by group keys within "
+    "partitions, not a per-group data sort.)  The oracle is the "
+    "textbook double-row_number window form — same result, but it "
+    "sorts 100% of the rows per partition; that delta IS the scale "
+    "argument for min_by",
 )
 def b66_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
@@ -506,3 +509,187 @@ def c54_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_singletons"),
                  F.expr("count_if(c = 1) * 1000000 div count(*)")
                  .cast("long").alias("singleton_ppm")))
+
+
+@_register(
+    "b69_set_ops_all",
+    """
+    SELECT user_id, 'except_all' AS op FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'intersect_all' AS op FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    "bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — b18 "
+    "covers the DISTINCT variants; the ALL forms preserve "
+    "multiplicity (a user with 3 clicks and 1 purchase survives "
+    "except_all twice) and compile to a completely different physical "
+    "shape: count-per-side aggregate + generate(replicate) instead of "
+    "a dedup shuffle.  One shuffle on the join key either way; at "
+    "100 TB the pre-count shrinks the replicate input to distinct "
+    "keys so the generate never amplifies the shuffle",
+)
+def b69_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (clicks.exceptAll(buys).withColumn("op", F.lit("except_all"))
+            .unionByName(clicks.intersectAll(buys)
+                         .withColumn("op", F.lit("intersect_all"))))
+
+
+@_register(
+    "b70_null_safe_join",
+    """
+    WITH a AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 100 END
+               AS k, CAST(count(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 100 END
+               AS k, CAST(count(*) AS BIGINT) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT a.k, a.n_clicks, b.n_views
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    "null-safe equi join (<=> / IS NOT DISTINCT FROM): the NULL "
+    "stratum matches the NULL stratum instead of silently dropping "
+    "out — the semantic Snowflake spells EQUAL_NULL and the classic "
+    "fix for joining on nullable dimension keys.  Catalyst treats "
+    "<=> as a HASH-PARTITIONABLE join key (EqualNullSafe is an equi "
+    "condition), so this stays a shuffled hash join, NOT a nested- "
+    "loop — the property that makes nullable-key joins viable at "
+    "100 TB; pinned by a plan gate",
+)
+def b70_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = (F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("user_id") % 100))
+    a = (ev.filter(F.col("event_type") == "click")
+         .groupBy(k.alias("k"))
+         .agg(F.count("*").cast("long").alias("n_clicks")))
+    b = (ev.filter(F.col("event_type") == "view")
+         .groupBy(k.alias("k"))
+         .agg(F.count("*").cast("long").alias("n_views")))
+    return (a.join(b, a["k"].eqNullSafe(b["k"]))
+            .select(a["k"].alias("k"), "n_clicks", "n_views"))
+
+
+@_register(
+    "c55_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    occ AS (SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+            FROM (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i,
+                         toks
+                  FROM t)),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM occ GROUP BY sh)
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (f.first_doc < o.doc_id) AS BIGINT)
+             AS n_seen_before,
+           CAST((count(*) - count(*) FILTER (f.first_doc < o.doc_id))
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM occ o JOIN firsts f ON f.sh = o.sh
+    GROUP BY o.doc_id
+    """,
+    "per-doc n-gram NOVELTY in ingestion order (doc_id as arrival "
+    "time): the fraction of a doc's 5-gram occurrences whose gram was "
+    "never seen in any earlier doc — the 'is the crawl still finding "
+    "new text' curve dataset builders watch to decide when a source "
+    "is mined out.  Same two-shuffle shape as c54 (global min-doc per "
+    "gram, join back, per-doc agg); at 100 TB the firsts table is "
+    "the only global state and min(doc_id) is map-side combinable",
+)
+def c55_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("toks"))
+    occ = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(toks) >= 5 THEN "
+            "transform(sequence(1, size(toks) - 4), "
+            "i -> concat_ws(' ', slice(toks, i, 5))) "
+            "ELSE array() END")).alias("sh"))
+    firsts = occ.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (occ.join(firsts, "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_grams"),
+                 F.count_if(F.col("first_doc") < F.col("doc_id"))
+                 .cast("long").alias("n_seen_before"),
+                 F.expr("(count(*) - count_if(first_doc < doc_id)) "
+                        "* 1000000 div count(*)").cast("long")
+                 .alias("novelty_ppm")))
+
+
+@_register(
+    "c56_cluster_cohesion",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, emb, cent_id FROM (
+              SELECT e.vec_id, e.emb, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb, c.cemb), 6)
+                                DESC, c.cent_id) AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+    sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM asg GROUP BY cent_id),
+    p AS (SELECT a.cent_id,
+                 CAST(round(list_cosine_similarity(a.emb, b.emb)
+                            * 1000000) AS BIGINT) AS cos_micro
+          FROM asg a JOIN asg b
+            ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+    agg AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(cos_micro) AS BIGINT) AS s
+            FROM p GROUP BY cent_id)
+    SELECT z.cent_id, z.n_vecs,
+           CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(a.s // a.n_pairs AS BIGINT) AS mean_cos_ppm
+    FROM sizes z LEFT JOIN agg a USING (cent_id)
+    """,
+    "embedding cluster cohesion: mean pairwise cosine INSIDE each IVF "
+    "cell — the SemDeDup-style diagnostic separating tight duplicate "
+    "clusters (cohesion near 1e6 ppm: safe to keep one) from loose "
+    "topical cells (keep all).  Reuses the zero-exchange ivf_assign, "
+    "then the same per-cell self-join as c10; cosines are rounded to "
+    "integer micro-units BEFORE summing so the mean is exact integer "
+    "math (a double sum would be partition-order-dependent).  At "
+    "100 TB: sub_blocks splits hot cells exactly as in "
+    "cell_blocked_neardup",
+)
+def c56_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    asg = SIM.ivf_assign(emb, n_cents=8)
+    sizes = (asg.groupBy("cent_id")
+             .agg(F.count("*").cast("long").alias("n_vecs")))
+    a = asg.select("cent_id", F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("e1"))
+    b = asg.select("cent_id", F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("e2"))
+    pairs = (a.join(b, ["cent_id"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select("cent_id",
+                     F.round(cosine(F.col("e1"), F.col("e2")) * 1000000)
+                     .cast("long").alias("cos_micro")))
+    agg = (pairs.groupBy("cent_id")
+           .agg(F.count("*").cast("long").alias("n_pairs"),
+                F.sum("cos_micro").cast("long").alias("s")))
+    return (sizes.join(agg, "cent_id", "left")
+            .select(sizes["cent_id"], "n_vecs",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.expr("s div n_pairs").cast("long")
+                    .alias("mean_cos_ppm")))

@@ -603,3 +603,21 @@ def test_b68_mad_medians_broadcast_back(spark):
     p = _plan(spark, "b68_mad_outliers")
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p
+
+
+def test_b71_tuple_in_compiles_to_one_semi_join(spark):
+    """(a, b) IN (subquery) must become ONE left-semi join on the
+    composite key with the subquery side aggregated/deduped before
+    the join — not a nested-loop probe."""
+    p = _plan(spark, "b71_tuple_in_semi")
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_c58_global_centroid_broadcasts(spark):
+    """The 64-row global vector must broadcast back to the per-source
+    sums; the corpus-wide posexplode is the only wide pass."""
+    p = _plan(spark, "c58_source_embedding_drift")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

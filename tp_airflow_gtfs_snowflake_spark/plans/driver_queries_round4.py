@@ -693,3 +693,171 @@ def c56_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_pairs"),
                     F.expr("s div n_pairs").cast("long")
                     .alias("mean_cos_ppm")))
+
+
+@_register(
+    "b71_tuple_in_semi",
+    """
+    SELECT l.l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem r
+      WHERE r.l_returnflag = 'R'
+        AND r.l_partkey = l.l_partkey AND r.l_suppkey = l.l_suppkey)
+    GROUP BY l.l_linestatus
+    """,
+    "multi-column IN subquery — (a, b) IN (SELECT a, b ...) must "
+    "compile to ONE semi join on the composite key, not a per-row "
+    "probe or an exists-per-column pair.  The 'lines whose "
+    "(part, supplier) pair has ever been returned' shape; at 100 TB "
+    "the subquery side dedups BEFORE the join (aggregate under the "
+    "semi join keeps the build side at distinct-pairs size)",
+)
+def b71_tuple_in_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_b71_lineitem")
+    return spark.sql("""
+        SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM _b71_lineitem
+        WHERE (l_partkey, l_suppkey) IN (
+          SELECT l_partkey, l_suppkey FROM _b71_lineitem
+          WHERE l_returnflag = 'R')
+        GROUP BY l_linestatus
+    """)
+
+
+@_register(
+    "b72_cumulative_distinct_users",
+    """
+    WITH f AS (
+      SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_distinct_users
+    FROM d
+    """,
+    "running COUNT(DISTINCT) rewrite: count(DISTINCT user) OVER "
+    "(ORDER BY day) is unsupported/unscalable in both engines, so the "
+    "standard factoring is first-touch per user (one agg), daily new "
+    "counts (tiny agg), then a running sum over the handful of days — "
+    "the cumulative-reach curve with NO distinct state in the window. "
+    " At 100 TB the only full-data pass is the per-user min, "
+    "map-side combinable; the window runs over ~365 rows",
+)
+def b72_cumulative_distinct_users(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = (ev.groupBy("user_id")
+         .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day")))
+    d = f.groupBy("day").agg(F.count("*").cast("long").alias("new_users"))
+    w = (W.orderBy("day")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return d.withColumn("cum_distinct_users",
+                        F.sum("new_users").over(w).cast("long"))
+
+
+@_register(
+    "c57_length_percentile_filter",
+    """
+    WITH q AS (
+      SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, q.lo, q.hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (d.n_chars BETWEEN q.lo AND q.hi)
+                AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) FILTER (d.n_chars BETWEEN q.lo AND q.hi)
+                AS BIGINT) AS kept_chars
+    FROM documents d JOIN q USING (lang)
+    GROUP BY d.lang, q.lo, q.hi
+    """,
+    "per-language length-band filter (drop the tails outside "
+    "[p5, p95]) — the C4/Gopher 'too short / too long' rule with "
+    "data-derived thresholds instead of constants.  Exact "
+    "interpolated percentiles per language (5 groups) BROADCAST back "
+    "to the corpus; integer char counts make the band edges exact "
+    "half-integers in both engines.  At 100 TB: approx_percentile "
+    "partials for the thresholds, same broadcast join-back",
+)
+def c57_length_percentile_filter(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = (docs.groupBy("lang")
+         .agg(F.expr("percentile(n_chars, 0.05)").alias("lo"),
+              F.expr("percentile(n_chars, 0.95)").alias("hi")))
+    kept = F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    return (docs.join(F.broadcast(q), "lang")
+            .groupBy("lang", "lo", "hi")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_if(kept).cast("long").alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_chars"))).cast("long")
+                 .alias("kept_chars")))
+
+
+@_register(
+    "c58_source_embedding_drift",
+    """
+    WITH j AS (
+      SELECT d.source, e.vec_id, e.embedding::DOUBLE[] AS emb
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (
+      SELECT source, i.i AS dim,
+             CAST(floor(emb[i.i] * 1000000) AS BIGINT) AS qv
+      FROM j, (SELECT unnest(range(1, 65)) AS i) i
+    ), per AS (
+      SELECT source, dim, sum(qv) AS s_dim FROM q GROUP BY source, dim
+    ), gl AS (
+      SELECT dim, sum(qv) AS g_dim FROM q GROUP BY dim
+    )
+    SELECT p.source,
+           CAST(floor(1000000.0
+                * CAST(sum(p.s_dim * g.g_dim) AS DOUBLE)
+                / (sqrt(CAST(sum(p.s_dim * p.s_dim) AS DOUBLE))
+                   * sqrt(CAST(sum(g.g_dim * g.g_dim) AS DOUBLE))))
+                AS BIGINT) AS centroid_cos_ppm
+    FROM per p JOIN gl g USING (dim)
+    GROUP BY p.source
+    """,
+    "per-source embedding drift: cosine between each source's "
+    "centroid and the global centroid — the 'is this feed "
+    "semantically off-distribution' check run before mixing a new "
+    "crawl into training data.  Micro-quantized integer sums per "
+    "(source, dim) make every aggregate exact (HUGEINT in DuckDB, "
+    "long in Spark — products bounded by 64·(1e8)·(1e10) « 2^63), so "
+    "the single double expression at the end sees IDENTICAL inputs "
+    "in both engines.  Two aggregates over a 64×|docs| posexplode + "
+    "a broadcast join of the 64-row global vector; at 100 TB the "
+    "explode is the only wide pass and combines map-side",
+)
+def c58_source_embedding_drift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    q = j.select(
+        "source",
+        (F.posexplode(F.col("embedding"))).alias("dim0", "v")
+    ).select("source", (F.col("dim0") + 1).alias("dim"),
+             F.floor(F.col("v").cast("double") * 1000000)
+             .cast("long").alias("qv"))
+    per = q.groupBy("source", "dim").agg(F.sum("qv").alias("s_dim"))
+    glob = q.groupBy("dim").agg(F.sum("qv").alias("g_dim"))
+    return (per.join(F.broadcast(glob), "dim")
+            .groupBy("source")
+            .agg(F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.col("s_dim") * F.col("g_dim")).cast("double")
+                / (F.sqrt(F.sum(F.col("s_dim") * F.col("s_dim"))
+                          .cast("double"))
+                   * F.sqrt(F.sum(F.col("g_dim") * F.col("g_dim"))
+                            .cast("double"))))
+                .cast("long").alias("centroid_cos_ppm")))

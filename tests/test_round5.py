@@ -1,0 +1,161 @@
+"""Round-5 batch: ordered listagg, lossless banded fuzzy join,
+discrete quantiles, DoD growth, zlib compression ratio, exact-
+substring decontamination."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tp_airflow_gtfs_snowflake_spark.functions.compression import (
+    ZLIB_LEVEL, with_compression_ratio)
+from tp_airflow_gtfs_snowflake_spark.plans import (
+    driver_queries_round5 as r5)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+
+
+# ----------------------------------------------------- c59 compression
+
+def test_compression_ratio_matches_python_zlib_exactly(spark):
+    """Every sf0.001 doc: comp_bytes == len(zlib.compress(utf8)),
+    ratio_ppm == comp*1e6 // raw (the determinism contract)."""
+    docs = _t(spark, SF_SMALL, "documents")
+    got = with_compression_ratio(docs).select(
+        "doc_id", "text", "comp_bytes", "ratio_ppm").collect()
+    assert len(got) > 0
+    for r in got:
+        raw = (r.text or "").encode("utf-8")
+        cb = len(zlib.compress(raw, ZLIB_LEVEL))
+        assert r.comp_bytes == cb
+        exp = (cb * 1_000_000) // len(raw) if raw else 1_000_000
+        assert r.ratio_ppm == exp
+
+
+def test_compression_ratio_band_semantics(spark):
+    rows = [(1, "a" * 500),                      # boilerplate: tiny ratio
+            (2, "kq9x7zj2vw8m3fp1hy6tn0bd5rc4"),  # noisy: high ratio
+            (3, "")]                              # empty: pinned 1e6
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.ratio_ppm
+           for r in with_compression_ratio(df).collect()}
+    assert out[1] < 300_000
+    assert out[2] > 900_000
+    assert out[3] == 1_000_000
+
+
+# ------------------------------------------------------ b74 fuzzy join
+
+def test_b74_banded_join_has_no_cartesian(spark):
+    plan = r5.b74_fuzzy_name_join(
+        spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_b74_band_expansion_is_lossless(spark):
+    """Planted pairs crossing a band boundary must still be found:
+    lev<=2 bounds the length delta by 2, bands are width 3, so
+    band+-1 expansion covers every qualifying pair."""
+    rows = [(1, "abcdefgh"),    # len 8  -> band 2
+            (2, "abcdefghi"),   # len 9  -> band 3, lev 1 from #1
+                                #   (the cross-band pair under test)
+            (3, "abcdefghijk"), # len 11 -> band 3, lev 3 from #1 (out)
+                                #   but lev 2 from #2 (in, same band)
+            (4, "zzzzzzzz")]    # len 8, lev 8 (out)
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    df.write.mode("overwrite").parquet("/tmp/r5_part/part.parquet")
+    got = {(r.name1, r.name2): r.edit_distance
+           for r in r5.b74_fuzzy_name_join(spark, "/tmp/r5_part")
+           .collect()}
+    assert got == {("abcdefgh", "abcdefghi"): 1,
+                   ("abcdefghi", "abcdefghijk"): 2}
+
+
+# -------------------------------------------------- b75 quantile disc
+
+def test_b75_disc_quantile_known_values(spark):
+    # quantile_disc picks the 1-based ceil(p*n)-th sorted element.
+    rows = [("a", float(v)) for v in (0.10, 0.20, 0.30, 0.40)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df = df.withColumn("ts", F.lit("2024-01-01").cast("timestamp")) \
+           .withColumn("event_id", F.monotonically_increasing_id())
+    df.write.mode("overwrite").parquet("/tmp/r5_ev/events.parquet")
+    row = r5.b75_quantile_disc(spark, "/tmp/r5_ev").collect()[0]
+    assert (row.n, row.p50_cents, row.p90_cents) == (4, 20, 40)
+
+
+# ----------------------------------------------------- b73 determinism
+
+def test_b73_listagg_partitioning_independent(spark):
+    a = {(r.event_type, r.top_users_csv, r.top_cents)
+         for r in r5.b73_sorted_listagg(spark, SF_SMALL).collect()}
+    ev = _t(spark, SF_SMALL, "events").repartition(13)
+    ev.write.mode("overwrite").parquet("/tmp/r5_ev13/events.parquet")
+    b = {(r.event_type, r.top_users_csv, r.top_cents)
+         for r in r5.b73_sorted_listagg(spark, "/tmp/r5_ev13").collect()}
+    assert a == b
+
+
+# ------------------------------------------------------- c60 decontam
+
+def test_c60_zero_hit_needles_survive(spark):
+    out = r5.c60_exact_substring_decontam(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == 10                      # LEFT join keeps all
+    assert all(r.n_contaminated >= 0 for r in rows)
+    assert all(len(r.needle) <= 12 for r in rows)
+
+
+# ------------------------------------------------- b77 weighted median
+
+def test_b77_weighted_median_known(spark, tmp_path):
+    # values (cents, weight): 100x1, 200x1, 300x5 -> total 7,
+    # half=3.5 -> smallest v with cum >= 3.5 is 300.
+    rows = [(1, 1, 1.0, 1.00, "A"), (2, 1, 1.0, 2.00, "A"),
+            (3, 1, 5.0, 3.00, "A")]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_returnflag string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round5 import (
+        b77_weighted_median)
+    r = b77_weighted_median(spark, str(tmp_path)).collect()[0]
+    assert (r.flag, r.total_weight, r.wmedian_cents) == ("A", 7, 300)
+
+
+# --------------------------------------------------- b78 reset cumsum
+
+def test_b78_reset_opens_new_segment(spark, tmp_path):
+    # user 1: click(10), error(1), click(5) -> segments [10], [1+5]
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 0.10),
+            (2, "2024-01-01 00:01:00", 1, "error", 0.01),
+            (3, "2024-01-01 00:02:00", 1, "click", 0.05)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.b78_reset_cumsum(spark, str(tmp_path)).collect()[0]
+    assert (r.n_segments, r.max_segment_cents,
+            r.last_segment_cents) == (2, 10, 6)
+
+
+# ---------------------------------------------- c61 mislabel outliers
+
+def test_c61_planted_outlier_ranks_first(spark, tmp_path):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):   # tight cluster near +e1
+        v = [1.0] + [rng.uniform(-0.01, 0.01) for _ in range(63)]
+        rows.append((i, v, 0))
+    rows.append((99, [-1.0] + [0.0] * 63, 0))   # planted anti-aligned
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = r5.c61_mislabel_candidates(spark, str(tmp_path)).collect()
+    first = [r for r in out if r.rn == 1][0]
+    assert first.vec_id == 99
+    assert first.cos_sim < 0

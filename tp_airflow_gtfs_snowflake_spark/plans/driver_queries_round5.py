@@ -1,0 +1,480 @@
+"""Round-5 additions: ordered string aggregation, blocked fuzzy
+(edit-distance) join, discrete quantiles, day-over-day growth,
+compression-ratio quality scoring, and exact-substring
+decontamination.
+
+Analytics (b73-b76):
+- b73: ordered LISTAGG / STRING_AGG — Snowflake `LISTAGG(x, ',')
+  WITHIN GROUP (ORDER BY ...)` analogue.  Spark has no ordered
+  collect, so the canonical recipe is collect_list of a sort-key
+  struct -> array_sort -> transform -> array_join; deterministic
+  regardless of partitioning because the sort happens AFTER the
+  unordered collect.
+- b74: fuzzy record-linkage join (edit distance).  The scale-smart
+  shape: collapse to DISTINCT strings first (fuzzy-join cost then
+  depends on |vocabulary|, not |rows|), length-band blocking with
+  band±1 candidate expansion (provably lossless: lev<=2 bounds the
+  length delta by 2 < band width 3), exact levenshtein verify, then
+  re-expand pair multiplicities from the per-string counts.
+- b75: discrete quantiles (percentile_disc / DuckDB quantile_disc):
+  the smallest element with cume_dist >= p, i.e. the 1-based
+  ceil(p*n)-th element of the sorted list.  Spark has percentile
+  (interpolating) but no disc form — composed here as
+  element_at(array_sort(collect_list(x)), ceil(p*n)).
+- b76: day-over-day growth — lag over a per-(type, day) integer-cents
+  pre-aggregate; growth in ppm via truncating integer division so
+  both engines agree bit-for-bit.
+
+Curation (c59-c60):
+- c59: zlib compression-ratio quality signal (Gopher-family filter:
+  near-incompressible text is noise/markup/random, ultra-compressible
+  text is boilerplate/repetition).  DuckDB has no zlib, so the
+  registry entry is rows-only; tests/test_round5.py checks the
+  mapInPandas output byte-exactly against direct python zlib on every
+  sf0.001 doc.
+- c60: exact-substring decontamination (the GPT-3/PaLM appendix
+  method: drop training docs sharing a long exact substring with an
+  eval set).  Needles derive deterministically from the corpus (first
+  12 chars of the 10 longest docs); containment via instr over a
+  broadcast needle table.
+
+Engine-parity conventions follow driver_queries: BIGINT casts,
+floor(value*100) integer cents, truncating `div`, identical aliases
+both sides.  Reference parity: the KPI aggregation tier mirrors
+README.md:116-129 of the reference (tp-airflow-gtfs-snowflake); the
+curation tier is the charter's LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+    REGISTRY, _register, _t)
+
+
+@_register(
+    "b73_sorted_listagg",
+    """
+    WITH spend AS (
+      SELECT event_type, user_id,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, user_id, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents DESC, user_id) AS rn
+      FROM spend
+    )
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn)
+             AS top_users_csv,
+           CAST(sum(cents) AS BIGINT) AS top_cents
+    FROM ranked WHERE rn <= 5
+    GROUP BY event_type
+    """,
+    "ordered LISTAGG/STRING_AGG (Snowflake WITHIN GROUP analogue): "
+    "top-5 spenders per event type as a deterministic csv.  Spark has "
+    "no ordered collect, so: collect_list(struct(-cents, user_id)) -> "
+    "array_sort -> slice 5 -> transform -> array_join, ONE hash "
+    "aggregate after the per-(type,user) pre-agg.  The collect is "
+    "bounded per group by the slice; at 100 TB cap the collect FIRST "
+    "with a windowed top-k when per-type user counts are unbounded",
+)
+def b73_sorted_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    spend = (ev.groupBy("event_type", "user_id")
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .alias("cents")))
+    # Sort key (-cents, user_id) == ORDER BY cents DESC, user_id; the
+    # array sort runs after the unordered collect, so the result is
+    # partitioning-independent.
+    top5 = F.slice(
+        F.array_sort(F.collect_list(F.struct(
+            (-F.col("cents")).alias("neg"),
+            F.col("user_id").alias("user_id")))), 1, 5)
+    return (spend.groupBy("event_type")
+            .agg(top5.alias("t"))
+            .select(
+                "event_type",
+                F.array_join(
+                    F.transform(F.col("t"),
+                                lambda s: s["user_id"].cast("string")),
+                    ",").alias("top_users_csv"),
+                F.aggregate(F.col("t"), F.lit(0).cast("long"),
+                            lambda acc, s: acc - s["neg"])
+                .alias("top_cents")))
+
+
+@_register(
+    "b74_fuzzy_name_join",
+    """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+             AS edit_distance,
+           CAST(a.cnt * b.cnt AS BIGINT) AS n_part_pairs
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "fuzzy record-linkage join: part-name pairs within edit distance "
+    "2.  Scale shape: collapse to DISTINCT names first (64 at "
+    "sf0.01 vs 2000 rows — fuzzy cost scales with vocabulary, not "
+    "corpus), block on length-div-3 bands with band+-1 expansion "
+    "(lossless: lev<=2 => length delta <=2 < band width), exact "
+    "levenshtein verify inside the block only, multiplicities "
+    "re-expanded from per-name counts.  Unlike c27 (operators/fuzzy: "
+    "first-token blocking is the documented, recall-lossy SPEC), the "
+    "band+-1 blocking here is LOSSLESS, so the oracle is the naive "
+    "all-pairs theta join while the Spark side stays equi-join only "
+    "(no cartesian) — at 100 TB vocabularies add PPJoin-style q-gram "
+    "prefix blocking (c35) on top of the length bands",
+)
+def b74_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    names = (part.groupBy("p_name")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    band = (F.length("p_name") / F.lit(3)).cast("long")
+    # Left side probes its own band and both neighbours; right side
+    # keys on its exact band -> every qualifying pair matched exactly
+    # once (right key is single-valued).
+    left = (names
+            .withColumn("cand_band",
+                        F.explode(F.array(band - 1, band, band + 1)))
+            .select(F.col("p_name").alias("name1"),
+                    F.col("cnt").alias("cnt1"), "cand_band"))
+    right = names.select(F.col("p_name").alias("name2"),
+                         F.col("cnt").alias("cnt2"),
+                         band.alias("band2"))
+    lev = F.levenshtein("name1", "name2")
+    return (left.join(right,
+                      (F.col("cand_band") == F.col("band2"))
+                      & (F.col("name1") < F.col("name2")))
+            .filter(lev <= 2)
+            .select("name1", "name2",
+                    lev.cast("long").alias("edit_distance"),
+                    (F.col("cnt1") * F.col("cnt2")).cast("long")
+                    .alias("n_part_pairs")))
+
+
+@_register(
+    "b75_quantile_disc",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.5)
+             AS p50_cents,
+           quantile_disc(CAST(floor(value * 100) AS BIGINT), 0.9)
+             AS p90_cents
+    FROM events GROUP BY event_type
+    """,
+    "discrete quantiles (percentile_disc semantics: smallest element "
+    "with cume_dist >= p = 1-based ceil(p*n)-th sorted element — "
+    "verified against DuckDB quantile_disc).  Spark lacks the disc "
+    "form; composed as element_at(array_sort(collect_list), "
+    "ceil(p*n)).  The collect materializes each group — fine for "
+    "bounded groups; at 100 TB use approx_percentile or a two-pass "
+    "count-then-select at the exact rank",
+)
+def b75_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long"))
+
+    def disc(vals, n, p):
+        idx = F.ceil(n.cast("double") * F.lit(p)).cast("int")
+        return F.element_at(vals, idx)
+
+    agg = (ev.groupBy("event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.array_sort(F.collect_list("cents")).alias("vals")))
+    return agg.select(
+        "event_type", "n",
+        disc(F.col("vals"), F.col("n"), 0.5).alias("p50_cents"),
+        disc(F.col("vals"), F.col("n"), 0.9).alias("p90_cents"))
+
+
+@_register(
+    "b76_dod_growth",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT event_type, event_date, CAST(cents AS BIGINT) AS cents,
+           CAST(lag(cents) OVER w AS BIGINT) AS prev_cents,
+           CAST((cents - lag(cents) OVER w) * 1000000
+                // nullif(lag(cents) OVER w, 0) AS BIGINT)
+             AS growth_ppm
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY event_date)
+    """,
+    "day-over-day growth in ppm: lag over a per-(type, day) "
+    "pre-aggregate.  The window runs on the AGGREGATED relation "
+    "(|types| x |days| rows), so its sort is trivial no matter how "
+    "large the fact is — the standard growth-accounting shape.  "
+    "Integer cents + truncating div keep both engines bit-identical",
+)
+def b76_dod_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_format("ts", "yyyy-MM-dd")
+                        .alias("event_date"))
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .alias("cents")))
+    w = W.partitionBy("event_type").orderBy("event_date")
+    prev = F.lag("cents").over(w)
+    # DuckDB integer `//` and Spark `div` both truncate toward zero
+    # (verified: -7//2 == -3 in both), so plain BIGINT div matches
+    # bit-for-bit even for negative growth.
+    num = (F.col("cents") - prev) * F.lit(1_000_000)
+    flo = F.expr("num div prev_cents")
+    return (daily
+            .select("event_type", "event_date",
+                    F.col("cents").cast("long").alias("cents"),
+                    prev.cast("long").alias("prev_cents"),
+                    num.cast("long").alias("num"))
+            .withColumn(
+                "growth_ppm",
+                F.when(F.col("prev_cents").isNotNull()
+                       & (F.col("prev_cents") != 0), flo)
+                .cast("long"))
+            .drop("num"))
+
+
+@_register(
+    "c59_compression_ratio",
+    None,  # DuckDB has no zlib — rows-only; byte-exact pytest instead
+    "zlib compression-ratio quality signal (Gopher-family heuristic: "
+    "ratio ~1 = random/encoded noise, ratio ~0 = boilerplate "
+    "repetition; keep the middle band).  Arrow-batched mapInPandas, "
+    "level pinned for determinism, text never leaves the executor; "
+    "per-(lang, source) aggregate of ppm ratios + band counts.  "
+    "Rows-only in the driver gate (no zlib in SQL); "
+    "tests/test_round5.py pins the per-doc bytes against direct "
+    "python zlib at sf0.001.  Narrow map + one hash agg — scales",
+)
+def c59_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions.compression import (
+        with_compression_ratio)
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_compression_ratio(docs, text_col="text")
+    return (scored.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("ratio_ppm").cast("long").alias("ratio_ppm_sum"),
+                 F.sum(F.when(F.col("ratio_ppm") > 900_000, 1)
+                       .otherwise(0)).cast("long").alias("n_noisy"),
+                 F.sum(F.when(F.col("ratio_ppm") < 300_000, 1)
+                       .otherwise(0)).cast("long").alias("n_boiler"))
+            .orderBy("lang", "source"))
+
+
+@_register(
+    "c60_exact_substring_decontam",
+    """
+    WITH needles AS (
+      SELECT doc_id AS src_id, substr(text, 1, 12) AS needle
+      FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT 10
+    )
+    SELECT n.src_id, n.needle,
+           CAST(count(d.doc_id) AS BIGINT) AS n_contaminated
+    FROM needles n LEFT JOIN documents d
+      ON d.doc_id <> n.src_id AND instr(d.text, n.needle) > 0
+    GROUP BY n.src_id, n.needle
+    """,
+    "exact-substring decontamination (GPT-3/PaLM appendix method): "
+    "count corpus docs sharing a >=12-char exact substring with each "
+    "eval needle.  Needles derive deterministically from the corpus "
+    "(12-char prefix of the 10 longest docs).  Spark: broadcast the "
+    "tiny needle table, instr containment filter, count per needle — "
+    "one corpus scan however many needles.  At 100 TB with thousands "
+    "of needles switch to an Aho-Corasick mapInPandas pass (one "
+    "automaton, still one scan) instead of n_needles instr calls",
+)
+def c60_exact_substring_decontam(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    needles = (docs
+               .orderBy(F.desc("n_chars"), "doc_id").limit(10)
+               .select(F.col("doc_id").alias("src_id"),
+                       F.substring("text", 1, 12).alias("needle")))
+    hits = (docs.crossJoin(F.broadcast(needles))
+            .filter((F.col("doc_id") != F.col("src_id"))
+                    & (F.instr("text", F.col("needle")) > 0))
+            .groupBy("src_id", "needle")
+            .agg(F.count("*").cast("long").alias("n_contaminated")))
+    # LEFT join semantics: needles with zero hits still appear.
+    return (needles.join(hits, ["src_id", "needle"], "left")
+            .select("src_id", "needle",
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .cast("long").alias("n_contaminated")))
+
+
+@_register(
+    "b77_weighted_median",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             sum(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum_w,
+             sum(w) OVER (PARTITION BY flag) AS tot_w
+      FROM v
+    )
+    SELECT flag, CAST(max(tot_w) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum_w >= tot_w THEN cents END)
+                AS BIGINT) AS wmedian_cents
+    FROM c GROUP BY flag
+    """,
+    "weighted discrete median (quantity-weighted price): smallest "
+    "value whose cumulative weight reaches half the total.  Shape: "
+    "collapse duplicate values FIRST (per-(group, value) weight agg — "
+    "the window then runs on |distinct values| rows, not |fact| "
+    "rows), one running-sum window, min over qualifying values.  "
+    "Exact integers end-to-end; at 100 TB the pre-collapse is the "
+    "difference between sorting the fact and sorting its value "
+    "histogram",
+)
+def b77_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = (li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+            .alias("cents"))
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("w")))
+    wc = W.partitionBy("flag").orderBy("cents")
+    wt = W.partitionBy("flag")
+    c = v.select(
+        "flag", "cents",
+        F.sum("w").over(wc).alias("cum_w"),
+        F.sum("w").over(wt).alias("tot_w"))
+    return (c.groupBy("flag")
+            .agg(F.max("tot_w").cast("long").alias("total_weight"),
+                 F.min(F.when(2 * F.col("cum_w") >= F.col("tot_w"),
+                              F.col("cents"))).cast("long")
+                 .alias("wmedian_cents")))
+
+
+@_register(
+    "b78_reset_cumsum",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ), seg AS (
+      SELECT user_id, cents,
+             sum(is_err) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS seg_id
+      FROM e
+    ), per_seg AS (
+      SELECT user_id, seg_id, sum(cents) AS seg_cents
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(max(seg_cents) AS BIGINT) AS max_segment_cents,
+           CAST(arg_max(seg_cents, seg_id) AS BIGINT)
+             AS last_segment_cents
+    FROM per_seg GROUP BY user_id
+    """,
+    "flag-triggered running-sum reset (the 'counter reset' shape: "
+    "odometer rollover, error-triggered session restart).  Classic "
+    "two-step: segment id = cumulative count of reset flags (one "
+    "per-user window), then aggregate within (user, segment).  ONE "
+    "per-user shuffle feeds both steps; the reset row opens its own "
+    "segment.  Per-user windows bound state; users parallelize",
+)
+def b78_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        .alias("is_err"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.withColumn("seg_id", F.sum("is_err").over(w))
+    per_seg = (seg.groupBy("user_id", "seg_id")
+               .agg(F.sum("cents").alias("seg_cents")))
+    return (per_seg.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 F.max("seg_cents").cast("long")
+                 .alias("max_segment_cents"),
+                 F.max_by("seg_cents", "seg_id").cast("long")
+                 .alias("last_segment_cents")))
+
+
+@_register(
+    "c61_mislabel_candidates",
+    """
+    WITH q AS (
+      SELECT label, i,
+             CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000)
+                           AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000.0 AS c_val
+      FROM embeddings, range(1, 65) r(i)
+      GROUP BY label, i
+    ), cents AS (
+      SELECT label, list(c_val ORDER BY i) AS centroid
+      FROM q GROUP BY label
+    ), scored AS (
+      SELECT e.label, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.centroid), 6) AS cos_sim
+      FROM embeddings e JOIN cents c ON e.label = c.label
+    ), ranked AS (
+      SELECT label, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_sim, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS label, vec_id, cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+    "mislabel-candidate mining (confident-learning direction): "
+    "vectors FARTHEST from their own label centroid are the ones a "
+    "human should re-check before the batch enters training.  "
+    "Centroids use c20's floor-quantized exact BIGINT sums "
+    "(aggregation-order-proof), ride back via a broadcast join on "
+    "label (|labels| rows), cosine is a narrow map, per-label top-5 "
+    "via window over |labels| small partitions.  One posexplode agg "
+    "+ one broadcast join + one bounded window — scales",
+)
+def c61_mislabel_candidates(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+         .select("label", "pos",
+                 F.floor(F.col("x").cast("double") * 1_000_000)
+                 .cast("long").alias("xq"))
+         .groupBy("label", "pos")
+         .agg(F.sum("xq").alias("s"), F.count("*").alias("n")))
+    cents = (q.groupBy("label")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("pos").alias("pos"),
+                     (F.col("s").cast("double") / F.col("n")
+                      / F.lit(1_000_000.0)).alias("v")))),
+                 lambda st: st["v"]).alias("centroid")))
+    scored = (emb.join(F.broadcast(cents), "label")
+              .select(F.col("label").cast("long").alias("label"),
+                      "vec_id",
+                      F.round(cosine(F.col("embedding").cast(
+                          "array<double>"), F.col("centroid")), 6)
+                      .alias("cos_sim")))
+    w = W.partitionBy("label").orderBy("cos_sim", "vec_id")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 5))

@@ -159,3 +159,84 @@ def test_c61_planted_outlier_ranks_first(spark, tmp_path):
     first = [r for r in out if r.rn == 1][0]
     assert first.vec_id == 99
     assert first.cos_sim < 0
+
+
+# ------------------------------------------------------- b79 EWMA fold
+
+def test_b79_ewma_matches_reference_fold(spark, tmp_path):
+    # acc: 100 -> (100+200)//2=150 -> (150+50)//2=100
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 1.00),
+            (2, "2024-01-01 00:01:00", 1, "click", 2.00),
+            (3, "2024-01-01 00:02:00", 1, "click", 0.50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.b79_ewma_halving(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.ewma_cents) == (3, 100)
+
+
+def test_b79_single_event_is_identity(spark, tmp_path):
+    rows = [(1, "2024-01-01 00:00:00", 7, "view", 3.21)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.b79_ewma_halving(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.ewma_cents) == (1, 321)
+
+
+# ---------------------------------------------------- b80 k-anonymity
+
+def test_b80_risky_class_accounting(spark, tmp_path):
+    # class A: 6 rows (safe), class B: 2 rows (risky)
+    rows = ([(i, "2024-01-01 10:00:00", 1, "click", 5.0)
+             for i in range(6)]
+            + [(10 + i, "2024-01-01 11:00:00", 1, "click", 5.0)
+               for i in range(2)])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.b80_k_anonymity(spark, str(tmp_path)).collect()[0]
+    assert (r.k_min, r.n_classes, r.n_risky_classes,
+            r.n_risky_rows) == (2, 2, 1, 2)
+
+
+# ------------------------------------------------------ b81 exact corr
+
+def test_b81_perfect_linear_correlation(spark, tmp_path):
+    # price = qty exactly -> corr == 1.0
+    rows = [(i, 1, float(i + 1), (i + 1) / 100.0, "A")
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_returnflag string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = r5.b81_exact_corr(spark, str(tmp_path)).collect()[0]
+    assert r.corr_qty_price == 1.0
+
+
+# --------------------------------------------- c62 template detection
+
+def test_c62_non_vacuous_at_oracle_sf(spark):
+    from tests.conftest import SF_ORACLE
+    n = r5.c62_template_detection(spark, SF_ORACLE).count()
+    assert n > 0    # guards against a 0==0 vacuous oracle pass
+
+
+def test_c62_planted_template_found(spark, tmp_path):
+    rows = [(1, "aaa bb c filler one"), (2, "xxx yy z filler two"),
+            (3, "completely different structure here now maybe")]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .withColumn("lang", F.lit("en"))
+          .withColumn("source", F.lit("s"))
+          .withColumn("n_chars", F.length("text").cast("long")))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = r5.c62_template_detection(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].n_docs, out[0].n_variants,
+            out[0].example_doc_id) == (2, 2, 1)

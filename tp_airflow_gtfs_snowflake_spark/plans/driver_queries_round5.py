@@ -478,3 +478,191 @@ def c61_mislabel_candidates(spark: SparkSession,
     w = W.partitionBy("label").orderBy("cos_sim", "vec_id")
     return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") <= 5))
+
+
+@_register(
+    "b79_ewma_halving",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(list(cents ORDER BY ts, event_id),
+                            (acc, x) -> (acc + x) // 2) AS BIGINT)
+             AS ewma_cents
+    FROM e GROUP BY user_id
+    """,
+    "integer EWMA (alpha=1/2 smoothing: acc' = (acc + x) div 2 — the "
+    "bit-shift update real-time systems use for jitter/latency "
+    "smoothing, RFC 6298 family).  Recursive smoothing is not "
+    "window-expressible, but IS an ordered fold: collect the ordered "
+    "per-user series once, fold left.  Integer halving truncates "
+    "identically in both engines, so the result is bit-exact with no "
+    "float accumulation concerns.  Per-user arrays are bounded by "
+    "per-user event counts; at 100 TB fold per (user, day) and "
+    "re-seed daily, or move to applyInPandasWithState for unbounded "
+    "streams",
+)
+def b79_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            F.col("cents").alias("cents")))),
+        lambda s: s["cents"])
+    # Fold starts from the FIRST element (list_reduce semantics), so
+    # seed with element 1 and fold the tail; positive cents make
+    # shiftright(acc+x, 1) == truncating (acc+x)//2.
+    ewma = F.aggregate(
+        F.slice(ordered, 2, F.greatest(F.size(ordered) - 1, F.lit(0))),
+        F.element_at(ordered, 1),
+        lambda acc, x: F.shiftright(acc + x, 1))
+    return (e.groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 ewma.cast("long").alias("ewma_cents")))
+
+
+@_register(
+    "b80_k_anonymity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(floor(value / 10) AS BIGINT) AS value_band,
+             count(*) AS k
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(k) AS BIGINT) AS k_min,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_risky_rows
+    FROM g
+    """,
+    "k-anonymity audit (privacy/data-governance gate before a "
+    "dataset leaves the pipeline): group by the quasi-identifier "
+    "tuple (type, hour, value band), find equivalence classes "
+    "smaller than k=5 — each is a re-identification risk.  Two "
+    "cascaded hash aggregates, both map-side combinable; the second "
+    "input is |classes| rows.  The same shape audits any QI choice; "
+    "at 100 TB the QI agg is one shuffle of grouped partials",
+)
+def b80_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = (ev.groupBy(
+            "event_type",
+            F.hour("ts").cast("long").alias("hr"),
+            F.floor(F.col("value") / 10).cast("long")
+            .alias("value_band"))
+         .agg(F.count("*").alias("k")))
+    return g.agg(
+        F.min("k").cast("long").alias("k_min"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long").alias("n_risky_rows"))
+
+
+@_register(
+    "b81_exact_corr",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS syy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_price
+    FROM m
+    """,
+    "exact Pearson correlation from BIGINT moment sums: built-in "
+    "corr() accumulates doubles whose result depends on partition "
+    "order (not reproducible run-to-run on a cluster); the moment "
+    "form sums exact integers (order-proof), then evaluates the "
+    "closed formula once per group in DOUBLE.  One map-side- "
+    "combinable aggregate; the moments are also the mergeable "
+    "partial state for incremental refresh",
+)
+def b81_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    m = (li.groupBy(F.col("l_returnflag").alias("flag"))
+         .agg(F.count("*").alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+              F.sum(x * y).alias("sxy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = ((nd * F.col("sxy") - sx * F.col("sy"))
+            / F.sqrt((nd * F.col("sxx") - sx * F.col("sx"))
+                     * (nd * F.col("syy") - sy * F.col("sy"))))
+    return m.select("flag", F.col("n").cast("long").alias("n"),
+                    F.round(corr, 6).alias("corr_qty_price"))
+
+
+@_register(
+    "c62_template_detection",
+    """
+    WITH sig AS (
+      SELECT doc_id, text,
+             md5(array_to_string(
+                   list_transform(
+                     list_slice(string_split_regex(trim(text), ' +'),
+                                1, 6),
+                     x -> CAST(length(x) AS VARCHAR)),
+                   ',')) AS structure_sig
+      FROM documents
+    )
+    SELECT structure_sig,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS example_doc_id
+    FROM sig
+    GROUP BY structure_sig
+    HAVING count(*) >= 2 AND count(DISTINCT text) > 1
+    """,
+    "template/boilerplate mining: docs sharing a STRUCTURAL "
+    "signature (here: the length pattern of the first 6 tokens — "
+    "the shared-opening/header heuristic) while differing in "
+    "content are template instantiations — mail-merge pages, "
+    "scaffolded spam — that near-dup text measures miss when the "
+    "fill-ins diverge.  Signature is a narrow map (split once, "
+    "slice, transform, hash); one hash agg; HAVING keeps "
+    "multi-variant groups (non-vacuous: 44 groups at sf0.01).  The "
+    "128-bit signature shuffles instead of the text — same scale "
+    "contract as c01 exact dedup; widen the slice (or drop it) as "
+    "template length demands",
+)
+def c62_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = F.md5(F.array_join(
+        F.transform(
+            F.slice(F.split(F.trim(F.col("text")), " +"), 1, 6),
+            lambda x: F.length(x).cast("string")),
+        ","))
+    return (docs.select(sig.alias("structure_sig"), "doc_id", "text")
+            .groupBy("structure_sig")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("text").cast("long").alias("n_variants"),
+                 F.min("doc_id").cast("long").alias("example_doc_id"))
+            .filter((F.col("n_docs") >= 2) & (F.col("n_variants") > 1)))

@@ -240,3 +240,65 @@ def test_c62_planted_template_found(spark, tmp_path):
     assert len(out) == 1
     assert (out[0].n_docs, out[0].n_variants,
             out[0].example_doc_id) == (2, 2, 1)
+
+
+# --------------------------------------------------- b82 right outer
+
+def test_b82_unshipped_parts_survive(spark, tmp_path):
+    li = [(1, 10, 1, 1, 1.0, 2.00, 0.0, 0.0, "N", "O",
+           "2024-01-01 00:00:00")]
+    parts = [(10, "widget a", "B1", "T", 1, 9.0),
+             (11, "widget b", "B1", "T", 1, 9.0)]   # never shipped
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate string") \
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        parts, "p_partkey long, p_name string, p_brand string, "
+               "p_type string, p_size int, p_retailprice double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    r = r5.b82_right_outer_join(spark, str(tmp_path)).collect()[0]
+    assert (r.n_parts, r.n_never_shipped, r.shipped_cents) == (2, 1, 200)
+
+
+# ------------------------------------------- b83 band classification
+
+def test_b83_bands_partition_the_fact(spark):
+    out = r5.b83_quantile_band_classify(spark, SF_SMALL).collect()
+    li_n = _t(spark, SF_SMALL, "lineitem").count()
+    assert sum(r.n_rows for r in out) == li_n
+    assert {r.band for r in out} <= {1, 2, 3, 4}
+
+
+# ------------------------------------------------- c63 embedding QA
+
+def test_c63_flags_zero_vectors_and_dims(spark, tmp_path):
+    rows = [(1, [1.0, 2.0], 0), (2, [0.0, 0.0], 0), (3, [3.0, 4.0], 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.label: r for r in
+           r5.c63_embedding_qa_audit(spark, str(tmp_path)).collect()}
+    assert out[0].n_zero_vecs == 1 and out[0].n_vecs == 2
+    assert out[0].n_distinct_dims == 1
+    assert out[1].min_normsq_q == 25 * 10**12
+
+
+# ----------------------------------------------------- b84 motifs
+
+def test_b84_motif_counts(spark, tmp_path):
+    seq = ["view", "click", "purchase", "view"]
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, t, 1.0)
+            for i, t in enumerate(seq)]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {(r.e1, r.e2, r.e3): r.n_occurrences
+           for r in r5.b84_event_motifs(spark, str(tmp_path)).collect()}
+    assert got == {("view", "click", "purchase"): 1,
+                   ("click", "purchase", "view"): 1}

@@ -666,3 +666,195 @@ def c62_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("text").cast("long").alias("n_variants"),
                  F.min("doc_id").cast("long").alias("example_doc_id"))
             .filter((F.col("n_docs") >= 2) & (F.col("n_variants") > 1)))
+
+
+@_register(
+    "b82_right_outer_join",
+    """
+    SELECT p.p_brand,
+           CAST(count(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT CASE WHEN l.l_orderkey IS NULL
+                                    THEN p.p_partkey END) AS BIGINT)
+             AS n_never_shipped,
+           CAST(coalesce(sum(CAST(floor(l.l_extendedprice * 100)
+                                  AS BIGINT)), 0) AS BIGINT)
+             AS shipped_cents
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "RIGHT OUTER join (completes the join-type matrix next to b12 "
+    "anti / b24 full / b28 semi / b70 null-safe): every part "
+    "survives, unshipped parts carry NULL lineitem columns and are "
+    "counted separately.  Catalyst canonicalizes right-to-left "
+    "outer, so the physical plan is the mirrored LEFT outer with the "
+    "small side broadcast when it fits; the aggregate is one "
+    "map-side-combinable pass",
+)
+def b82_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey, "right_outer")
+    return (j.groupBy("p_brand")
+            .agg(F.countDistinct("p_partkey").cast("long")
+                 .alias("n_parts"),
+                 F.countDistinct(
+                     F.when(F.col("l_orderkey").isNull(),
+                            F.col("p_partkey"))).cast("long")
+                 .alias("n_never_shipped"),
+                 F.coalesce(
+                     F.sum(F.floor(F.col("l_extendedprice") * 100)
+                           .cast("long")), F.lit(0)).cast("long")
+                 .alias("shipped_cents")))
+
+
+@_register(
+    "b83_quantile_band_classify",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), bounds AS (
+      SELECT flag,
+             quantile_disc(cents, 0.25) AS q1,
+             quantile_disc(cents, 0.50) AS q2,
+             quantile_disc(cents, 0.75) AS q3
+      FROM v GROUP BY flag
+    )
+    SELECT v.flag,
+           CAST(CASE WHEN cents <= q1 THEN 1
+                     WHEN cents <= q2 THEN 2
+                     WHEN cents <= q3 THEN 3
+                     ELSE 4 END AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS band_cents
+    FROM v JOIN bounds ON v.flag = bounds.flag
+    GROUP BY 1, 2
+    """,
+    "classify-by-computed-boundary: per-group quartile fences from a "
+    "first pass (b75's disc-quantile recipe), broadcast-joined back "
+    "onto the fact for banding, then a banded aggregate.  The "
+    "boundary relation is |groups| rows — always broadcastable — so "
+    "the fact is scanned twice but shuffled once (the final agg); at "
+    "100 TB replace pass 1 with approx_percentile partials and the "
+    "same join-back",
+)
+def b83_quantile_band_classify(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(F.col("l_returnflag").alias("flag"),
+                  F.floor(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("cents"))
+
+    def disc(vals, n, p):
+        return F.element_at(
+            vals, F.ceil(n.cast("double") * F.lit(p)).cast("int"))
+
+    agg = (v.groupBy("flag")
+           .agg(F.count("*").alias("n"),
+                F.array_sort(F.collect_list("cents")).alias("vals")))
+    bounds = agg.select(
+        "flag",
+        disc(F.col("vals"), F.col("n"), 0.25).alias("q1"),
+        disc(F.col("vals"), F.col("n"), 0.50).alias("q2"),
+        disc(F.col("vals"), F.col("n"), 0.75).alias("q3"))
+    band = (F.when(F.col("cents") <= F.col("q1"), 1)
+            .when(F.col("cents") <= F.col("q2"), 2)
+            .when(F.col("cents") <= F.col("q3"), 3)
+            .otherwise(4)).cast("long")
+    return (v.join(F.broadcast(bounds), "flag")
+            .withColumn("band", band)
+            .groupBy("flag", "band")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum("cents").cast("long").alias("band_cents")))
+
+
+@_register(
+    "c63_embedding_qa_audit",
+    """
+    WITH per_vec AS (
+      SELECT label, vec_id,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             list_sum(list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(floor(x * x * 1000000000000) AS BIGINT)))
+               AS normsq_q
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+           CAST(min(normsq_q) AS BIGINT) AS min_normsq_q,
+           CAST(max(normsq_q) AS BIGINT) AS max_normsq_q,
+           CAST(sum(normsq_q) // count(*) AS BIGINT) AS avg_normsq_q,
+           CAST(sum(CASE WHEN normsq_q = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_vecs
+    FROM per_vec GROUP BY label
+    """,
+    "embedding-table QA gate (run before any ANN/dedup consumer): "
+    "per label — vector count, dimension consistency (n_distinct_dims "
+    "must be 1), norm-squared distribution, and zero-vector count "
+    "(zero vectors poison cosine math with division by zero).  "
+    "Element-wise floor(x^2 * 1e12) quantization makes the per-vector "
+    "sum an exact BIGINT — aggregation-order-proof, same contract as "
+    "c20 centroids.  Narrow per-row HOF + one hash agg: scales "
+    "linearly, no shuffle of the vectors themselves",
+)
+def c63_embedding_qa_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    normsq_q = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x * x * F.lit(1e12)).cast("long"))
+    per_vec = emb.select(
+        F.col("label").cast("long").alias("label"), "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        normsq_q.alias("normsq_q"))
+    return (per_vec.groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.countDistinct("dim").cast("long")
+                 .alias("n_distinct_dims"),
+                 F.min("normsq_q").cast("long").alias("min_normsq_q"),
+                 F.max("normsq_q").cast("long").alias("max_normsq_q"),
+                 F.expr("sum(normsq_q) div count(*)").cast("long")
+                 .alias("avg_normsq_q"),
+                 F.sum(F.when(F.col("normsq_q") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_zero_vecs")))
+
+
+@_register(
+    "b84_event_motifs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_occurrences DESC, e1, e2, e3
+    LIMIT 10
+    """,
+    "behavioral motif mining: top-10 consecutive event-type TRIPLES "
+    "per user stream (the 3-gram extension of b45's pair-transition "
+    "matrix — funnels and abuse patterns surface as over-represented "
+    "motifs).  One per-user window feeding two leads, one hash agg "
+    "over at most |types|^3 groups, TakeOrderedAndProject top-k.  "
+    "Per-user window state is two rows deep — streams and scales",
+)
+def b84_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3")
+            .agg(F.count("*").cast("long").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+            .limit(10))

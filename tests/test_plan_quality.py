@@ -621,3 +621,52 @@ def test_c58_global_centroid_broadcasts(spark):
     p = _plan(spark, "c58_source_embedding_drift")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+# ----------------------------------------------------- round-5 gates
+
+def test_b74_fuzzy_join_is_equi_not_cartesian(spark):
+    p = _plan(spark, "b74_fuzzy_name_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the levenshtein verify must be a post-join filter on an
+    # equi-join, and the distinct-name collapse must precede the join
+    assert "levenshtein" in p
+    assert "HashAggregate" in p
+
+
+def test_b77_window_runs_on_value_histogram_not_fact(spark):
+    p = _plan(spark, "b77_weighted_median")
+    # the running-sum window must sit ABOVE the (flag, cents) collapse:
+    # a HashAggregate appears below the Window in the plan tree
+    wi = p.find("Window")
+    assert wi > 0
+    assert "HashAggregate" in p[wi:], \
+        "window input is the raw fact — pre-collapse missing"
+
+
+def test_c61_centroid_join_back_is_broadcast(spark):
+    p = _plan(spark, "c61_mislabel_candidates")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_b83_bounds_join_back_is_broadcast(spark):
+    p = _plan(spark, "b83_quantile_band_classify")
+    assert "BroadcastHashJoin" in p
+
+
+def test_c60_needle_probe_is_single_corpus_scan(spark):
+    p = _plan(spark, "c60_exact_substring_decontam")
+    # broadcast nested-loop on a 10-row needle table is the INTENDED
+    # shape (substring containment has no equi key); the corpus side
+    # must appear exactly twice (needle derivation + probe), never
+    # shuffled against itself
+    assert "CartesianProduct" not in p
+    n_doc_scans = p.count("documents.parquet")
+    assert n_doc_scans <= 3, f"corpus scanned {n_doc_scans} times"
+
+
+def test_b84_motif_topk_is_take_ordered(spark):
+    p = _plan(spark, "b84_event_motifs")
+    assert "TakeOrderedAndProject" in p

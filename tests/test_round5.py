@@ -302,3 +302,74 @@ def test_b84_motif_counts(spark, tmp_path):
            for r in r5.b84_event_motifs(spark, str(tmp_path)).collect()}
     assert got == {("view", "click", "purchase"): 1,
                    ("click", "purchase", "view"): 1}
+
+
+# ------------------------------------------------------ b85 chi-square
+
+def test_b85_independent_uniform_has_tiny_chi2(spark, tmp_path):
+    # perfectly balanced 2 types x 2 days -> chi2 == 0
+    rows = []
+    eid = 0
+    for day in ("2024-01-01", "2024-01-02"):   # Mon, Tue
+        for t in ("a", "b"):
+            for _ in range(5):
+                rows.append((eid, f"{day} 10:00:00", 1, t, 1.0))
+                eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.b85_chisq_independence(spark, str(tmp_path)).collect()[0]
+    assert (r.n_events, r.dof, r.chi2_ppm) == (20, 1, 0)
+
+
+# --------------------------------------------------------- b86 benford
+
+def test_b86_spine_keeps_zero_digits(spark, tmp_path):
+    rows = [(i, "2024-01-01 00:00:00", 1, "click", 1.23)
+            for i in range(4)]   # all cents=123 -> digit 1 only
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.digit: r for r in
+           r5.b86_benford_digit_audit(spark, str(tmp_path)).collect()}
+    assert len(out) == 9
+    assert out[1].observed_ppm == 1_000_000
+    assert out[9].n == 0 and out[9].observed_ppm == 0
+    assert out[1].expected_ppm == 301030
+
+
+# ------------------------------------------------- c64 source overlap
+
+def test_c64_identical_sources_hit_full_jaccard(spark, tmp_path):
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, text, "en", "s1", len(text)),
+            (2, text, "en", "s2", len(text)),
+            (3, "totally different words here now", "en", "s3", 10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {(r.src1, r.src2): r.jaccard_ppm
+           for r in r5.c64_source_overlap_matrix(spark, str(tmp_path))
+           .collect()}
+    assert out == {("s1", "s2"): 1_000_000}
+
+
+# --------------------------------------------------- c65 token yield
+
+def test_c65_duplicate_tokens_discounted(spark, tmp_path):
+    rows = [(1, "one two three", "en", "sA", 13),
+            (2, "one two three", "en", "sA", 13),   # exact dup
+            (3, "four five", "en", "sA", 9)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = r5.c65_effective_token_yield(spark, str(tmp_path)).collect()[0]
+    # raw 3+3+2=8, effective 3+2=5 -> 625000 ppm
+    assert (r.n_docs, r.raw_tokens, r.effective_tokens,
+            r.yield_ppm) == (3, 8, 5, 625000)

@@ -858,3 +858,239 @@ def b84_event_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
             .limit(10))
+
+
+@_register(
+    "b85_chisq_independence",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS iso_dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, iso_dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY iso_dow) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT iso_dow) - 1) AS BIGINT) AS dof,
+           CAST(sum(CAST(floor(
+                 (o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+                 / (rt * ct * 1.0 / n) * 1000000) AS BIGINT))
+                AS BIGINT) AS chi2_ppm
+    FROM tot
+    """,
+    "chi-square independence test between event type and ISO "
+    "weekday (the 'is traffic composition day-dependent' audit).  "
+    "Observed counts are exact BIGINTs; each cell's (o-e)^2/e "
+    "contribution is computed in DOUBLE from those ints (identical "
+    "inputs both engines), floor-quantized to ppm PER CELL, then "
+    "integer-summed — aggregation-order-proof like c20.  Physically: "
+    "one fact aggregate to |types x days| cells, windows over that "
+    "tiny relation, one final fold.  The fact is shuffled once",
+)
+def b85_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        (F.weekday("ts") + 1).cast("long")
+                        .alias("iso_dow"))
+             .agg(F.count("*").cast("long").alias("o")))
+    tot = cells.select(
+        "event_type", "iso_dow", "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(W.partitionBy("iso_dow")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"))
+    e = (F.col("rt") * F.col("ct") * F.lit(1.0) / F.col("n"))
+    contrib = F.floor((F.col("o") - e) * (F.col("o") - e) / e
+                      * F.lit(1_000_000)).cast("long")
+    return tot.agg(
+        F.max("n").cast("long").alias("n_events"),
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("iso_dow") - 1)).cast("long").alias("dof"),
+        F.sum(contrib).cast("long").alias("chi2_ppm"))
+
+
+# Benford first-digit expectation, ppm of log10(1 + 1/d) — hardcoded
+# literals on BOTH sides so no libm rounding difference can leak in.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181,
+                66947, 58019, 51153, 45757]
+
+
+@_register(
+    "b86_benford_digit_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM events WHERE floor(value * 100) >= 1
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), exp AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_BENFORD_PPM))}
+      ) e(digit, expected_ppm)
+    )
+    SELECT exp.digit, coalesce(obs.n, 0) AS n,
+           CAST(coalesce(obs.n, 0) * 1000000
+                // (SELECT sum(n) FROM obs) AS BIGINT) AS observed_ppm,
+           CAST(expected_ppm AS BIGINT) AS expected_ppm,
+           CAST(abs(coalesce(obs.n, 0) * 1000000
+                    // (SELECT sum(n) FROM obs) - expected_ppm)
+                AS BIGINT) AS abs_dev_ppm
+    FROM exp LEFT JOIN obs ON exp.digit = obs.digit
+    """,
+    "Benford first-digit audit (fraud/synthetic-data detector: "
+    "organic magnitudes follow log10(1+1/d); fabricated ones "
+    "usually don't).  Expected ppm are LITERALS on both sides — no "
+    "libm log10 in the query, so no cross-engine rounding risk.  "
+    "One digit extraction (narrow), one 9-group agg, scalar total "
+    "join-back (broadcast).  The LEFT join from the literal digit "
+    "spine keeps zero-count digits visible",
+)
+def b86_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d = (ev.filter(cents >= 1)
+         .select(F.substring(cents.cast("string"), 1, 1).cast("long")
+                 .alias("digit")))
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    total = obs.agg(F.sum("n").alias("tot"))
+    spine = (_t(spark, sf_dir, "events").sparkSession
+             .createDataFrame([(i + 1, p) for i, p in
+                               enumerate(_BENFORD_PPM)],
+                              "digit long, expected_ppm long"))
+    j = (spine.join(obs, "digit", "left")
+         .crossJoin(F.broadcast(total))
+         .select("digit",
+                 F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                 F.expr("coalesce(n, 0) * 1000000 div tot").cast("long")
+                 .alias("observed_ppm"),
+                 F.col("expected_ppm").cast("long").alias("expected_ppm")))
+    return j.withColumn(
+        "abs_dev_ppm",
+        F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
+        .cast("long"))
+
+
+@_register(
+    "c64_source_overlap_matrix",
+    """
+    WITH t AS (
+      SELECT source, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS sh
+      FROM t
+    ), sizes AS (
+      SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    ), common AS (
+      SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src1, src2, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000000
+                // (x.n_sh + y.n_sh - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM common JOIN sizes x ON x.source = src1
+                JOIN sizes y ON y.source = src2
+    WHERE n_common * 1000000 // (x.n_sh + y.n_sh - n_common) >= 10000
+    """,
+    "source-level corpus overlap matrix: exact 3-gram-shingle "
+    "Jaccard between every SOURCE pair (>=1% ppm cut) — the "
+    "dataset-composition diagnostic run before mixing sources into "
+    "a training blend (near-identical sources waste budget; c34's "
+    "mixture weights assume distinct distributions).  Inverted-"
+    "index equi-join on shingle over DISTINCT (source, shingle) "
+    "rows: pairs-per-shingle is bounded by |sources|^2 (not docs), "
+    "so the join output is |shingles| x O(|sources|^2) worst case — "
+    "at larger source counts swap in per-source MinHash partials "
+    "(b41's mergeable-sketch pattern) for the same matrix "
+    "approximately",
+)
+def c64_source_overlap_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select("source",
+                      F.explode(token_shingles(F.col("text"), 3))
+                      .alias("sh"))
+          .distinct())
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("src1"), "sh")
+    b = sh.select(F.col("source").alias("src2"), "sh")
+    common = (a.join(b, "sh")
+              .filter(F.col("src1") < F.col("src2"))
+              .groupBy("src1", "src2")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    x = sizes.select(F.col("source").alias("src1"),
+                     F.col("n_sh").alias("n1"))
+    y = sizes.select(F.col("source").alias("src2"),
+                     F.col("n_sh").alias("n2"))
+    out = (common.join(F.broadcast(x), "src1")
+           .join(F.broadcast(y), "src2")
+           .withColumn("jaccard_ppm",
+                       F.expr("n_common * 1000000 "
+                              "div (n1 + n2 - n_common)").cast("long")))
+    return (out.filter(F.col("jaccard_ppm") >= 10_000)
+            .select("src1", "src2", "n_common", "jaccard_ppm"))
+
+
+@_register(
+    "c65_effective_token_yield",
+    """
+    WITH canon AS (
+      SELECT min(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ), toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN keep_id IS NOT NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS effective_tokens,
+           CAST(sum(CASE WHEN keep_id IS NOT NULL THEN n_tok ELSE 0 END)
+                * 1000000 // sum(n_tok) AS BIGINT) AS yield_ppm
+    FROM toks LEFT JOIN canon ON doc_id = keep_id
+    GROUP BY source
+    """,
+    "effective token yield per source: tokens surviving exact "
+    "dedup (md5 canonical, min-doc_id keeper) over raw tokens — "
+    "the 'how much of this source is actually new data' metric "
+    "that decides acquisition priorities (a 400k-ppm source is "
+    "60% duplicate weight).  Canonical set = c01's hash-groupBy "
+    "contract (128-bit keys shuffle, text never does); survivors "
+    "found via LEFT semi-ish join on doc_id, one final per-source "
+    "agg.  Composes c01 x c03e into a decision-grade rollup",
+)
+def c65_effective_token_yield(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    canon = (docs.groupBy(F.md5("text"))
+             .agg(F.min("doc_id").alias("keep_id")))
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+        .alias("n_tok"))
+    j = toks.join(canon, toks.doc_id == canon.keep_id, "left")
+    kept = F.when(F.col("keep_id").isNotNull(), F.col("n_tok")) \
+            .otherwise(0)
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("raw_tokens"),
+                 F.sum(kept).cast("long").alias("effective_tokens"))
+            .withColumn("yield_ppm",
+                        F.expr("effective_tokens * 1000000 "
+                               "div raw_tokens").cast("long")))

@@ -373,3 +373,26 @@ def test_c65_duplicate_tokens_discounted(spark, tmp_path):
     # raw 3+3+2=8, effective 3+2=5 -> 625000 ppm
     assert (r.n_docs, r.raw_tokens, r.effective_tokens,
             r.yield_ppm) == (3, 8, 5, 625000)
+
+
+# ---------------------------------------------- c66 quality classifier
+
+def test_c66_classifier_separates_weak_classes(spark):
+    from tests.conftest import SF_ORACLE
+    out = {r.lang: r for r in
+           r5.c66_quality_classifier(spark, SF_ORACLE).collect()}
+    assert len(out) == 5
+    en = out["en"].mean_quality_prob
+    others = [r.mean_quality_prob for lg, r in out.items() if lg != "en"]
+    assert en > max(others), "model fails to separate the weak label"
+    for r in out.values():
+        assert 0.0 <= r.mean_quality_prob <= 1.0
+        assert 0 <= r.n_pred_quality <= r.n_docs
+
+
+def test_c66_rerun_is_deterministic(spark):
+    a = sorted(map(tuple, r5.c66_quality_classifier(
+        spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, r5.c66_quality_classifier(
+        spark, SF_SMALL).collect()))
+    assert a == b

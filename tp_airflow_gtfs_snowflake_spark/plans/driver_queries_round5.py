@@ -1094,3 +1094,58 @@ def c65_effective_token_yield(spark: SparkSession,
             .withColumn("yield_ppm",
                         F.expr("effective_tokens * 1000000 "
                                "div raw_tokens").cast("long")))
+
+
+@_register(
+    "c66_quality_classifier", None,
+    "model-based quality filtering (the fastText/CCNet-style "
+    "classifier gate: train a linear model on cheap text features "
+    "against weak labels, score the whole corpus, keep the "
+    "high-probability tail).  Weak label = lang=='en' (the "
+    "high-resource-class proxy); features are c03's native-SQL "
+    "stats (token count, avg token length, stopword ppm, digit "
+    "ppm) — NOT the label.  pyspark.ml LogisticRegression, fixed "
+    "hyperparameters; scoring is a narrow map over the fitted "
+    "model.  rows-only (iterative LBFGS has no SQL twin); pytest "
+    "pins class separation + probability bounds + rerun "
+    "determinism.  At 100 TB: fit on a sample (the model is 5 "
+    "floats), score everywhere — exactly how production quality "
+    "gates deploy",
+)
+def c66_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(
+        toks, lambda x: x.isin("the", "a", "of", "and", "in")))
+    n_char = F.length(F.col("text"))
+    n_digit = (n_char - F.length(F.regexp_replace("text", r"[0-9]", "")))
+    feats = docs.select(
+        "doc_id", "lang", "source",
+        (F.col("lang") == "en").cast("double").alias("label"),
+        n_tok.cast("double").alias("f_ntok"),
+        (n_char.cast("double") / n_tok).alias("f_avg_tok_len"),
+        (stop.cast("double") / n_tok).alias("f_stop_ratio"),
+        (n_digit.cast("double") / n_char).alias("f_digit_ratio"))
+    va = VectorAssembler(
+        inputCols=["f_ntok", "f_avg_tok_len", "f_stop_ratio",
+                   "f_digit_ratio"],
+        outputCol="features")
+    data = va.transform(feats)
+    lr = LogisticRegression(maxIter=25, regParam=0.1,
+                            featuresCol="features", labelCol="label")
+    model = lr.fit(data)
+    scored = model.transform(data)
+    from pyspark.ml.functions import vector_to_array
+    prob_pos = F.element_at(vector_to_array("probability"), 2)
+    return (scored
+            .select("lang", prob_pos.alias("p"),
+                    (prob_pos >= 0.5).cast("long").alias("pred"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("pred").cast("long").alias("n_pred_quality"),
+                 F.round(F.avg("p"), 3).alias("mean_quality_prob"))
+            .orderBy("lang"))

@@ -54,6 +54,10 @@ HEADLINE = [
     "c29_segment_dedup",    # CCNet-style segment-level corpus dedup
     "c41_bipartite_lsh_decontam",  # cross-corpus LSH decontamination
     "b54_nested_denormalize",      # array<struct> build + HOF consume
+    "b74_fuzzy_name_join",   # banded edit-distance record linkage
+    "b77_weighted_median",   # histogram-collapsed weighted quantile
+    "c61_mislabel_candidates",  # centroid-outlier mining
+    "c64_source_overlap_matrix",  # cross-source shingle Jaccard
 ]
 
 

@@ -396,3 +396,45 @@ def test_c66_rerun_is_deterministic(spark):
     b = sorted(map(tuple, r5.c66_quality_classifier(
         spark, SF_SMALL).collect()))
     assert a == b
+
+
+# ---------------------------------------------- b87 top-k plus other
+
+def test_b87_totals_reconcile(spark):
+    out = r5.b87_topk_other_rollup(spark, SF_SMALL).collect()
+    li = _t(spark, SF_SMALL, "lineitem")
+    p = _t(spark, SF_SMALL, "part")
+    total = (li.join(p, li.l_partkey == p.p_partkey)
+             .select(F.sum(F.floor(F.col("l_extendedprice") * 100)
+                           .cast("long")).alias("t")).collect()[0].t)
+    assert sum(r.cents for r in out) == total
+    named = [r for r in out if r.brand != "OTHER"]
+    assert len(named) <= 5
+
+
+# -------------------------------------------- c67 target encoding
+
+def test_c67_loo_excludes_self(spark, tmp_path):
+    # type 'a': cents 100, 200 -> LOO of each = the other one
+    rows = [(1, "2024-01-01 00:00:00", 1, "a", 1.00),
+            (2, "2024-01-01 00:01:00", 1, "a", 2.00)]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = r5.c67_target_encoding(spark, str(tmp_path)).collect()[0]
+    assert (r.min_loo_ppm, r.max_loo_ppm) == (100_000_000, 200_000_000)
+
+
+# ------------------------------------------------ c68 skipgram pairs
+
+def test_c68_pair_generation_window2(spark, tmp_path):
+    rows = [(1, "a b c", "en", "s", 5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.pair: r.n_cooc
+           for r in r5.c68_skipgram_pairs(spark, str(tmp_path)).collect()}
+    assert got == {"a|b": 1, "b|c": 1, "a|c": 1}

@@ -1149,3 +1149,151 @@ def c66_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("pred").cast("long").alias("n_pred_quality"),
                  F.round(F.avg("p"), 3).alias("mean_quality_prob"))
             .orderBy("lang"))
+
+
+@_register(
+    "b87_topk_other_rollup",
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), ranked AS (
+      SELECT p_brand, cents,
+             row_number() OVER (ORDER BY cents DESC, p_brand) AS rn
+      FROM rev
+    )
+    SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END AS brand,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(min(rn) AS BIGINT) AS best_rank
+    FROM ranked
+    GROUP BY CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END
+    """,
+    "top-k-plus-OTHER rollup (the reporting staple: top 5 brands by "
+    "revenue, everything else collapsed into one residual row so "
+    "totals still reconcile).  Rank runs over the |brands| "
+    "pre-aggregate (tiny), never the fact; relabel + re-aggregate "
+    "costs one more pass over |brands| rows.  The fact is shuffled "
+    "once (the brand agg), with the part dim broadcast",
+)
+def b87_topk_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("p_brand")
+           .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("cents")))
+    w = W.orderBy(F.desc("cents"), "p_brand")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    brand = F.when(F.col("rn") <= 5, F.col("p_brand")) \
+             .otherwise("OTHER")
+    return (ranked.groupBy(brand.alias("brand"))
+            .agg(F.sum("cents").cast("long").alias("cents"),
+                 F.count("*").cast("long").alias("n_brands"),
+                 F.min("rn").cast("long").alias("best_rank")))
+
+
+@_register(
+    "c67_target_encoding",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), g AS (
+      SELECT event_type, sum(cents) AS s, count(*) AS n
+      FROM e GROUP BY event_type
+    ), loo AS (
+      SELECT e.event_type,
+             (s - cents) * 1000000 // nullif(n - 1, 0) AS loo_ppm
+      FROM e JOIN g USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(loo_ppm) AS BIGINT) AS min_loo_ppm,
+           CAST(max(loo_ppm) AS BIGINT) AS max_loo_ppm,
+           CAST(sum(loo_ppm) // count(*) AS BIGINT) AS avg_loo_ppm
+    FROM loo GROUP BY event_type
+    """,
+    "leave-one-out target encoding (the ML feature-engineering "
+    "transform for high-cardinality categoricals: each row gets its "
+    "category's mean target EXCLUDING itself, preventing target "
+    "leakage).  The per-category (sum, count) is one map-side- "
+    "combinable agg; the per-row encode is a broadcast join-back + "
+    "narrow arithmetic — the fact never shuffles twice.  Integer "
+    "cents x ppm with truncating div: bit-exact both engines.  "
+    "Summarized per category here (min/max/avg of the encodings) to "
+    "keep the output decision-grade",
+)
+def c67_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+    g = e.groupBy("event_type").agg(F.sum("cents").alias("s"),
+                                    F.count("*").alias("n"))
+    loo = (e.join(F.broadcast(g), "event_type")
+           .select("event_type",
+                   F.expr("(s - cents) * 1000000 div nullif(n - 1, 0)")
+                   .alias("loo_ppm")))
+    return (loo.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("loo_ppm").cast("long").alias("min_loo_ppm"),
+                 F.max("loo_ppm").cast("long").alias("max_loo_ppm"),
+                 F.expr("sum(loo_ppm) div count(*)").cast("long")
+                 .alias("avg_loo_ppm")))
+
+
+@_register(
+    "c68_skipgram_pairs",
+    """
+    WITH t AS (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), p1 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || '|' || toks[i+1])) AS pair
+      FROM t
+    ), p2 AS (
+      SELECT unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || '|' || toks[i+2])) AS pair
+      FROM t
+    ), allp AS (
+      SELECT pair FROM p1 UNION ALL SELECT pair FROM p2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_cooc
+    FROM allp GROUP BY pair
+    ORDER BY n_cooc DESC, pair
+    LIMIT 20
+    """,
+    "skip-gram co-occurrence extraction (word2vec/GloVe training-"
+    "pair generation, window +-2 forward): distance-1 and "
+    "distance-2 token pairs from every doc, counted corpus-wide, "
+    "top-20.  Pairs come from zip_with over SHIFTED SLICES of the "
+    "tokenized array (the 5-10x-faster bulk-array idiom from the "
+    "shingle path — no transform(sequence)+element_at), so pair "
+    "generation is a narrow map; one hash agg + "
+    "TakeOrderedAndProject.  At 100 TB emit (pair, partial-count) "
+    "combiners — exactly what this plan already does",
+)
+def c68_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    t = docs.select(toks.alias("toks"))
+
+    def shifted_pairs(offset):
+        n = F.size(F.col("toks"))
+        a = F.slice(F.col("toks"), 1,
+                    F.greatest(n - offset, F.lit(0)))
+        b = F.slice(F.col("toks"), 1 + offset,
+                    F.greatest(n - offset, F.lit(0)))
+        return F.zip_with(a, b, lambda x, y: F.concat_ws("|", x, y))
+
+    pairs = t.select(
+        F.explode(F.concat(shifted_pairs(1), shifted_pairs(2)))
+        .alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.count("*").cast("long").alias("n_cooc"))
+            .orderBy(F.desc("n_cooc"), "pair")
+            .limit(20))

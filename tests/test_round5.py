@@ -438,3 +438,70 @@ def test_c68_pair_generation_window2(spark, tmp_path):
     got = {r.pair: r.n_cooc
            for r in r5.c68_skipgram_pairs(spark, str(tmp_path)).collect()}
     assert got == {"a|b": 1, "b|c": 1, "a|c": 1}
+
+
+# ---------------------------------------------- b88 nearest as-of
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_b88_nearest_prefers_closer_forward(spark, tmp_path):
+    # clicks at t=0 and t=10; purchase at t=7 -> forward click (d=3)
+    _write_events(spark, tmp_path, [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:10", 1, "click", 1.0),
+        (3, "2024-01-01 00:00:07", 1, "purchase", 5.0)])
+    r = r5.b88_asof_nearest(spark, str(tmp_path)).collect()[0]
+    assert (r.click_event_id, r.asof_direction,
+            r.asof_dist_us) == (2, "f", 3_000_000)
+
+
+def test_b88_equal_distance_tie_prefers_backward(spark, tmp_path):
+    # clicks at t=0 and t=10; purchase at t=5 -> backward (d=5 both)
+    _write_events(spark, tmp_path, [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:10", 1, "click", 1.0),
+        (3, "2024-01-01 00:00:05", 1, "purchase", 5.0)])
+    r = r5.b88_asof_nearest(spark, str(tmp_path)).collect()[0]
+    assert (r.click_event_id, r.asof_direction) == (1, "b")
+
+
+def test_b88_no_click_user_gets_null_match(spark, tmp_path):
+    _write_events(spark, tmp_path, [
+        (1, "2024-01-01 00:00:00", 1, "purchase", 5.0),
+        (2, "2024-01-01 00:00:00", 2, "click", 1.0)])
+    r = r5.b88_asof_nearest(spark, str(tmp_path)).collect()[0]
+    assert r.click_event_id is None and r.asof_direction is None
+
+
+def test_b88_is_single_window_shuffle(spark):
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY)
+    df = REGISTRY["b88_asof_nearest"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "nearest as-of built a join"
+    # exactly one logical exchange feeds both window frames
+    import re
+    hashparts = set(re.findall(r"hashpartitioning\([^)]*\)", plan))
+    assert len(hashparts) <= 1, f"extra shuffles: {hashparts}"
+
+
+# ------------------------------------------------- c69 hapax rate
+
+def test_c69_hapax_counts(spark, tmp_path):
+    rows = [(1, "a b a b", "en", "s1", 7),    # bigrams: ab, ba, ab
+            (2, "c d", "en", "s1", 3)]        # bigram: cd
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = r5.c69_hapax_rate(spark, str(tmp_path)).collect()[0]
+    # vocab {ab, ba, cd}; hapax {ba, cd}
+    assert (r.vocab_size, r.n_hapax, r.hapax_ppm) == (3, 2, 666666)

@@ -74,3 +74,72 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: list[str],
         F.col("_match._r_ts").alias("asof_ts"),
     )
     return out
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, *,
+                      on: list[str], left_ts: str, right_ts: str,
+                      right_payload: list[str] | None = None,
+                      order_col: str | None = None) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    every left row + the right row with the smallest |ts delta|,
+    matching on `on` keys.  Ties between an equally-near earlier and
+    later right row resolve to the EARLIER (backward) one; ties
+    within a side resolve by `order_col` (backward: last in order,
+    forward: first in order) so the result is deterministic under
+    duplicate timestamps.
+
+    Same scale contract as asof_join: union + ONE window shuffle of
+    |l|+|r| rows — never the O(|l| x |r|/key) candidate join.  The
+    backward match is last(ignorenulls) over the preceding frame,
+    the forward match first(ignorenulls) over the following frame;
+    both ride the same sort.  Adds `asof_dist_us` (microsecond
+    distance — full timestamp precision, so near-ties resolve
+    identically in any engine) and `asof_direction` ('b'/'f',
+    null on no match).
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns
+                         if c not in on and c != right_ts]
+    r_struct = F.struct(*right_payload,
+                        F.col(right_ts).alias("_r_ts"))
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    ordc = order_col if order_col is not None else right_ts
+
+    lhs = left.select(
+        *on, F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_ord"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"))
+    rhs = right.select(
+        *on, F.col(right_ts).alias("_ts"), F.lit(0).alias("_side"),
+        F.col(ordc).cast("long").alias("_ord"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s"))
+            .schema["s"].dataType).alias("_l"),
+        r_struct.alias("_r"))
+
+    # Sort: (_ts, _side, _ord).  At equal ts the right row sorts
+    # before the left row, so a simultaneous right row is a backward
+    # match at distance 0.
+    base = W.partitionBy(*on).orderBy("_ts", "_side", "_ord")
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    j = (lhs.unionByName(rhs)
+         .withColumn("_back", F.last("_r", ignorenulls=True).over(wb))
+         .withColumn("_fwd", F.first("_r", ignorenulls=True).over(wf))
+         .filter(F.col("_side") == 1))
+    db = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_back._r_ts"))
+    df_ = F.unix_micros(F.col("_fwd._r_ts")) - F.unix_micros(F.col("_ts"))
+    take_fwd = (F.col("_back").isNull()
+                | (F.col("_fwd").isNotNull() & (df_ < db)))
+    j = j.withColumn("_match", F.when(take_fwd, F.col("_fwd"))
+                     .otherwise(F.col("_back")))
+    return j.select(
+        "_l.*",
+        *[F.col(f"_match.{c}").alias(c) for c in right_payload],
+        F.col("_match._r_ts").alias("asof_ts"),
+        F.when(F.col("_match").isNull(), F.lit(None).cast("long"))
+        .when(take_fwd, df_).otherwise(db).alias("asof_dist_us"),
+        F.when(F.col("_match").isNull(), F.lit(None).cast("string"))
+        .when(take_fwd, F.lit("f")).otherwise(F.lit("b"))
+        .alias("asof_direction"))

@@ -1297,3 +1297,110 @@ def c68_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_cooc"))
             .orderBy(F.desc("n_cooc"), "pair")
             .limit(20))
+
+
+@_register(
+    "b88_asof_nearest",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, event_id AS click_event_id FROM events
+      WHERE event_type = 'click'
+    ), cand AS (
+      SELECT l.event_id, r.click_event_id,
+             abs(epoch_us(l.ts) - epoch_us(r.ts)) AS d,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS is_fwd,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                        CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+                        CASE WHEN r.ts <= l.ts THEN -click_event_id
+                             ELSE click_event_id END) AS rn
+      FROM l JOIN r ON l.user_id = r.user_id
+    )
+    SELECT l.event_id, l.user_id, c.click_event_id,
+           CAST(c.d AS BIGINT) AS asof_dist_us,
+           CASE WHEN c.is_fwd = 0 THEN 'b' ELSE 'f' END
+             AS asof_direction
+    FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      ON l.event_id = c.event_id
+    """,
+    "NEAREST-direction as-of join (pandas merge_asof "
+    "direction='nearest'): each purchase matched to the click "
+    "closest in time either way; equal distances prefer the earlier "
+    "(backward) click, duplicate-timestamp ties resolve by event id "
+    "— fully deterministic.  The oracle is the naive O(|l| x "
+    "|r|/user) candidate join; the Spark side is operators/"
+    "asof.asof_join_nearest — union + ONE window shuffle carrying "
+    "last-preceding and first-following right rows on the same "
+    "sort, distances compared at full microsecond precision.  Same "
+    "single-shuffle contract as b14",
+)
+def b88_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.asof import (
+        asof_join_nearest)
+    ev = _t(spark, sf_dir, "events")
+    l = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    r = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", "ts",
+                 F.col("event_id").alias("click_event_id")))
+    out = asof_join_nearest(l, r, on=["user_id"], left_ts="ts",
+                            right_ts="ts",
+                            right_payload=["click_event_id"],
+                            order_col="click_event_id")
+    return out.select("event_id", "user_id", "click_event_id",
+                      F.col("asof_dist_us").cast("long")
+                      .alias("asof_dist_us"), "asof_direction")
+
+
+@_register(
+    "c69_hapax_rate",
+    """
+    WITH t AS (
+      SELECT source, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT source, unnest(list_transform(
+               range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+               AS gram
+      FROM t
+    ), cnt AS (
+      SELECT source, gram, count(*) AS n FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_ppm
+    FROM cnt GROUP BY source
+    """,
+    "hapax-legomenon rate per source at bigram grain (vocabulary-"
+    "tail health: a high singleton share means diverse/novel "
+    "combinations, a collapsing one means templated or looping "
+    "text; the tail sibling of c47's top-p head truncation).  "
+    "Bigrams from the shifted-slice zip_with idiom (narrow), one "
+    "(source, gram) agg, one per-source rollup — two shuffles of "
+    "grams and groups, never documents",
+)
+def c69_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    cnt = (docs.select("source", F.explode(grams).alias("gram"))
+           .groupBy("source", "gram")
+           .agg(F.count("*").alias("n")))
+    return (cnt.groupBy("source")
+            .agg(F.count("*").cast("long").alias("vocab_size"),
+                 F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_hapax"))
+            .withColumn("hapax_ppm",
+                        F.expr("n_hapax * 1000000 div vocab_size")
+                        .cast("long")))

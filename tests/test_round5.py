@@ -505,3 +505,45 @@ def test_c69_hapax_counts(spark, tmp_path):
     r = r5.c69_hapax_rate(spark, str(tmp_path)).collect()[0]
     # vocab {ab, ba, cd}; hapax {ba, cd}
     assert (r.vocab_size, r.n_hapax, r.hapax_ppm) == (3, 2, 666666)
+
+
+# ---------------------------------------------- b89 grid convolution
+
+def test_b89_isolated_cell_smooths_to_self_over_9(spark, tmp_path):
+    # one event at hour 3, value 7 -> band 1; no neighbors
+    _write_events(spark, tmp_path,
+                  [(1, "2024-01-01 03:00:00", 1, "click", 7.0)])
+    r = r5.b89_grid_convolution(spark, str(tmp_path)).collect()[0]
+    assert (r.gx, r.gy, r.n, r.neighborhood_n) == (3, 1, 1, 1)
+    assert r.smoothed_ppm == 1_000_000 // 9
+
+
+def test_b89_adjacent_cells_sum(spark, tmp_path):
+    # hours 3 and 4, same band -> each sees both (neighborhood 2)
+    _write_events(spark, tmp_path, [
+        (1, "2024-01-01 03:00:00", 1, "click", 7.0),
+        (2, "2024-01-01 04:00:00", 1, "click", 7.0)])
+    out = {(r.gx, r.gy): r.neighborhood_n
+           for r in r5.b89_grid_convolution(spark, str(tmp_path))
+           .collect()}
+    assert out == {(3, 1): 2, (4, 1): 2}
+
+
+# --------------------------------------------- c70 containment pairs
+
+def test_c70_subset_doc_hits_full_containment(spark, tmp_path):
+    small = "w1 w2 w3 w4 w5 w6 w7"                # 5 shingles
+    big = small + " x1 x2 x3 x4 x5 x6 x7 x8"      # superset + more
+    rows = [(1, small, "en", "s", len(small)),
+            (2, big, "en", "s", len(big)),
+            (3, "a b c d e f g", "en", "s", 13)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = r5.c70_containment_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # doc 1 fully contained in doc 2; doc 2 only partially in doc 1
+    assert (r.d1, r.d2, r.cont1_ppm) == (1, 2, 1_000_000)
+    assert r.cont2_ppm < 1_000_000

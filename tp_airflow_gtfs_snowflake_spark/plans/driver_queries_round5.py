@@ -1404,3 +1404,119 @@ def c69_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hapax_ppm",
                         F.expr("n_hapax * 1000000 div vocab_size")
                         .cast("long")))
+
+
+@_register(
+    "b89_grid_convolution",
+    """
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS gx,
+             CAST(floor(value / 5) AS BIGINT) AS gy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.gx, a.gy, a.n,
+           CAST(sum(b.n) AS BIGINT) AS neighborhood_n,
+           CAST(sum(b.n) * 1000000 // 9 AS BIGINT) AS smoothed_ppm
+    FROM cells a JOIN cells b
+      ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+    GROUP BY a.gx, a.gy, a.n
+    """,
+    "sparse 2D stencil convolution (3x3 box smoothing over the "
+    "(hour, value-band) event-density grid — the density-smoothing "
+    "/ heatmap-blur primitive).  Spark shape is SCATTER-gather: "
+    "each populated cell explodes its 9 (dx,dy) contributions, one "
+    "groupBy on the target cell sums them, an inner join back to "
+    "the populated set keeps the output sparse — equi-joins only, "
+    "cost O(9 x |populated cells|) regardless of grid extent.  The "
+    "oracle is the naive neighborhood theta self-join.  Missing "
+    "neighbors contribute 0 both ways; div 9 is the fixed kernel "
+    "size (boundary cells intentionally read as zero-padded)",
+)
+def b89_grid_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.groupBy(
+        F.hour("ts").cast("long").alias("gx"),
+        F.floor(F.col("value") / 5).cast("long").alias("gy"))
+        .agg(F.count("*").cast("long").alias("n")))
+    offsets = F.expr(
+        "explode(array(" + ", ".join(
+            f"struct({dx}L AS dx, {dy}L AS dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)) + "))")
+    # scatter: cell (gx,gy,n) contributes n to target (gx+dx, gy+dy)
+    contrib = (cells.select("gx", "gy", "n", offsets.alias("o"))
+               .select((F.col("gx") + F.col("o.dx")).alias("tx"),
+                       (F.col("gy") + F.col("o.dy")).alias("ty"),
+                       "n"))
+    sums = (contrib.groupBy("tx", "ty")
+            .agg(F.sum("n").cast("long").alias("neighborhood_n")))
+    return (cells.join(sums, (cells.gx == sums.tx)
+                       & (cells.gy == sums.ty))
+            .select("gx", "gy", "n", "neighborhood_n",
+                    F.expr("neighborhood_n * 1000000 div 9")
+                    .cast("long").alias("smoothed_ppm")))
+
+
+@_register(
+    "c70_containment_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS sh
+      FROM t
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000000 // x.n_sh AS BIGINT) AS cont1_ppm,
+           CAST(n_common * 1000000 // y.n_sh AS BIGINT) AS cont2_ppm
+    FROM common JOIN sizes x ON x.doc_id = d1
+                JOIN sizes y ON y.doc_id = d2
+    WHERE x.n_sh >= 5 AND y.n_sh >= 5
+      AND greatest(n_common * 1000000 // x.n_sh,
+                   n_common * 1000000 // y.n_sh) >= 600000
+    """,
+    "asymmetric shingle CONTAINMENT (|A∩B|/|A|): catches subset "
+    "duplication — a doc quoted or expanded inside a longer one — "
+    "which symmetric Jaccard (c08) under-scores precisely when the "
+    "length ratio is large.  Same inverted-index equi-join as c08 "
+    "(pairs sharing >=1 shingle only), both directed containments "
+    "reported, >=60% either way; min-size floor keeps trivial "
+    "shingle sets out.  Scale contract == c08: hot shingles bound "
+    "the join, MinHash (c06) prunes candidates first at corpus "
+    "scale",
+)
+def c70_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(token_shingles(F.col("text"), 3))
+                     .alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "sh")
+    common = (a.join(b, "sh").filter(F.col("d1") < F.col("d2"))
+              .groupBy("d1", "d2")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    x = sizes.select(F.col("doc_id").alias("d1"),
+                     F.col("n_sh").alias("n1"))
+    y = sizes.select(F.col("doc_id").alias("d2"),
+                     F.col("n_sh").alias("n2"))
+    out = (common.join(x, "d1").join(y, "d2")
+           .filter((F.col("n1") >= 5) & (F.col("n2") >= 5))
+           .withColumn("cont1_ppm",
+                       F.expr("n_common * 1000000 div n1").cast("long"))
+           .withColumn("cont2_ppm",
+                       F.expr("n_common * 1000000 div n2").cast("long")))
+    return (out.filter(F.greatest("cont1_ppm", "cont2_ppm") >= 600_000)
+            .select("d1", "d2", "n_common", "cont1_ppm", "cont2_ppm"))

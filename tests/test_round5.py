@@ -547,3 +547,38 @@ def test_c70_subset_doc_hits_full_containment(spark, tmp_path):
     # doc 1 fully contained in doc 2; doc 2 only partially in doc 1
     assert (r.d1, r.d2, r.cont1_ppm) == (1, 2, 1_000_000)
     assert r.cont2_ppm < 1_000_000
+
+
+# ---------------------------------------------- b90 rolling slope
+
+def test_b90_constant_growth_has_constant_slope(spark, tmp_path):
+    # one event per day, cents = 100 * (day+1): slope 100 cents/day
+    rows = [(i, f"2024-01-{i+1:02d} 00:00:00", 1, "click",
+             float(i + 1)) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = r5.b90_rolling_regression(spark, str(tmp_path)).collect()
+    full = [r for r in out if r.n_days == 7]
+    assert full and all(
+        r.slope_cents_per_day_ppm == 100_000_000 for r in full)
+    single = [r for r in out if r.n_days == 1]
+    assert all(r.slope_cents_per_day_ppm is None for r in single)
+
+
+# ------------------------------------------- c71 winsorized mean
+
+def test_c71_clamps_the_tails(spark, tmp_path):
+    # 20 values: 1..18 plus outliers -1000 and +1000 (cents)
+    vals = [v / 100.0 for v in list(range(1, 19)) + [-1000, 100000]]
+    rows = [(i, "2024-01-01 00:00:00", 1, "click", v)
+            for i, v in enumerate(vals)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.c71_winsorized_mean(spark, str(tmp_path)).collect()[0]
+    assert r.n == 20
+    # cents: -1000, 1..18, 100000.  lo fence = ceil(0.05*20) = 1st
+    # sorted element = the low outlier itself (nothing sits strictly
+    # below it); hi fence = 19th element = 18, so exactly the high
+    # outlier clamps down to 18.
+    assert r.n_clamped_low == 0 and r.n_clamped_high == 1
+    # mean over (-1000, 1..18, 18): (-1000 + 171 + 18) div 20 = -40
+    # (truncating toward zero, both engines)
+    assert r.winsorized_mean_cents == -40

@@ -1520,3 +1520,128 @@ def c70_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.expr("n_common * 1000000 div n2").cast("long")))
     return (out.filter(F.greatest("cont1_ppm", "cont2_ppm") >= 600_000)
             .select("d1", "d2", "n_common", "cont1_ppm", "cont2_ppm"))
+
+
+@_register(
+    "b90_rolling_regression",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS x,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(x AS BIGINT) AS day_num,
+           CAST(n AS BIGINT) AS n_days,
+           CAST((n * sxy - sx * sy) * 1000000
+                // nullif(n * sxx - sx * sx, 0) AS BIGINT)
+             AS slope_cents_per_day_ppm
+    FROM m
+    """,
+    "rolling trend detection: 7-day windowed least-squares slope "
+    "per event type — b67's exact-integer-moment regression moved "
+    "into a RANGE frame, so every day gets the local trend of its "
+    "trailing week (the drift/anomaly-onset detector).  All five "
+    "moments accumulate as BIGINT window sums over the DAILY "
+    "pre-aggregate (|types| x |days| rows — the window never sees "
+    "the fact), one shuffle total; nullif guards the single-day "
+    "degenerate frame",
+)
+def b90_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("y")))
+    w = (W.partitionBy("event_type").orderBy("x")
+         .rangeBetween(-6, 0))
+    m = daily.select(
+        "event_type", "x", "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"))
+    return m.select(
+        "event_type", F.col("x").cast("long").alias("day_num"),
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("(n * sxy - sx * sy) * 1000000 "
+               "div nullif(n * sxx - sx * sx, 0)").cast("long")
+        .alias("slope_cents_per_day_ppm"))
+
+
+@_register(
+    "c71_winsorized_mean",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), bounds AS (
+      SELECT event_type,
+             quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi
+      FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           CAST(sum(greatest(least(cents, hi), lo)) // count(*)
+                AS BIGINT) AS winsorized_mean_cents
+    FROM v JOIN bounds ON v.event_type = bounds.event_type
+    GROUP BY v.event_type
+    """,
+    "winsorized mean (robust stats: clamp the 5% tails to the "
+    "fences instead of dropping them — keeps n stable while "
+    "neutering outliers; the metric powering robust KPIs and "
+    "feature scaling for training data).  Discrete-quantile fences "
+    "from b75's recipe, broadcast join-back (|types| rows), one "
+    "clamp aggregate — the fact shuffles once for the fences and "
+    "once for the mean; at 100 TB swap pass 1 to approx_percentile "
+    "partials",
+)
+def c71_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+
+    def disc(vals, n, p):
+        return F.element_at(
+            vals, F.ceil(n.cast("double") * F.lit(p)).cast("int"))
+
+    agg = (v.groupBy("event_type")
+           .agg(F.count("*").alias("cnt"),
+                F.array_sort(F.collect_list("cents")).alias("vals")))
+    bounds = agg.select(
+        "event_type",
+        disc(F.col("vals"), F.col("cnt"), 0.05).alias("lo"),
+        disc(F.col("vals"), F.col("cnt"), 0.95).alias("hi"))
+    j = v.join(F.broadcast(bounds), "event_type")
+    clamped = F.greatest(F.least(F.col("cents"), F.col("hi")),
+                         F.col("lo"))
+    return (j.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.when(F.col("cents") < F.col("lo"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_clamped_low"),
+                 F.sum(F.when(F.col("cents") > F.col("hi"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_clamped_high"),
+                 F.expr("sum(greatest(least(cents, hi), lo)) "
+                        "div count(*)").cast("long")
+                 .alias("winsorized_mean_cents")))

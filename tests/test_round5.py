@@ -582,3 +582,55 @@ def test_c71_clamps_the_tails(spark, tmp_path):
     # mean over (-1000, 1..18, 18): (-1000 + 171 + 18) div 20 = -40
     # (truncating toward zero, both engines)
     assert r.winsorized_mean_cents == -40
+
+
+# ------------------------------------------------ b91 allocation
+
+def test_b91_allocations_reconcile_exactly(spark):
+    out = r5.b91_order_allocation(spark, SF_SMALL)
+    o = _t(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("total_cents"))
+    per_order = out.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("s"))
+    j = per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+    bad = j.filter(F.col("s") != F.col("total_cents")).count()
+    assert bad == 0, "largest-remainder failed to reconcile"
+
+
+def test_b91_proportionality(spark, tmp_path):
+    # qty 1 and 3 over 100 cents -> 25 / 75
+    li = [(1, 1, 1.0), (1, 2, 3.0)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_linenumber int, l_quantity double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1.00)], "o_orderkey long, o_totalprice double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {r.l_linenumber: r.alloc_cents
+           for r in r5.b91_order_allocation(spark, str(tmp_path))
+           .collect()}
+    assert got == {1: 25, 2: 75}
+
+
+# ------------------------------------------ b92 overlap coefficient
+
+def test_b92_subset_audience_hits_million(spark, tmp_path):
+    # error users {1,2} subset of click users {1,2,3,4}
+    rows = ([(i, "2024-01-01 00:00:00", u, "click", 1.0)
+             for i, u in enumerate([1, 2, 3, 4])]
+            + [(10 + i, "2024-01-01 00:00:00", u, "error", 1.0)
+               for i, u in enumerate([1, 2])])
+    _write_events(spark, tmp_path, rows)
+    r = r5.b92_overlap_coefficient(spark, str(tmp_path)).collect()[0]
+    assert (r.t1, r.t2, r.n_both, r.overlap_ppm) == (
+        "click", "error", 2, 1_000_000)
+
+
+# ------------------------------------- c72 dup/quality contingency
+
+def test_c72_counts_partition_corpus(spark):
+    out = r5.c72_dup_quality_contingency(spark, SF_SMALL).collect()
+    n = _t(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in out) == n

@@ -1645,3 +1645,170 @@ def c71_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(greatest(least(cents, hi), lo)) "
                         "div count(*)").cast("long")
                  .alias("winsorized_mean_cents")))
+
+
+@_register(
+    "b91_order_allocation",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders
+    ), base AS (
+      SELECT l_orderkey, l_linenumber, qty, total_cents,
+             sum(qty) OVER (PARTITION BY l_orderkey) AS qty_sum,
+             total_cents * qty // sum(qty) OVER (PARTITION BY l_orderkey)
+               AS floor_alloc,
+             total_cents * qty % sum(qty) OVER (PARTITION BY l_orderkey)
+               AS rem
+      FROM li JOIN o ON l_orderkey = o_orderkey
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rr,
+             total_cents - sum(floor_alloc)
+               OVER (PARTITION BY l_orderkey) AS shortfall
+      FROM base
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(floor_alloc + CASE WHEN rr <= shortfall THEN 1 ELSE 0
+                              END AS BIGINT) AS alloc_cents
+    FROM ranked
+    """,
+    "proportional allocation with exact reconciliation (largest-"
+    "remainder): spread each order's total cents across its lines "
+    "in proportion to quantity so the per-order sum equals the "
+    "total EXACTLY — floor allocations, then +1 cent to the lines "
+    "with the largest remainders until the shortfall is gone (the "
+    "revenue-attribution / cost-allocation finance primitive; c45 "
+    "is the global single-group cousin).  Windows partition by "
+    "order key — bounded state, orders parallelize; one fact "
+    "shuffle feeds every window.  All-integer: bit-exact",
+)
+def b91_order_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        .alias("total_cents"))
+    wp = W.partitionBy("l_orderkey")
+    base = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .withColumn("qty_sum", F.sum("qty").over(wp))
+            .withColumn("floor_alloc",
+                        F.expr("total_cents * qty div qty_sum"))
+            .withColumn("rem", F.expr("total_cents * qty % qty_sum")))
+    ranked = (base
+              .withColumn("rr", F.row_number().over(
+                  wp.orderBy(F.desc("rem"), "l_linenumber")))
+              .withColumn("shortfall",
+                          F.col("total_cents")
+                          - F.sum("floor_alloc").over(wp)))
+    return ranked.select(
+        "l_orderkey", F.col("l_linenumber").cast("long")
+        .alias("l_linenumber"),
+        (F.col("floor_alloc")
+         + F.when(F.col("rr") <= F.col("shortfall"), 1).otherwise(0))
+        .cast("long").alias("alloc_cents"))
+
+
+@_register(
+    "b92_overlap_coefficient",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both * 1000000 // least(x.n_users, y.n_users)
+                AS BIGINT) AS overlap_ppm
+    FROM pairs JOIN sizes x ON x.event_type = t1
+               JOIN sizes y ON y.event_type = t2
+    """,
+    "overlap (Szymkiewicz-Simpson) coefficient |A∩B|/min(|A|,|B|) "
+    "between event-type audiences — the set-similarity measure that "
+    "stays honest when one audience dwarfs the other (Jaccard "
+    "collapses toward 0, containment is directional; overlap "
+    "detects 'every error-user is also a click-user' directly).  "
+    "Inverted-index join on user over the DISTINCT (type, user) "
+    "relation; pairs-per-user bounded by |types|^2.  Same family as "
+    "c64/c70, completing the set-similarity trio",
+)
+def b92_overlap_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = tu.select(F.col("event_type").alias("t1"), "user_id")
+    b = tu.select(F.col("event_type").alias("t2"), "user_id")
+    pairs = (a.join(b, "user_id")
+             .filter(F.col("t1") < F.col("t2"))
+             .groupBy("t1", "t2")
+             .agg(F.count("*").cast("long").alias("n_both")))
+    x = sizes.select(F.col("event_type").alias("t1"),
+                     F.col("n_users").alias("n1"))
+    y = sizes.select(F.col("event_type").alias("t2"),
+                     F.col("n_users").alias("n2"))
+    return (pairs.join(F.broadcast(x), "t1").join(F.broadcast(y), "t2")
+            .select("t1", "t2", "n_both",
+                    F.expr("n_both * 1000000 div least(n1, n2)")
+                    .cast("long").alias("overlap_ppm")))
+
+
+@_register(
+    "c72_dup_quality_contingency",
+    """
+    WITH dup AS (
+      SELECT doc_id,
+             CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split_regex(trim(text), ' +'))
+                       BETWEEN 30 AND 60 THEN 'mid'
+                  WHEN len(string_split_regex(trim(text), ' +')) < 30
+                       THEN 'short'
+                  ELSE 'long' END AS len_band
+      FROM documents
+    )
+    SELECT len_band, CAST(is_dup AS BIGINT) AS is_dup,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM dup JOIN q USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    "duplication x length-band contingency table: the 'are my "
+    "duplicates concentrated in short boilerplate' confound check "
+    "run before interpreting any quality metric on a deduped "
+    "corpus (if dups cluster in one band, dedup silently shifts "
+    "the corpus composition).  Dup flag via a count window over "
+    "the md5 fingerprint (128-bit shuffle, c01's contract); band "
+    "is a narrow map; one join on doc_id + one tiny agg",
+)
+def c72_dup_quality_contingency(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.select(
+        "doc_id",
+        F.when(F.count("*").over(
+            W.partitionBy(F.md5("text"))) > 1, 1).otherwise(0)
+        .cast("long").alias("is_dup"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +"))
+    q = docs.select(
+        "doc_id",
+        F.when(n_tok.between(30, 60), "mid")
+        .when(n_tok < 30, "short").otherwise("long").alias("len_band"))
+    return (dup.join(q, "doc_id")
+            .groupBy("len_band", "is_dup")
+            .agg(F.count("*").cast("long").alias("n_docs")))

@@ -634,3 +634,48 @@ def test_c72_counts_partition_corpus(spark):
     out = r5.c72_dup_quality_contingency(spark, SF_SMALL).collect()
     n = _t(spark, SF_SMALL, "documents").count()
     assert sum(r.n_docs for r in out) == n
+
+
+# ------------------------------------------------ b93 autocorrelation
+
+def test_b93_alternating_series_is_anticorrelated(spark, tmp_path):
+    # daily cents alternate 100, 200, 100, 200... -> lag-1 corr = -1
+    rows = [(i, f"2024-01-{i+1:02d} 00:00:00", 1, "click",
+             1.0 if i % 2 == 0 else 2.0) for i in range(10)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b93_autocorrelation(spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 9
+    assert r.lag1_autocorr == -1.0
+
+
+# ------------------------------------------- c73 distribution drift
+
+def test_c73_identical_sources_have_zero_drift(spark, tmp_path):
+    text_a = " ".join(["w"] * 15)    # band 1
+    text_b = " ".join(["w"] * 25)    # band 2
+    rows = [(1, text_a, "en", "s1", 1), (2, text_b, "en", "s1", 1),
+            (3, text_a, "en", "s2", 1), (4, text_b, "en", "s2", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r.tv_x2_ppm
+           for r in r5.c73_distribution_drift_tv(spark, str(tmp_path))
+           .collect()}
+    assert out == {"s1": 0, "s2": 0}
+
+
+def test_c73_disjoint_source_has_full_drift(spark, tmp_path):
+    short = " ".join(["w"] * 5)      # band 0
+    longt = " ".join(["w"] * 95)     # band 9
+    rows = ([(i, short, "en", "sA", 1) for i in range(3)]
+            + [(10 + i, longt, "en", "sB", 1) for i in range(3)])
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r.tv_x2_ppm
+           for r in r5.c73_distribution_drift_tv(spark, str(tmp_path))
+           .collect()}
+    # each source: |1 - 0.5| + |0 - 0.5| = 1.0 -> 1_000_000 ppm
+    assert out == {"sA": 1_000_000, "sB": 1_000_000}

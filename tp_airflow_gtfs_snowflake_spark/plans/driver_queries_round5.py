@@ -1138,10 +1138,21 @@ def c66_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = LogisticRegression(maxIter=25, regParam=0.1,
                             featuresCol="features", labelCol="label")
     model = lr.fit(data)
-    scored = model.transform(data)
-    from pyspark.ml.functions import vector_to_array
-    prob_pos = F.element_at(vector_to_array("probability"), 2)
-    return (scored
+    # Score NATIVELY from the extracted coefficients instead of
+    # model.transform: (a) the model is literally 5 doubles — inline
+    # them as expressions and scoring is whole-stage-codegen'd with
+    # no ML wrapper on the executors; (b) in Spark 4.1 the fitted
+    # model's training summary pins the SparkSession, and once any
+    # Observation has registered, serializing that closure throws
+    # "Task not serializable: ObservationManager".
+    wts = [float(w) for w in model.coefficients.toArray()]
+    b0 = float(model.intercept)
+    cols = ["f_ntok", "f_avg_tok_len", "f_stop_ratio", "f_digit_ratio"]
+    z = F.lit(b0)
+    for w, c in zip(wts, cols):
+        z = z + F.lit(w) * F.col(c)
+    prob_pos = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (feats
             .select("lang", prob_pos.alias("p"),
                     (prob_pos >= 0.5).cast("long").alias("pred"))
             .groupBy("lang")
@@ -1812,3 +1823,127 @@ def c72_dup_quality_contingency(spark: SparkSession,
     return (dup.join(q, "doc_id")
             .groupBy("len_band", "is_dup")
             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
+@_register(
+    "b93_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS x,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY x) AS yp
+      FROM daily
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             sum(y) AS sx, sum(yp) AS sy,
+             sum(y * y) AS sxx, sum(yp * yp) AS syy,
+             sum(y * yp) AS sxy
+      FROM lagged WHERE yp IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS lag1_autocorr
+    FROM m
+    """,
+    "lag-1 autocorrelation of daily revenue per event type (the "
+    "'is today predictive of tomorrow' seasonality screen; near 0 "
+    "= memoryless, near 1 = trending, negative = oscillating).  "
+    "Composes the b90 daily pre-aggregate, ONE lag window over "
+    "|types| x |days| rows, then b81's exact-BIGINT-moment Pearson "
+    "formula on (y_t, y_{t-1}) pairs — aggregation-order-proof, "
+    "closed-form evaluated once per group",
+)
+def b93_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("y")))
+    w = W.partitionBy("event_type").orderBy("x")
+    lagged = (daily.withColumn("yp", F.lag("y").over(w))
+              .filter(F.col("yp").isNotNull()))
+    m = (lagged.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("y").alias("sx"), F.sum("yp").alias("sy"),
+              F.sum(F.col("y") * F.col("y")).alias("sxx"),
+              F.sum(F.col("yp") * F.col("yp")).alias("syy"),
+              F.sum(F.col("y") * F.col("yp")).alias("sxy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = ((nd * F.col("sxy") - sx * F.col("sy"))
+            / F.sqrt((nd * F.col("sxx") - sx * F.col("sx"))
+                     * (nd * F.col("syy") - sy * F.col("sy"))))
+    return m.select("event_type",
+                    F.col("n").cast("long").alias("n_pairs"),
+                    F.round(corr, 6).alias("lag1_autocorr"))
+
+
+@_register(
+    "c73_distribution_drift_tv",
+    """
+    WITH b AS (
+      SELECT source,
+             least(len(string_split_regex(trim(text), ' +')) // 10, 9)
+               AS band
+      FROM documents
+    ), per_src AS (
+      SELECT source, band, count(*) AS n FROM b GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, sum(n) AS tot FROM per_src GROUP BY source
+    ), corpus AS (
+      SELECT band, sum(n) AS cn FROM per_src GROUP BY band
+    ), corpus_tot AS (
+      SELECT sum(cn) AS ctot FROM corpus
+    ), joined AS (
+      SELECT s.source,
+             abs(coalesce(p.n, 0) * 1000000 // s.tot
+                 - c.cn * 1000000 // ct.ctot) AS dev_ppm
+      FROM src_tot s
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot ct
+      LEFT JOIN per_src p ON p.source = s.source AND p.band = c.band
+    )
+    SELECT source, CAST(sum(dev_ppm) AS BIGINT) AS tv_x2_ppm
+    FROM joined GROUP BY source
+    """,
+    "per-source distribution drift vs the corpus (total-variation "
+    "distance x2, ppm) over token-length bands — the integer-exact "
+    "stand-in for PSI/KL drift monitors (which need log and a "
+    "laplace floor; TV needs neither).  Flags sources whose length "
+    "profile diverges from the blend before they skew training.  "
+    "Two tiny aggregates + a band-spine join; the corpus histogram "
+    "broadcasts",
+)
+def c73_distribution_drift_tv(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    band = F.least(
+        (F.size(F.split(F.trim(F.col("text")), " +")) / 10)
+        .cast("long"), F.lit(9))
+    per_src = (docs.select("source", band.alias("band"))
+               .groupBy("source", "band")
+               .agg(F.count("*").alias("n")))
+    src_tot = per_src.groupBy("source").agg(F.sum("n").alias("tot"))
+    corpus = per_src.groupBy("band").agg(F.sum("n").alias("cn"))
+    ctot = corpus.agg(F.sum("cn").alias("ctot"))
+    spine = (src_tot.crossJoin(F.broadcast(corpus))
+             .crossJoin(F.broadcast(ctot)))
+    j = (spine.join(per_src, ["source", "band"], "left")
+         .select("source",
+                 F.abs(F.expr("coalesce(n, 0) * 1000000 div tot")
+                       - F.expr("cn * 1000000 div ctot"))
+                 .alias("dev_ppm")))
+    return (j.groupBy("source")
+            .agg(F.sum("dev_ppm").cast("long").alias("tv_x2_ppm")))

@@ -679,3 +679,60 @@ def test_c73_disjoint_source_has_full_drift(spark, tmp_path):
            .collect()}
     # each source: |1 - 0.5| + |0 - 0.5| = 1.0 -> 1_000_000 ppm
     assert out == {"sA": 1_000_000, "sB": 1_000_000}
+
+
+# ------------------------------------------ b94 WoW aligned compare
+
+def test_b94_gap_alignment_yields_null_not_wrong_pair(spark, tmp_path):
+    # days 0 and 8 only: lag(7) over rows would wrongly pair them;
+    # the calendar join must yield NULL for both.
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 1.00),
+            (2, "2024-01-09 00:00:00", 1, "click", 2.00)]
+    _write_events(spark, tmp_path, rows)
+    out = {r.day_num: r for r in
+           r5.b94_wow_aligned_compare(spark, str(tmp_path)).collect()}
+    assert out[0].cents_7d_ago is None
+    assert out[8].cents_7d_ago is None and out[8].wow_ppm is None
+
+
+def test_b94_aligned_pair_computes_growth(spark, tmp_path):
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 1.00),
+            (2, "2024-01-08 00:00:00", 1, "click", 1.50)]
+    _write_events(spark, tmp_path, rows)
+    out = {r.day_num: r for r in
+           r5.b94_wow_aligned_compare(spark, str(tmp_path)).collect()}
+    assert (out[7].cents_7d_ago, out[7].wow_ppm) == (100, 500_000)
+
+
+# ---------------------------------------------- c74 cross-lang dups
+
+def test_c74_non_vacuous_at_oracle_sf(spark):
+    from tests.conftest import SF_ORACLE
+    assert r5.c74_cross_lang_dups(spark, SF_ORACLE).count() > 0
+
+
+def test_c74_same_bag_different_lang_found(spark, tmp_path):
+    rows = [(1, "alpha beta beta", "en", "s", 1),
+            (2, "beta alpha", "fr", "s", 1),      # same word SET
+            (3, "gamma delta", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = r5.c74_cross_lang_dups(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].lang1, out[0].lang2, out[0].n_pairs) == ("en", "fr", 1)
+
+
+# ---------------------------------------- c75 inverse dup weighting
+
+def test_c75_weights_neutralize_duplicates(spark, tmp_path):
+    rows = [(1, "same text", "s", "en"), (2, "same text", "s", "en"),
+            (3, "unique one", "s", "en")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string") \
+        .withColumn("n_chars", F.length("text").cast("long")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = r5.c75_inverse_dup_weighting(spark, str(tmp_path)).collect()[0]
+    # weights: 500000 + 500000 + 1000000 = 2_000_000 (2 effective docs)
+    assert (r.n_docs, r.weight_sum_ppm) == (3, 2_000_000)

@@ -1947,3 +1947,141 @@ def c73_distribution_drift_tv(spark: SparkSession,
                  .alias("dev_ppm")))
     return (j.groupBy("source")
             .agg(F.sum("dev_ppm").cast("long").alias("tv_x2_ppm")))
+
+
+@_register(
+    "b94_wow_aligned_compare",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS x,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cur.event_type, CAST(cur.x AS BIGINT) AS day_num,
+           CAST(cur.cents AS BIGINT) AS cents,
+           CAST(prev.cents AS BIGINT) AS cents_7d_ago,
+           CAST((cur.cents - prev.cents) * 1000000
+                // nullif(prev.cents, 0) AS BIGINT) AS wow_ppm
+    FROM daily cur LEFT JOIN daily prev
+      ON cur.event_type = prev.event_type AND prev.x = cur.x - 7
+    """,
+    "week-over-week CALENDAR-aligned comparison: each day vs the "
+    "same weekday one week earlier via a self-equi-join on day "
+    "number minus 7 — NOT lag(7) over rows, which silently "
+    "misaligns whenever a day is missing from the series (the "
+    "correctness trap b76's row-lag form has at gap-y data).  The "
+    "join runs on the |types| x |days| pre-aggregate; missing "
+    "comparisons surface as NULL rather than a wrong pairing",
+)
+def b94_wow_aligned_compare(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents")))
+    cur = daily.select(F.col("event_type").alias("t"),
+                       F.col("x").alias("day_num"),
+                       F.col("cents").alias("cents"))
+    prev = daily.select(F.col("event_type").alias("t"),
+                        (F.col("x") + 7).alias("day_num"),
+                        F.col("cents").alias("prev_cents"))
+    return (cur.join(prev, ["t", "day_num"], "left")
+            .select(F.col("t").alias("event_type"),
+                    F.col("day_num").cast("long").alias("day_num"),
+                    F.col("cents").cast("long").alias("cents"),
+                    F.col("prev_cents").cast("long")
+                    .alias("cents_7d_ago"),
+                    F.expr("(cents - prev_cents) * 1000000 "
+                           "div nullif(prev_cents, 0)").cast("long")
+                    .alias("wow_ppm")))
+
+
+@_register(
+    "c74_cross_lang_dups",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT a.lang AS lang1, b.lang AS lang2,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(a.doc_id) AS BIGINT) AS example_doc1
+    FROM h a JOIN h b
+      ON a.fp = b.fp AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+    """,
+    "cross-language duplicate mining: content with the SAME "
+    "bag-of-distinct-words signature (c03b's fingerprint family — "
+    "order- and repetition-insensitive, so it survives shuffled or "
+    "re-segmented copies) filed under DIFFERENT language tags — "
+    "either a lang-ID labeling bug (fix the labels) or genuinely "
+    "language-agnostic content (code, tables) that language-"
+    "partitioned dedup (c17-style stratification) would silently "
+    "keep twice.  Inverted join on the md5 signature restricted to "
+    "unequal langs; 128-bit keys shuffle, text never does — c01's "
+    "scale contract with a partition-boundary twist",
+)
+def c74_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(
+            F.split(F.trim(F.lower(F.col("text"))), " +"))), " "))
+    h = docs.select("doc_id", "lang", fp.alias("fp"))
+    a = h.select(F.col("fp"), F.col("lang").alias("lang1"),
+                 F.col("doc_id").alias("d1"))
+    b = h.select(F.col("fp"), F.col("lang").alias("lang2"),
+                 F.col("doc_id").alias("d2"))
+    return (a.join(b, "fp")
+            .filter(F.col("lang1") < F.col("lang2"))
+            .groupBy("lang1", "lang2")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.min("d1").cast("long").alias("example_doc1")))
+
+
+@_register(
+    "c75_inverse_dup_weighting",
+    """
+    WITH counts AS (
+      SELECT md5(text) AS fp, count(*) AS dup_n
+      FROM documents GROUP BY md5(text)
+    ), weighted AS (
+      SELECT d.source, 1000000 // c.dup_n AS w_ppm
+      FROM documents d JOIN counts c ON md5(d.text) = c.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w_ppm) AS BIGINT) AS weight_sum_ppm,
+           CAST(sum(w_ppm) // count(*) AS BIGINT) AS mean_weight_ppm
+    FROM weighted GROUP BY source
+    """,
+    "inverse-duplication example weighting (the soft alternative "
+    "to dropping duplicates: keep every copy but weight it 1/k so "
+    "k copies contribute one document's worth of gradient — used "
+    "when dedup would break provenance or sharding).  Per-"
+    "fingerprint counts (c01's hash-groupBy), join-back on the "
+    "128-bit key, integer ppm weights; weight_sum/1e6 is the "
+    "effective corpus size per source, the companion number to "
+    "c65's yield",
+)
+def c75_inverse_dup_weighting(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    withfp = docs.select("source", F.md5("text").alias("fp"))
+    counts = withfp.groupBy("fp").agg(F.count("*").alias("dup_n"))
+    weighted = (withfp.join(counts, "fp")
+                .select("source",
+                        F.expr("1000000 div dup_n").alias("w_ppm")))
+    return (weighted.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("w_ppm").cast("long").alias("weight_sum_ppm"),
+                 F.expr("sum(w_ppm) div count(*)").cast("long")
+                 .alias("mean_weight_ppm")))

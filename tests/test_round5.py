@@ -736,3 +736,43 @@ def test_c75_weights_neutralize_duplicates(spark, tmp_path):
     r = r5.c75_inverse_dup_weighting(spark, str(tmp_path)).collect()[0]
     # weights: 500000 + 500000 + 1000000 = 2_000_000 (2 effective docs)
     assert (r.n_docs, r.weight_sum_ppm) == (3, 2_000_000)
+
+
+# ------------------------------------------------ b95 CUSUM burst
+
+def test_b95_burst_is_max_subarray_of_deviations(spark, tmp_path):
+    # daily cents: 100,100,400,400,100,100 -> target 200
+    # devs: -100,-100,200,200,-100,-100; max subarray = 400 (days 2-3)
+    rows = [(i, f"2024-01-{i+1:02d} 00:00:00", 1, "click", v)
+            for i, v in enumerate([1.0, 1.0, 4.0, 4.0, 1.0, 1.0])]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b95_cusum_burst(spark, str(tmp_path)).collect()[0]
+    assert (r.max_burst_cents, r.burst_end_day) == (400, 3)
+
+
+def test_b95_flat_series_has_zero_burst(spark, tmp_path):
+    rows = [(i, f"2024-01-{i+1:02d} 00:00:00", 1, "click", 2.0)
+            for i in range(5)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b95_cusum_burst(spark, str(tmp_path)).collect()[0]
+    assert r.max_burst_cents == 0 and r.burst_end_day == 0
+
+
+# ------------------------------------------- c76 feature covariance
+
+def test_c76_planted_correlated_dims_rank_first(spark, tmp_path):
+    import random
+    rng = random.Random(3)
+    rows = []
+    for i in range(50):
+        base = rng.uniform(-1, 1)
+        # dims 1 and 2 perfectly co-vary; rest tiny noise
+        v = [base, base] + [rng.uniform(-0.001, 0.001)
+                            for _ in range(62)]
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    top = r5.c76_feature_covariance(spark, str(tmp_path)).collect()[0]
+    assert (top.d1, top.d2) == (1, 2)
+    assert top.cov_scaled > 0

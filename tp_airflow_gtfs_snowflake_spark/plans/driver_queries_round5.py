@@ -2085,3 +2085,141 @@ def c75_inverse_dup_weighting(spark: SparkSession,
                  F.sum("w_ppm").cast("long").alias("weight_sum_ppm"),
                  F.expr("sum(w_ppm) div count(*)").cast("long")
                  .alias("mean_weight_ppm")))
+
+
+@_register(
+    "b95_cusum_burst",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS x,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), tgt AS (
+      SELECT event_type, sum(cents) // count(*) AS target
+      FROM daily GROUP BY event_type
+    ), pref_cte AS (
+      SELECT d.event_type, d.x,
+             sum(d.cents - t.target) OVER w AS pref
+      FROM daily d JOIN tgt t ON d.event_type = t.event_type
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pre AS (
+      SELECT event_type, x, pref,
+             min(pref) OVER (PARTITION BY event_type ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS minpref_before
+      FROM pref_cte
+    ), burst AS (
+      SELECT event_type, x,
+             pref - least(0, coalesce(minpref_before, 0)) AS s
+      FROM pre
+    ), mx AS (
+      SELECT event_type, max(s) AS max_burst FROM burst
+      GROUP BY event_type
+    )
+    SELECT b.event_type, CAST(m.max_burst AS BIGINT) AS max_burst_cents,
+           CAST(min(b.x) AS BIGINT) AS burst_end_day
+    FROM burst b JOIN mx m
+      ON b.event_type = m.event_type AND b.s = m.max_burst
+    GROUP BY b.event_type, m.max_burst
+    """,
+    "CUSUM burst/changepoint detection via the Kadane closed form: "
+    "the running CUSUM S_t = max(0, S_{t-1} + dev_t) equals "
+    "prefix_t - min(0, min earlier prefix), so the whole recursive "
+    "detector collapses into TWO stacked windows over the daily "
+    "pre-aggregate — no iterative fold, no UDF (a sequential-"
+    "binding quirk in DuckDB's list_reduce struct lambdas makes "
+    "the fold form non-portable anyway).  Deviations vs the "
+    "per-type mean daily revenue (integer target); max burst + "
+    "first day it is achieved.  Exact BIGINTs throughout",
+)
+def b95_cusum_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long")
+        .alias("x"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+             .alias("cents")))
+    tgt = (daily.groupBy("event_type")
+           .agg(F.expr("sum(cents) div count(*)").alias("target")))
+    d = daily.join(F.broadcast(tgt), "event_type") \
+             .withColumn("dev", F.col("cents") - F.col("target"))
+    wcum = (W.partitionBy("event_type").orderBy("x")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wbefore = (W.partitionBy("event_type").orderBy("x")
+               .rowsBetween(W.unboundedPreceding, -1))
+    pre = (d.withColumn("pref", F.sum("dev").over(wcum))
+           .withColumn("minpref_before",
+                       F.min(F.sum("dev").over(wcum)).over(wbefore)))
+    burst = pre.withColumn(
+        "s", F.col("pref")
+        - F.least(F.lit(0), F.coalesce("minpref_before", F.lit(0))))
+    mx = burst.groupBy("event_type").agg(F.max("s").alias("max_burst"))
+    return (burst.join(mx, "event_type")
+            .filter(F.col("s") == F.col("max_burst"))
+            .groupBy("event_type", "max_burst")
+            .agg(F.min("x").cast("long").alias("burst_end_day"))
+            .select("event_type",
+                    F.col("max_burst").cast("long")
+                    .alias("max_burst_cents"), "burst_end_day"))
+
+
+@_register(
+    "c76_feature_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v
+      FROM embeddings, range(1, 65) r(i)
+    ), m AS (
+      SELECT a.i AS d1, b.i AS d2,
+             count(*) AS n, sum(a.v) AS sx, sum(b.v) AS sy,
+             sum(a.v * b.v) AS sxy
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_scaled
+    FROM m
+    ORDER BY abs(n * sxy - sx * sy) DESC, d1, d2
+    LIMIT 10
+    """,
+    "feature covariance mining: the 10 most-correlated embedding "
+    "dimension PAIRS (scaled covariance n*Sxy - Sx*Sy over "
+    "quantized values — exact BIGINT, aggregation-order-proof), "
+    "the screen run before whitening / PCA to see if dimensions "
+    "are redundant.  The dim-pair self-join explodes each vector "
+    "to its 64 dims and joins within vec_id (bounded: 64^2/2 "
+    "pairs per vector); at 100 TB compute X^T X via per-partition "
+    "Gram-matrix partials (one 64x64 accumulator per task) "
+    "instead — same numbers, no row blow-up.  "
+    "TakeOrderedAndProject top-10",
+)
+def c76_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.select("vec_id",
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("pos", "xval"))
+         .select("vec_id", (F.col("pos") + 1).alias("i"),
+                 F.floor(F.col("xval") * 1_000_000).cast("long")
+                 .alias("v")))
+    a = q.select("vec_id", F.col("i").alias("d1"),
+                 F.col("v").alias("va"))
+    b = q.select("vec_id", F.col("i").alias("d2"),
+                 F.col("v").alias("vb"))
+    m = (a.join(b, "vec_id")
+         .filter(F.col("d1") < F.col("d2"))
+         .groupBy("d1", "d2")
+         .agg(F.count("*").alias("n"),
+              F.sum("va").alias("sx"), F.sum("vb").alias("sy"),
+              F.sum(F.col("va") * F.col("vb")).alias("sxy")))
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    return (m.select(F.col("d1").cast("long").alias("d1"),
+                     F.col("d2").cast("long").alias("d2"),
+                     cov.cast("long").alias("cov_scaled"))
+            .orderBy(F.abs(F.col("cov_scaled")).desc(), "d1", "d2")
+            .limit(10))

@@ -776,3 +776,39 @@ def test_c76_planted_correlated_dims_rank_first(spark, tmp_path):
     top = r5.c76_feature_covariance(spark, str(tmp_path)).collect()[0]
     assert (top.d1, top.d2) == (1, 2)
     assert top.cov_scaled > 0
+
+
+# ----------------------------------------------- b96 Mann-Whitney U
+
+def test_b96_u_statistic_known_value(spark, tmp_path):
+    # click: 10, 30; view: 20, 40  (cents)
+    # ranks: 10->1, 20->2, 30->3, 40->4; R_click = 1+3 = 4
+    # U = R1 - n1(n1+1)/2 = 4 - 3 = 1 -> dbl_u = 2
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 0.10),
+            (2, "2024-01-01 00:00:01", 1, "view", 0.20),
+            (3, "2024-01-01 00:00:02", 1, "click", 0.30),
+            (4, "2024-01-01 00:00:03", 1, "view", 0.40)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b96_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert (r.n_click, r.n_view) == (2, 2)
+    assert r.dbl_rank_sum_click == 2 * 4
+    assert r.dbl_u_click == 2 * 1
+
+
+def test_b96_ties_get_average_rank(spark, tmp_path):
+    # click: 10; view: 10 -> both rank 1.5; dbl_rank_sum_click = 3
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 0.10),
+            (2, "2024-01-01 00:00:01", 1, "view", 0.10)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b96_mann_whitney(spark, str(tmp_path)).collect()[0]
+    assert r.dbl_rank_sum_click == 3
+
+
+# ---------------------------------------------- c77 curation funnel
+
+def test_c77_funnel_is_monotone(spark):
+    from tests.conftest import SF_ORACLE
+    r = r5.c77_curation_funnel(spark, SF_ORACLE).collect()[0]
+    assert (r.n_total >= r.survive_dedup >= r.survive_quality
+            >= r.survive_decontam >= 0)
+    assert r.survive_dedup > 0

@@ -2223,3 +2223,135 @@ def c76_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      cov.cast("long").alias("cov_scaled"))
             .orderBy(F.abs(F.col("cov_scaled")).desc(), "d1", "d2")
             .limit(10))
+
+
+@_register(
+    "b96_mann_whitney",
+    """
+    WITH s AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ), hist AS (
+      SELECT cents, count(*) AS n,
+             count(*) FILTER (WHERE grp = 'click') AS n1
+      FROM s GROUP BY cents
+    ), ranked AS (
+      SELECT cents, n, n1,
+             2 * (sum(n) OVER (ORDER BY cents) - n) + n + 1
+               AS dbl_avg_rank
+      FROM hist
+    )
+    SELECT CAST(sum(n1) AS BIGINT) AS n_click,
+           CAST(sum(n - n1) AS BIGINT) AS n_view,
+           CAST(sum(n1 * dbl_avg_rank) AS BIGINT) AS dbl_rank_sum_click,
+           CAST(sum(n1 * dbl_avg_rank) - sum(n1) * (sum(n1) + 1)
+                AS BIGINT) AS dbl_u_click
+    FROM ranked
+    """,
+    "Mann-Whitney U (Wilcoxon rank-sum) two-sample test between "
+    "click and view revenue — the nonparametric 'are these "
+    "distributions different' screen that needs no normality "
+    "assumption.  Tie-correct and EXACT: work on the value "
+    "HISTOGRAM (collapse duplicates first, b77's trick), where "
+    "2x(average tied rank) = 2x(count below) + count equal + 1 is "
+    "an integer; U doubles likewise (dbl_u = 2U).  One fact agg + "
+    "one window over |distinct values| + one fold — the fact "
+    "shuffles once.  Compare dbl_u/2 against the normal "
+    "approximation off-line; the heavy lifting is all here",
+)
+def b96_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type").isin("click", "view"))
+         .select(F.col("event_type").alias("grp"),
+                 F.floor(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    hist = (s.groupBy("cents")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("grp") == "click", 1).otherwise(0))
+                 .alias("n1")))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding,
+                                       W.currentRow)
+    ranked = hist.withColumn(
+        "dbl_avg_rank",
+        2 * (F.sum("n").over(w) - F.col("n")) + F.col("n") + 1)
+    return ranked.agg(
+        F.sum("n1").cast("long").alias("n_click"),
+        F.sum(F.col("n") - F.col("n1")).cast("long").alias("n_view"),
+        F.sum(F.col("n1") * F.col("dbl_avg_rank")).cast("long")
+        .alias("dbl_rank_sum_click"),
+        (F.sum(F.col("n1") * F.col("dbl_avg_rank"))
+         - F.sum("n1") * (F.sum("n1") + 1)).cast("long")
+        .alias("dbl_u_click"))
+
+
+@_register(
+    "c77_curation_funnel",
+    """
+    WITH canon AS (
+      SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    ), needles AS (
+      SELECT doc_id AS src_id, substr(text, 1, 12) AS needle
+      FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+    ), flags AS (
+      SELECT d.doc_id,
+             CASE WHEN c.keep_id IS NOT NULL THEN 1 ELSE 0 END
+               AS is_canonical,
+             CASE WHEN len(string_split_regex(trim(d.text), ' +'))
+                       BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS len_ok,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM needles n
+               WHERE n.src_id <> d.doc_id
+                 AND instr(d.text, n.needle) > 0) THEN 0 ELSE 1 END
+               AS not_contaminated
+      FROM documents d LEFT JOIN canon c ON d.doc_id = c.keep_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(is_canonical) AS BIGINT) AS survive_dedup,
+           CAST(sum(is_canonical * len_ok) AS BIGINT)
+             AS survive_quality,
+           CAST(sum(is_canonical * len_ok * not_contaminated)
+                AS BIGINT) AS survive_decontam
+    FROM flags
+    """,
+    "the curation FUNNEL: how many docs survive each gate "
+    "cumulatively — exact dedup (c01's canonical keeper), a length "
+    "quality rule (c23's family), then exact-substring decontam "
+    "(c60's needles) — the one-row summary every dataset datacard "
+    "leads with (c50) and the number that decides whether a source "
+    "is worth ingesting.  Flags are independent narrow maps / "
+    "semi-joins composed in ONE pass over the corpus; each stage "
+    "count is a conditional sum, so adding a gate costs one column, "
+    "not one scan",
+)
+def c77_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    canon = (docs.groupBy(F.md5("text"))
+             .agg(F.min("doc_id").alias("keep_id")))
+    needles = (docs.orderBy(F.desc("n_chars"), "doc_id").limit(10)
+               .select(F.col("doc_id").alias("src_id"),
+                       F.substring("text", 1, 12).alias("needle")))
+    contaminated = (docs.crossJoin(F.broadcast(needles))
+                    .filter((F.col("doc_id") != F.col("src_id"))
+                            & (F.instr("text", F.col("needle")) > 0))
+                    .select("doc_id").distinct()
+                    .withColumn("bad", F.lit(1)))
+    flags = (docs
+             .join(canon, docs.doc_id == canon.keep_id, "left")
+             .join(contaminated, "doc_id", "left")
+             .select(
+                 F.when(F.col("keep_id").isNotNull(), 1).otherwise(0)
+                 .alias("is_canonical"),
+                 F.when(F.size(F.split(F.trim(F.col("text")), " +"))
+                        .between(20, 80), 1).otherwise(0)
+                 .alias("len_ok"),
+                 F.when(F.col("bad").isNull(), 1).otherwise(0)
+                 .alias("not_contaminated")))
+    return flags.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("is_canonical").cast("long").alias("survive_dedup"),
+        F.sum(F.col("is_canonical") * F.col("len_ok")).cast("long")
+        .alias("survive_quality"),
+        F.sum(F.col("is_canonical") * F.col("len_ok")
+              * F.col("not_contaminated")).cast("long")
+        .alias("survive_decontam"))

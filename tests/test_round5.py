@@ -812,3 +812,38 @@ def test_c77_funnel_is_monotone(spark):
     assert (r.n_total >= r.survive_dedup >= r.survive_quality
             >= r.survive_decontam >= 0)
     assert r.survive_dedup > 0
+
+
+# ------------------------------------------------------ b97 KS test
+
+def test_b97_disjoint_distributions_hit_max_d(spark, tmp_path):
+    # click all at 10, view all at 20 -> D = 1 -> scaled = N1*N2 = 4
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 0.10),
+            (2, "2024-01-01 00:00:01", 1, "click", 0.10),
+            (3, "2024-01-01 00:00:02", 1, "view", 0.20),
+            (4, "2024-01-01 00:00:03", 1, "view", 0.20)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b97_ks_test(spark, str(tmp_path)).collect()[0]
+    assert (r.ks_d_scaled, r.ks_at_cents) == (4, 10)
+
+
+def test_b97_identical_distributions_have_zero_d(spark, tmp_path):
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 0.10),
+            (2, "2024-01-01 00:00:01", 1, "view", 0.10),
+            (3, "2024-01-01 00:00:02", 1, "click", 0.20),
+            (4, "2024-01-01 00:00:03", 1, "view", 0.20)]
+    _write_events(spark, tmp_path, rows)
+    r = r5.b97_ks_test(spark, str(tmp_path)).collect()[0]
+    assert r.ks_d_scaled == 0
+
+
+# --------------------------------------- c78 text-embedding join
+
+def test_c78_full_inner_join_coverage(spark):
+    from tests.conftest import SF_ORACLE
+    out = r5.c78_text_embedding_join(spark, SF_ORACLE).collect()
+    n_docs = _t(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    for r in out:
+        assert r.corr_len_normsq is None or \
+            -1.0 <= r.corr_len_normsq <= 1.0

@@ -2355,3 +2355,142 @@ def c77_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_canonical") * F.col("len_ok")
               * F.col("not_contaminated")).cast("long")
         .alias("survive_decontam"))
+
+
+@_register(
+    "b97_ks_test",
+    """
+    WITH s AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ), hist AS (
+      SELECT cents,
+             count(*) FILTER (WHERE grp = 'click') AS n1,
+             count(*) FILTER (WHERE grp = 'view') AS n2
+      FROM s GROUP BY cents
+    ), cum AS (
+      SELECT cents,
+             sum(n1) OVER (ORDER BY cents) AS c1,
+             sum(n2) OVER (ORDER BY cents) AS c2
+      FROM hist
+    ), tot AS (
+      SELECT sum(n1) AS t1, sum(n2) AS t2 FROM hist
+    ), dev AS (
+      SELECT cents, abs(c1 * t2 - c2 * t1) AS d_scaled
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST((SELECT t1 FROM tot) AS BIGINT) AS n_click,
+           CAST((SELECT t2 FROM tot) AS BIGINT) AS n_view,
+           CAST(max(d_scaled) AS BIGINT) AS ks_d_scaled,
+           CAST(min(CASE WHEN d_scaled = (SELECT max(d_scaled)
+                                          FROM dev)
+                         THEN cents END) AS BIGINT) AS ks_at_cents
+    FROM dev
+    """,
+    "exact two-sample Kolmogorov-Smirnov statistic between click "
+    "and view revenue: D = max |F1 - F2| over the joint value grid, "
+    "computed CROSS-MULTIPLIED (|c1*N2 - c2*N1|, all BIGINT) so no "
+    "division ever rounds — D itself is ks_d_scaled/(N1*N2).  Value "
+    "histogram first (the fact shuffles once), one cumulative "
+    "window over |distinct values|, scalar totals broadcast; also "
+    "reports the value where the gap peaks (where the two "
+    "distributions diverge most — the actionable part).  "
+    "Completes the b85/b96 hypothesis-test suite",
+)
+def b97_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type").isin("click", "view"))
+         .select(F.col("event_type").alias("grp"),
+                 F.floor(F.col("value") * 100).cast("long")
+                 .alias("cents")))
+    hist = (s.groupBy("cents")
+            .agg(F.sum(F.when(F.col("grp") == "click", 1).otherwise(0))
+                 .alias("n1"),
+                 F.sum(F.when(F.col("grp") == "view", 1).otherwise(0))
+                 .alias("n2")))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding,
+                                       W.currentRow)
+    cum = hist.select("cents", F.sum("n1").over(w).alias("c1"),
+                      F.sum("n2").over(w).alias("c2"))
+    tot = hist.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    dev = (cum.crossJoin(F.broadcast(tot))
+           .select("cents", "t1", "t2",
+                   F.abs(F.col("c1") * F.col("t2")
+                         - F.col("c2") * F.col("t1"))
+                   .alias("d_scaled")))
+    mx = dev.agg(F.max("d_scaled").alias("mx"))
+    return (dev.crossJoin(F.broadcast(mx))
+            .agg(F.max("t1").cast("long").alias("n_click"),
+                 F.max("t2").cast("long").alias("n_view"),
+                 F.max("d_scaled").cast("long").alias("ks_d_scaled"),
+                 F.min(F.when(F.col("d_scaled") == F.col("mx"),
+                              F.col("cents"))).cast("long")
+                 .alias("ks_at_cents")))
+
+
+@_register(
+    "c78_text_embedding_join",
+    """
+    WITH nv AS (
+      SELECT vec_id,
+             list_sum(list_transform(
+               embedding::DOUBLE[],
+               x -> CAST(floor(x * x * 1000000) AS BIGINT)))
+               AS normsq_q
+      FROM embeddings
+    ), j AS (
+      SELECT d.lang, CAST(d.n_chars AS BIGINT) AS x, nv.normsq_q AS y
+      FROM documents d JOIN nv ON d.doc_id = nv.vec_id
+    ), m AS (
+      SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS corr_len_normsq
+    FROM m
+    """,
+    "cross-modal join: the documents table joined to its embedding "
+    "table on doc_id == vec_id (the canonical text<->vector "
+    "co-partitioned layout), then per-language Pearson correlation "
+    "between text length and embedding norm-squared — the 'does "
+    "vector magnitude leak document length' representation audit "
+    "(length-correlated norms bias cosine-free retrieval).  "
+    "Quantized norms (c63) + exact-moment corr (b81); the join is "
+    "the shape to co-bucket both tables on at 100 TB so it runs "
+    "exchange-free (catalog.write_bucketed's contract)",
+)
+def c78_text_embedding_join(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # 1e6 quantization (not c63's 1e12): y*y must stay inside
+    # BIGINT under ANSI overflow checks; the corr is OF the quantized
+    # variable on both sides, so parity is definitional.
+    normsq_q = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(x * x * F.lit(1e6)).cast("long"))
+    nv = emb.select("vec_id", normsq_q.alias("y"))
+    j = (docs.join(nv, docs.doc_id == nv.vec_id)
+         .select("lang", F.col("n_chars").cast("long").alias("x"),
+                 "y"))
+    m = (j.groupBy("lang")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = ((nd * F.col("sxy") - sx * F.col("sy"))
+            / F.sqrt((nd * F.col("sxx") - sx * F.col("sx"))
+                     * (nd * F.col("syy") - sy * F.col("sy"))))
+    return m.select("lang", F.col("n").cast("long").alias("n_docs"),
+                    F.round(corr, 6).alias("corr_len_normsq"))

@@ -847,3 +847,45 @@ def test_c78_full_inner_join_coverage(spark):
     for r in out:
         assert r.corr_len_normsq is None or \
             -1.0 <= r.corr_len_normsq <= 1.0
+
+
+# ------------------------------------------- b98 percent of parent
+
+def test_b98_shares_sum_to_million_per_region(spark):
+    out = r5.b98_percent_of_parent(spark, SF_SMALL).collect()
+    from collections import defaultdict
+    per_region = defaultdict(int)
+    total = 0
+    for r in out:
+        per_region[r.region] += r.pct_of_region_ppm
+        total += r.pct_of_total_ppm
+    # truncating div loses at most (n_children - 1) ppm per parent
+    for region, s in per_region.items():
+        n = sum(1 for r in out if r.region == region)
+        assert 1_000_000 - n < s <= 1_000_000
+    assert 1_000_000 - len(out) < total <= 1_000_000
+
+
+# ------------------------------------- c79 idf-weighted containment
+
+def test_c79_common_boilerplate_scores_below_rare_overlap(spark,
+                                                          tmp_path):
+    # boiler shingle shared by ALL docs (idf weight 1); docs 1 and 2
+    # additionally share a rare tail -> their weighted containment
+    # must beat the boilerplate-only pairs.
+    boiler = "the quick brown fox jumps"
+    rows = [(1, boiler + " rare1 rare2 rare3", "en", "s", 1),
+            (2, boiler + " rare1 rare2 rare3", "en", "s", 1),
+            (3, boiler + " other stuff here", "en", "s", 1),
+            (4, boiler + " more unrelated words", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {(r.d1, r.d2): r.wcont1_ppm for r in
+           r5.c79_idf_weighted_containment(spark, str(tmp_path))
+           .collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] == 1_000_000          # identical docs
+    others = [v for k, v in out.items() if k != (1, 2)]
+    assert all(v < out[(1, 2)] for v in others)

@@ -2494,3 +2494,136 @@ def c78_text_embedding_join(spark: SparkSession,
                      * (nd * F.col("syy") - sy * F.col("sy"))))
     return m.select("lang", F.col("n").cast("long").alias("n_docs"),
                     F.round(corr, 6).alias("corr_len_normsq"))
+
+
+@_register(
+    "b98_percent_of_parent",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, region, CAST(cents AS BIGINT) AS cents,
+           CAST(cents * 1000000
+                // sum(cents) OVER (PARTITION BY region) AS BIGINT)
+             AS pct_of_region_ppm,
+           CAST(cents * 1000000 // sum(cents) OVER () AS BIGINT)
+             AS pct_of_total_ppm
+    FROM rev
+    """,
+    "percent-of-parent at two hierarchy levels (nation share of its "
+    "region, nation share of the world) — the drill-down ratio "
+    "every BI layer renders.  The fact aggregates ONCE to the "
+    "nation grain through broadcast dim joins; both ratio windows "
+    "then run over |nations| rows, so the unpartitioned total "
+    "window is legal (bounded input — the b46 rule).  Integer ppm "
+    "with truncating div: exact",
+)
+def b98_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.col("r_name").alias("region"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                      .cast("long")).alias("cents")))
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return (rev
+            .withColumn("sum_r", F.sum("cents").over(wr))
+            .withColumn("sum_t", F.sum("cents").over(wt))
+            .select("nation", "region",
+                    F.col("cents").cast("long").alias("cents"),
+                    F.expr("cents * 1000000 div sum_r").cast("long")
+                    .alias("pct_of_region_ppm"),
+                    F.expr("cents * 1000000 div sum_t").cast("long")
+                    .alias("pct_of_total_ppm")))
+
+
+@_register(
+    "c79_idf_weighted_containment",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS sh
+      FROM t
+    ), df AS (
+      SELECT sh, count(*) AS d FROM sh GROUP BY sh
+    ), n_docs AS (
+      SELECT count(*) AS nd FROM documents
+    ), wsh AS (
+      SELECT s.doc_id, s.sh, nd // d AS w
+      FROM sh s JOIN df USING (sh) CROSS JOIN n_docs
+    ), wsize AS (
+      SELECT doc_id, sum(w) AS tw FROM wsh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.w) AS cw
+      FROM wsh a JOIN wsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, CAST(cw AS BIGINT) AS common_weight,
+           CAST(cw * 1000000 // x.tw AS BIGINT) AS wcont1_ppm,
+           CAST(cw * 1000000 // y.tw AS BIGINT) AS wcont2_ppm
+    FROM common JOIN wsize x ON x.doc_id = d1
+                JOIN wsize y ON y.doc_id = d2
+    WHERE greatest(cw * 1000000 // x.tw, cw * 1000000 // y.tw)
+            >= 500000
+    """,
+    "IDF-weighted containment: like c70 but each shared shingle "
+    "counts its RARITY (integer idf = n_docs div doc_freq), so "
+    "overlap built from corpus-common boilerplate shingles scores "
+    "near zero while overlap on rare content flags hard — the "
+    "precision upgrade that stops template phrases from producing "
+    "false duplicate pairs.  One extra (shingle -> df) aggregate + "
+    "join-back over the same inverted index; ubiquitous shingles "
+    "carry weight ~1, so the hot-posting join cost they dominate "
+    "buys almost no score — at scale DROP shingles with df above a "
+    "cutoff (stop-shingle pruning), shrinking the join exactly "
+    "where it is hottest",
+)
+def c79_idf_weighted_containment(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id",
+                     F.explode(token_shingles(F.col("text"), 3))
+                     .alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("d"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    wsh = (sh.join(dfreq, "sh").crossJoin(F.broadcast(nd))
+           .select("doc_id", "sh", F.expr("nd div d").alias("w")))
+    wsize = wsh.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    a = wsh.select(F.col("doc_id").alias("d1"), "sh",
+                   F.col("w").alias("wa"))
+    b = wsh.select(F.col("doc_id").alias("d2"), "sh")
+    common = (a.join(b, "sh").filter(F.col("d1") < F.col("d2"))
+              .groupBy("d1", "d2").agg(F.sum("wa").alias("cw")))
+    x = wsize.select(F.col("doc_id").alias("d1"),
+                     F.col("tw").alias("tw1"))
+    y = wsize.select(F.col("doc_id").alias("d2"),
+                     F.col("tw").alias("tw2"))
+    out = (common.join(x, "d1").join(y, "d2")
+           .withColumn("wcont1_ppm",
+                       F.expr("cw * 1000000 div tw1").cast("long"))
+           .withColumn("wcont2_ppm",
+                       F.expr("cw * 1000000 div tw2").cast("long")))
+    return (out.filter(F.greatest("wcont1_ppm", "wcont2_ppm")
+                       >= 500_000)
+            .select("d1", "d2", F.col("cw").cast("long")
+                    .alias("common_weight"), "wcont1_ppm",
+                    "wcont2_ppm"))

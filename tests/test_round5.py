@@ -889,3 +889,28 @@ def test_c79_common_boilerplate_scores_below_rare_overlap(spark,
     assert out[(1, 2)] == 1_000_000          # identical docs
     others = [v for k, v in out.items() if k != (1, 2)]
     assert all(v < out[(1, 2)] for v in others)
+
+
+# ------------------------------------------------ b99 survival curve
+
+def test_b99_survival_is_monotone_and_starts_at_million(spark):
+    out = sorted(r5.b99_survival_curve(spark, SF_SMALL).collect(),
+                 key=lambda r: r.day_num)
+    assert out[0].survival_ppm == 1_000_000   # day 0: everyone at risk
+    ppms = [r.survival_ppm for r in out]
+    assert ppms == sorted(ppms, reverse=True)
+    assert sum(r.n_last_seen for r in out) == out[0].n_surviving
+
+
+# ----------------------------------------------- c80 LSH audit
+
+def test_c80_audit_counts_consistent(spark):
+    from tests.conftest import SF_ORACLE
+    r = r5.c80_lsh_precision_audit(spark, SF_ORACLE).collect()[0]
+    assert r.n_hit <= min(r.n_candidates, r.n_truth)
+    assert 0 <= r.precision_ppm <= 1_000_000
+    assert 0 <= r.recall_ppm <= 1_000_000
+    # at sf0.01 the (16,4) operating point is known-perfect: keep a
+    # tripwire so a silent hash/banding regression shows up here
+    assert r.recall_ppm == 1_000_000
+    assert r.n_truth > 0

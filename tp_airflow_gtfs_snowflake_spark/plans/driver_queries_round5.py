@@ -2627,3 +2627,138 @@ def c79_idf_weighted_containment(spark: SparkSession,
             .select("d1", "d2", F.col("cw").cast("long")
                     .alias("common_weight"), "wcont1_ppm",
                     "wcont2_ppm"))
+
+
+@_register(
+    "b99_survival_curve",
+    """
+    WITH last_day AS (
+      SELECT user_id,
+             max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+               AS d
+      FROM events GROUP BY user_id
+    ), hist AS (
+      SELECT d, count(*) AS n_churned FROM last_day GROUP BY d
+    ), tot AS (
+      SELECT sum(n_churned) AS n FROM hist
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(n_churned AS BIGINT) AS n_last_seen,
+           CAST(sum(n_churned) OVER (ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n_surviving,
+           CAST(sum(n_churned) OVER (ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                * 1000000 // (SELECT n FROM tot) AS BIGINT)
+             AS survival_ppm
+    FROM hist
+    """,
+    "survival / churn curve: S(t) = share of users still active at "
+    "or after day t, from each user's LAST event day — the "
+    "Kaplan-Meier shape without censoring (every user's exit is "
+    "observed inside the window).  One per-user max, one day "
+    "histogram, one REVERSE cumulative window over |days| rows; "
+    "the fact shuffles once.  Days with zero churn are absent "
+    "(sparse representation — join b56's date spine to densify)",
+)
+def b99_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    last_day = (ev.groupBy("user_id")
+                .agg(F.max(F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"))).alias("d")))
+    hist = last_day.groupBy("d").agg(F.count("*").alias("n_churned"))
+    tot = hist.agg(F.sum("n_churned").alias("n"))
+    w = W.orderBy("d").rowsBetween(W.currentRow, W.unboundedFollowing)
+    return (hist
+            .withColumn("n_surviving", F.sum("n_churned").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("d").cast("long").alias("day_num"),
+                    F.col("n_churned").cast("long").alias("n_last_seen"),
+                    F.col("n_surviving").cast("long")
+                    .alias("n_surviving"),
+                    F.expr("n_surviving * 1000000 div n").cast("long")
+                    .alias("survival_ppm")))
+
+
+# c80 composes the c06 LSH candidate machinery with the c08 exact
+# truth set to put a driver-checked NUMBER on the LSH quality claim.
+from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_hash64, _duck_minhash_band_case, _duck_minhash_mins,
+    _duck_shingles, _duck_toks, _spread)
+
+
+@_register(
+    "c80_lsh_precision_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {{p}} AS h FROM sh),
+    m AS (SELECT doc_id, {_duck_minhash_mins(16)} FROM hx
+          GROUP BY doc_id),
+    banded AS (SELECT doc_id, b.band AS band,
+                      md5({_duck_minhash_band_case(16, 4)}) AS bucket
+               FROM m, range(0, 4) b(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    truth AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) * 1.0
+                     / (min((SELECT n_sh FROM sizes s
+                             WHERE s.doc_id = a.doc_id))
+                        + min((SELECT n_sh FROM sizes s
+                               WHERE s.doc_id = b.doc_id))
+                        - count(*)) >= 0.5),
+    hit AS (SELECT c.d1, c.d2 FROM cand c
+            JOIN truth t2 ON c.d1 = t2.d1 AND c.d2 = t2.d2)
+    SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CAST((SELECT count(*) FROM hit) * 1000000
+                // nullif((SELECT count(*) FROM cand), 0) AS BIGINT)
+             AS precision_ppm,
+           CAST((SELECT count(*) FROM hit) * 1000000
+                // nullif((SELECT count(*) FROM truth), 0) AS BIGINT)
+             AS recall_ppm
+    """.replace("{p}", str(_D.MINHASH_P)),
+    "LSH quality audit with a driver-checked NUMBER: the c06 "
+    "MinHash band candidates scored against the c08 exact-Jaccard "
+    "truth set — candidate count, truth count, hits, precision and "
+    "recall in ppm.  This is the query that justifies (or indicts) "
+    "the (16 hashes, 4 bands) operating point before anyone trusts "
+    "LSH dedup at corpus scale; re-run per corpus, since collision "
+    "rates track shingle distributions.  Costs one LSH pass + one "
+    "exact-verify pass over candidates' inverted index — the same "
+    "two plans c06/c08 already run, composed",
+)
+def c80_lsh_precision_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sigs = _D.minhash_signatures(docs, "doc_id", "text",
+                                 num_hashes=16, shingle_n=3,
+                                 hash_fn=_D.portable_hash64)
+    cand = (_D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+            .select("d1", "d2").distinct())
+    truth = (_D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.5)
+             .select("d1", "d2"))
+    hit = cand.join(truth, ["d1", "d2"])
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (nc.crossJoin(nt).crossJoin(nh)
+            .select(F.col("n_candidates").cast("long")
+                    .alias("n_candidates"),
+                    F.col("n_truth").cast("long").alias("n_truth"),
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.expr("n_hit * 1000000 "
+                           "div nullif(n_candidates, 0)").cast("long")
+                    .alias("precision_ppm"),
+                    F.expr("n_hit * 1000000 div nullif(n_truth, 0)")
+                    .cast("long").alias("recall_ppm")))

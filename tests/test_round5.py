@@ -914,3 +914,30 @@ def test_c80_audit_counts_consistent(spark):
     # tripwire so a silent hash/banding regression shows up here
     assert r.recall_ppm == 1_000_000
     assert r.n_truth > 0
+
+
+# ------------------------------------------------ b100 sliding WAU
+
+def test_b100_wau_matches_naive_window(spark, tmp_path):
+    # user 1 on days 0, 3; user 2 on day 8
+    rows = [(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+            (2, "2024-01-04 00:00:00", 1, "click", 1.0),
+            (3, "2024-01-09 00:00:00", 2, "click", 1.0)]
+    _write_events(spark, tmp_path, rows)
+    got = {r.day_num: r.wau for r in
+           r5.b100_sliding_wau_exact(spark, str(tmp_path)).collect()}
+    # day 8: window [2..8] covers user1@3 and user2@8 -> 2
+    assert got[8] == 2
+    # day 0..6 cover user 1 only
+    assert got[0] == 1 and got[6] == 1
+    # every day in [0, 8] has a row (windows overlap observations)
+    assert set(got) == set(range(9))
+
+
+# -------------------------------------------- c81 shard balance
+
+def test_c81_shards_cover_all_docs(spark):
+    r = r5.c81_shard_balance_audit(spark, SF_SMALL).collect()[0]
+    assert r.n_shards <= 32
+    assert r.min_docs >= 1
+    assert r.max_token_skew_ppm >= 1_000_000   # max >= mean always

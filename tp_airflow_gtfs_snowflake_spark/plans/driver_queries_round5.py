@@ -2762,3 +2762,107 @@ def c80_lsh_precision_audit(spark: SparkSession,
                     .alias("precision_ppm"),
                     F.expr("n_hit * 1000000 div nullif(n_truth, 0)")
                     .cast("long").alias("recall_ppm")))
+
+
+@_register(
+    "b100_sliding_wau_exact",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS d
+      FROM events
+    ), maxd AS (SELECT max(d) AS md FROM ud),
+    contrib AS (
+      SELECT user_id, ud.d + o.off AS target_d
+      FROM ud, range(0, 7) o(off)
+    )
+    SELECT CAST(target_d AS BIGINT) AS day_num,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib CROSS JOIN maxd
+    WHERE target_d <= md
+    GROUP BY target_d
+    """,
+    "EXACT sliding 7-day active users (WAU) per day — the "
+    "scatter-to-window trick: each distinct (user, day) observation "
+    "contributes itself to the 7 window-end days it falls inside "
+    "(explode x7), then one distinct-count per target day.  Turns "
+    "an unsupported COUNT(DISTINCT) OVER RANGE into a plain "
+    "groupBy: shuffle is 7x the distinct (user, day) relation — "
+    "already tiny vs the fact — not the fact itself.  b49 is the "
+    "mergeable-HLL approximate sibling for when 7x|user-days| is "
+    "too much; this is the exact truth it is audited against",
+)
+def b100_sliding_wau_exact(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("d"))
+        .distinct())
+    maxd = ud.agg(F.max("d").alias("md"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6))
+        .alias("target_d"))
+    return (contrib.crossJoin(F.broadcast(maxd))
+            .filter(F.col("target_d") <= F.col("md"))
+            .groupBy(F.col("target_d").cast("long").alias("day_num"))
+            .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+
+
+@_register(
+    "c81_shard_balance_audit",
+    """
+    WITH s AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(text), 1, 8))
+                       AS BIGINT) % 32 AS BIGINT) AS shard,
+             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), per AS (
+      SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      FROM s GROUP BY shard
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(min(n_docs) AS BIGINT) AS min_docs,
+           CAST(max(n_docs) AS BIGINT) AS max_docs,
+           CAST(max(n_tokens) * 1000000
+                // (sum(n_tokens) // count(*)) AS BIGINT)
+             AS max_token_skew_ppm
+    FROM per
+    """,
+    "shard-balance audit for content-hash sharding: docs assigned "
+    "to 32 shards by hashing the md5 fingerprint, then min/max doc "
+    "counts and the hottest shard's token load vs the mean (ppm) — "
+    "the pre-flight check before a 1000-way repartition-by-key "
+    "write, because token-weighted skew (not row skew) is what "
+    "actually stalls a training-data shuffle.  Shard id is a "
+    "PORTABLE hash — first 8 md5 hex chars parsed as an integer "
+    "(Spark conv(,16,10) == DuckDB CAST('0x'||hex), verified) — "
+    "so shard membership is engine- and cluster-size-independent, "
+    "which is also the property a reproducible corpus layout "
+    "wants (engine-native hash() would silently reshard on any "
+    "engine swap)",
+)
+def c81_shard_balance_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # portable shard hash: first 8 hex chars of md5 -> int -> % 32
+    # (identical arithmetic both engines; no engine-native hash()).
+    shard = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+             .cast("long") % 32)
+    s = docs.select(shard.alias("shard"),
+                    F.size(F.split(F.trim(F.col("text")), " +"))
+                    .cast("long").alias("n_tok"))
+    per = (s.groupBy("shard")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens")))
+    return per.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.min("n_docs").cast("long").alias("min_docs"),
+        F.max("n_docs").cast("long").alias("max_docs"),
+        F.expr("max(n_tokens) * 1000000 "
+               "div (sum(n_tokens) div count(*))").cast("long")
+        .alias("max_token_skew_ppm"))

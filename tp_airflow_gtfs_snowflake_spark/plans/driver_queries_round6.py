@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.operators import bpe as _bpe
+from tp_airflow_gtfs_snowflake_spark.operators import spatial as _spatial
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
     REGISTRY, _register, _t)
 
@@ -105,3 +106,46 @@ def c83_bpe_token_frequencies(spark: SparkSession,
                                     loop_partitions=4)
     return (tf.orderBy(F.desc("total"), "token").limit(30)
             .select("token", F.col("total").cast("long").alias("total")))
+
+
+@_register(
+    "b101_spatial_radius_join",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                      1, 8) AS BIGINT)
+                  % 1000000 AS BIGINT) AS x,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                      9, 8) AS BIGINT)
+                  % 1000000 AS BIGINT) AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x)
+          + (a.y - b.y) * (a.y - b.y) < 5000 * 5000
+    """,
+    "grid-blocked spatial radius self-join (operators/spatial.py): "
+    "integer point coordinates derived portably from md5(custkey) "
+    "in a 1e6-square, all pairs closer than r=5000.  Spark blocks "
+    "by r-sized grid cells (3x3 neighbor replication on ONE side, "
+    "cell equi-join, exact integer dist_sq verify -- provably "
+    "lossless, O(co-bucketed pairs)); the oracle is the naive "
+    "O(n^2) theta join.  The GTFS stops-within-radius query in "
+    "scaled-meter projection; hot cells are plain join skew (AQE "
+    "skew split applies)",
+)
+def b101_spatial_radius_join(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    coord = lambda lo: (F.conv(F.substring(  # noqa: E731
+        F.md5(F.col("c_custkey").cast("string")), lo, 8), 16, 10)
+        .cast("long") % 1000000)
+    pts = cust.select(F.col("c_custkey").alias("id"),
+                      coord(1).alias("x"), coord(9).alias("y"))
+    return (_spatial.radius_pairs(pts, radius=5000)
+            .select("id_a", "id_b",
+                    F.col("dist_sq").cast("long").alias("dist_sq")))

@@ -1,0 +1,101 @@
+"""KMV/theta sketch invariants: partitioning-independence, exactness
+below k, estimator accuracy, and the mergeable-partial plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.operators import kmv
+
+
+@pytest.fixture(scope="module")
+def grouped_values(spark):
+    rng = random.Random(20260814)
+    rows = [(f"g{i % 3}", rng.randrange(0, 5000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    return df.select("g", kmv.portable_hash48(F.col("v")).alias("h"))
+
+
+def _sketches(df, k):
+    return {r["g"]: list(r["sketch"])
+            for r in kmv.kmv_sketch(df, "g", "h", k=k).collect()}
+
+
+def test_sketch_is_partitioning_independent(spark, grouped_values):
+    a = _sketches(grouped_values.repartition(2), 64)
+    b = _sketches(grouped_values.repartition(17, "h"), 64)
+    assert a == b
+    for sk in a.values():
+        assert sk == sorted(set(sk)) and len(sk) == 64
+
+
+def test_sketch_exact_below_k(spark):
+    rows = [("g", v) for v in range(40)]
+    df = (spark.createDataFrame(rows, "g string, v long")
+          .select("g", kmv.portable_hash48(F.col("v")).alias("h")))
+    est = kmv.with_distinct_estimate(
+        kmv.kmv_sketch(df, "g", "h", k=128), 128).collect()[0]
+    assert est["est"] == 40
+
+
+def test_distinct_estimate_within_bound(spark, grouped_values):
+    # ~4700 distinct per group, k=128 -> stderr ~ 1/sqrt(126) ~ 9%;
+    # assert a generous 30% envelope (deterministic hash, not flaky).
+    exact = {r["g"]: r["n"] for r in
+             grouped_values.distinct().groupBy("g")
+             .agg(F.count("*").alias("n")).collect()}
+    ests = kmv.with_distinct_estimate(
+        kmv.kmv_sketch(grouped_values, "g", "h", k=128), 128).collect()
+    for r in ests:
+        assert abs(r["est"] - exact[r["g"]]) / exact[r["g"]] < 0.30
+
+
+def test_intersection_exact_when_not_full(spark):
+    # |A|=60, |B|=60, |A inter B|=20, k=128 > sizes -> theta = SPACE
+    # and the estimate collapses to the EXACT intersection size.
+    rows = ([("a", v) for v in range(60)]
+            + [("b", v) for v in range(40, 100)])
+    df = (spark.createDataFrame(rows, "g string, v long")
+          .select("g", kmv.portable_hash48(F.col("v")).alias("h")))
+    sk = kmv.kmv_sketch(df, "g", "h", k=128)
+    pair = (sk.filter(F.col("g") == "a")
+            .select(F.col("sketch").alias("sketch_a"))
+            .crossJoin(sk.filter(F.col("g") == "b")
+                       .select(F.col("sketch").alias("sketch_b"))))
+    got = kmv.with_intersect_estimate(pair, 128).collect()[0]
+    assert got["est_inter"] == 20
+
+
+def test_intersection_estimate_within_bound(spark):
+    rng = random.Random(7)
+    rows = ([("a", v) for v in range(4000)]
+            + [("b", v) for v in range(2000, 6000)])
+    df = (spark.createDataFrame(rows, "g string, v long")
+          .select("g", kmv.portable_hash48(F.col("v")).alias("h")))
+    sk = kmv.kmv_sketch(df, "g", "h", k=256)
+    pair = (sk.filter(F.col("g") == "a")
+            .select(F.col("sketch").alias("sketch_a"))
+            .crossJoin(sk.filter(F.col("g") == "b")
+                       .select(F.col("sketch").alias("sketch_b"))))
+    got = kmv.with_intersect_estimate(pair, 256).collect()[0]
+    assert abs(got["est_inter"] - 2000) / 2000 < 0.35
+
+
+def test_kmv_partials_are_bounded_and_merge_in_one_exchange(
+        spark, grouped_values):
+    """Partials must emit <= k rows per (group, partition) and the
+    merge must be a single hash aggregation — the exchange carries
+    k-bounded partials, never the distinct-value stream."""
+    src = grouped_values.repartition(6)
+    counts = (kmv.kmv_partials(src, "g", "h", k=64)
+              .withColumn("pid", F.spark_partition_id())
+              .groupBy("pid", "g").agg(F.count("*").alias("n"))
+              .agg(F.max("n").alias("mx")).collect()[0])
+    assert counts["mx"] <= 64
+    plan = (kmv.kmv_sketch(src, "g", "h", k=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan

@@ -17,6 +17,16 @@ iterations).
 - c83: end-to-end learned-vocabulary token frequencies (rows-only;
   encode applies merges to the DISTINCT word table, never the raw
   corpus).
+
+Also in this round:
+- b101: grid-blocked spatial radius join (operators/spatial.py) —
+  the blocked-join family's spatial member, oracled against the
+  naive O(n^2) theta join on portably-derived integer coordinates.
+- b102/b103: KMV/theta sketches (operators/kmv.py) — mergeable
+  distinct AND set-intersection estimation with a PORTABLE md5-48bit
+  hash and integer-exact estimators, so both queries are value-hash
+  oracled (a sketch whose every estimate the oracle reproduces
+  bit-for-bit); intersection is the operation HLL cannot do.
 """
 
 from __future__ import annotations
@@ -25,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.operators import bpe as _bpe
+from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
 from tp_airflow_gtfs_snowflake_spark.operators import spatial as _spatial
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
     REGISTRY, _register, _t)
@@ -149,3 +160,146 @@ def b101_spatial_radius_join(spark: SparkSession,
     return (_spatial.radius_pairs(pts, radius=5000)
             .select("id_a", "id_b",
                     F.col("dist_sq").cast("long").alias("dist_sq")))
+
+
+_KMV_VALS_SQL = """
+    vals AS (
+      SELECT DISTINCT event_type AS g,
+             user_id * 100000 + date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE)) AS v
+      FROM events
+    ), h AS (
+      SELECT DISTINCT g,
+             CAST(CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS BIGINT) AS h
+      FROM vals
+    ), r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h
+    )"""
+
+_KMV_SPACE = 1 << 48
+
+
+def _kmv_user_day_hashes(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    # DISTINCT here mirrors the oracle's vals CTE: the sketch dedupes
+    # anyway, but the exact-count sides join on this relation and
+    # would inflate multiplicities without it.
+    vals = ev.select(
+        F.col("event_type").alias("g"),
+        (F.col("user_id") * 100000
+         + F.datediff(F.col("ts").cast("date"),
+                      F.lit("2024-01-01").cast("date"))).alias("v")
+    ).distinct()
+    hashed = vals.select("g", _kmv.portable_hash48(F.col("v")).alias("h"))
+    return vals, hashed
+
+
+@_register(
+    "b102_kmv_distinct_estimate",
+    f"""
+    WITH {_KMV_VALS_SQL}, agg AS (
+      SELECT g, count(*) AS nh,
+             max(CASE WHEN rn = 128 THEN h END) AS kth
+      FROM r WHERE rn <= 128 GROUP BY g
+    ), ex AS (SELECT g, count(*) AS n_exact FROM vals GROUP BY g)
+    SELECT g, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN nh < 128 THEN nh
+                     ELSE 127 * {_KMV_SPACE} // kth END AS BIGINT) AS est,
+           CAST(abs(CASE WHEN nh < 128 THEN nh
+                         ELSE 127 * {_KMV_SPACE} // kth END - n_exact)
+                * 1000000 // n_exact AS BIGINT) AS err_ppm
+    FROM ex JOIN agg USING (g) ORDER BY g
+    """,
+    "KMV/theta distinct sketch (operators/kmv.py), self-auditing: "
+    "per event type, the exact distinct user-day count next to the "
+    "k=128 KMV estimate and its error in ppm.  The sketch hash is "
+    "PORTABLE (md5 48-bit prefix), the estimator is truncating "
+    "integer div, so the oracle reproduces every estimate "
+    "bit-for-bit — a value-checked sketch, unlike engine-native "
+    "approx_count_distinct (b23) which is only bounds-checkable.  "
+    "Spark builds <= k-row partial sketches per partition in one "
+    "Arrow pass and merges them in one hash agg (mergeable-"
+    "summaries shape, like heavy_hitters); the exchange moves "
+    "k-bounded partials, never the distinct values",
+)
+def b102_kmv_distinct_estimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    vals, hashed = _kmv_user_day_hashes(spark, sf_dir)
+    sk = _kmv.kmv_sketch(hashed, "g", "h", k=128)
+    est = _kmv.with_distinct_estimate(sk, 128).select("g", "est")
+    exact = vals.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_exact"))
+    return (exact.join(est, "g")
+            .withColumn("err_ppm",
+                        F.expr("abs(est - n_exact) * 1000000 "
+                               "div n_exact").cast("long"))
+            .select("g", "n_exact", F.col("est").cast("long").alias("est"),
+                    "err_ppm"))
+
+
+@_register(
+    "b103_kmv_intersection_estimate",
+    f"""
+    WITH {_KMV_VALS_SQL}, th AS (
+      SELECT g, CASE WHEN count(*) >= 128
+                     THEN max(CASE WHEN rn = 128 THEN h END)
+                     ELSE {_KMV_SPACE} END AS theta
+      FROM r WHERE rn <= 128 GROUP BY g
+    ), ret AS (
+      SELECT r.g, r.h FROM r JOIN th USING (g) WHERE r.h < th.theta
+    ), spine AS (
+      SELECT t1.g AS g1, t2.g AS g2,
+             least(t1.theta, t2.theta) AS cth
+      FROM th t1 JOIN th t2 ON t1.g < t2.g
+    ), common AS (
+      SELECT s.g1, s.g2, count(*) AS c
+      FROM spine s
+      JOIN ret ra ON ra.g = s.g1
+      JOIN ret rb ON rb.g = s.g2 AND rb.h = ra.h
+      WHERE ra.h < s.cth
+      GROUP BY s.g1, s.g2
+    ), exi AS (
+      SELECT a.g AS g1, b.g AS g2, count(*) AS n_exact
+      FROM vals a JOIN vals b ON a.v = b.v AND a.g < b.g
+      GROUP BY a.g, b.g
+    )
+    SELECT s.g1 AS g1, s.g2 AS g2,
+           CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(c.c, 0) * {_KMV_SPACE} // s.cth AS BIGINT)
+             AS est_inter
+    FROM spine s
+    LEFT JOIN common c ON c.g1 = s.g1 AND c.g2 = s.g2
+    LEFT JOIN exi x ON x.g1 = s.g1 AND x.g2 = s.g2
+    ORDER BY g1, g2
+    """,
+    "theta-sketch SET INTERSECTION estimate for every event-type "
+    "pair vs the exact intersection — the operation HLL sketches "
+    "(b41/b49) fundamentally cannot do, and the reason KMV retains "
+    "hash samples: combined theta = min(theta_a, theta_b), count "
+    "retained hashes present in BOTH sketches below it, rescale by "
+    "the sampled fraction.  Sketch pairs are k-length arrays, so "
+    "the pairwise stage is array math over |groups|^2 tiny rows; "
+    "integer-exact arithmetic keeps the oracle bit-for-bit",
+)
+def b103_kmv_intersection_estimate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    vals, hashed = _kmv_user_day_hashes(spark, sf_dir)
+    sk = _kmv.kmv_sketch(hashed, "g", "h", k=128)
+    a = sk.select(F.col("g").alias("g1"), F.col("sketch").alias("sketch_a"))
+    b = sk.select(F.col("g").alias("g2"), F.col("sketch").alias("sketch_b"))
+    spine = a.join(b, F.col("g1") < F.col("g2"))
+    est = (_kmv.with_intersect_estimate(spine, 128)
+           .select("g1", "g2", F.col("est_inter").cast("long")
+                   .alias("est_inter")))
+    va = vals.select(F.col("g").alias("g1"), "v")
+    vb = vals.select(F.col("g").alias("g2"), "v")
+    exact = (va.join(vb, ["v"]).filter(F.col("g1") < F.col("g2"))
+             .groupBy("g1", "g2")
+             .agg(F.count("*").cast("long").alias("n_exact")))
+    return (est.join(exact, ["g1", "g2"], "left")
+            .select("g1", "g2",
+                    F.coalesce(F.col("n_exact"), F.lit(0)).cast("long")
+                    .alias("n_exact"),
+                    "est_inter"))

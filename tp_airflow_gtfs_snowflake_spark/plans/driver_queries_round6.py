@@ -303,3 +303,80 @@ def b103_kmv_intersection_estimate(spark: SparkSession,
                     F.coalesce(F.col("n_exact"), F.lit(0)).cast("long")
                     .alias("n_exact"),
                     "est_inter"))
+
+
+@_register(
+    "c84_bpe_fertility_by_lang",
+    None,  # depends on the learned merge list -> not SQL-expressible
+    "tokenizer-equity audit: tokens-per-word (fertility, ppm) per "
+    "language under a BPE vocabulary learned on the WHOLE corpus — "
+    "the standard check that a shared vocab does not over-fragment "
+    "minority languages (high fertility = more tokens per word = "
+    "worse compression for that language).  Word freqs are counted "
+    "once per (lang, word); the global merge loop and the encode "
+    "both run on the distinct-word table; per-language totals are "
+    "freq-weighted sums over the encoded vocab.  Rows-only (the "
+    "merge list is iterative); pytest pins the BPE loop itself",
+)
+def c84_bpe_fertility_by_lang(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"))
+    wf_lang = (w.filter(F.col("word") != "")
+               .groupBy("lang", "word").agg(F.count("*").alias("freq")))
+    wf_lang = wf_lang.localCheckpoint(eager=True)
+    wf = (wf_lang.groupBy("word").agg(F.sum("freq").alias("freq"))
+          .coalesce(4))
+    learned = _bpe.learn_bpe(spark, docs, num_merges=30, word_freqs=wf)
+    pairs = [(r["left_sym"], r["right_sym"]) for r in learned.collect()]
+    enc = _bpe.encode_words(wf, pairs).select(
+        "word", F.size("syms").alias("n_tok"))
+    return (wf_lang.join(enc, "word")
+            .groupBy("lang")
+            .agg(F.sum("freq").cast("long").alias("n_words"),
+                 F.sum(F.col("freq") * F.col("n_tok")).cast("long")
+                 .alias("n_tokens"))
+            .withColumn("fertility_ppm",
+                        F.expr("n_tokens * 1000000 div n_words")
+                        .cast("long"))
+            .orderBy("lang"))
+
+
+@_register(
+    "c85_feature_hash_bow",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) % 16
+                AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM w WHERE word <> ''
+    GROUP BY doc_id, dim
+    """,
+    "feature hashing / hashing trick (Weinberger et al., ICML 2009): "
+    "16-dim hashed bag-of-words per document with a PORTABLE md5 "
+    "dimension hash — the value-checked sibling of c44's MLlib "
+    "HashingTF pipeline (engine-native murmur hash, rows-only "
+    "forever).  One explode + one (doc, dim) hash agg, map-side "
+    "combinable; no vocabulary table, no OOV handling — the point "
+    "of the trick at corpus scale",
+)
+def c85_feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"))
+    return (w.filter(F.col("word") != "")
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5("word"), 1, 12), 16, 10)
+                     .cast("long") % 16).alias("dim"))
+            .groupBy("doc_id", "dim")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("dim").cast("long").alias("dim"), "cnt"))

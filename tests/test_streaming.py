@@ -302,3 +302,55 @@ def test_stream_stream_left_outer_emits_after_watermark(
     for r in rows:
         if r.prev_ts is not None:
             assert 0 < (r.cur_ts - r.prev_ts).total_seconds() <= 60
+
+
+def test_timed_out_session_emission(spark, landing, tmp_path):
+    """EventTimeTimeout timers: sessions are emitted exactly once,
+    when the watermark crosses last_event+gap — idle keys are closed
+    by OTHER traffic advancing the watermark."""
+    import json
+
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        timed_out_sessions)
+
+    t0 = 1709532000  # 2024-03-04 06:00:00 UTC
+
+    def snap(entities):
+        return json.dumps({"entity": entities})
+
+    def veh(eid, vid, epoch):
+        return {"id": eid, "vehicle": {
+            "trip": {"trip_id": "t", "route_id": "R0"},
+            "position": {"latitude": 43.7, "longitude": 7.27},
+            "vehicle": {"id": vid}, "timestamp": epoch}}
+
+    stream = read_feed_stream(spark, str(landing))
+    out = timed_out_sessions(stream, gap_seconds=300,
+                             watermark="5 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("vp_timeout_sessions")
+         .option("checkpointLocation", str(tmp_path / "ckpt_t")).start())
+
+    # batch 1: V0 twice, V1 once
+    _write_snapshot(landing, "vp_1.json", snap(
+        [veh("a", "V0", t0), veh("b", "V0", t0 + 60),
+         veh("c", "V1", t0)]))
+    q.processAllAvailable()
+    # batch 2: unrelated V9 an hour later -> advances the watermark
+    _write_snapshot(landing, "vp_2.json",
+                    snap([veh("d", "V9", t0 + 3600)]))
+    q.processAllAvailable()
+    # batch 3: timers fire with the batch-2 watermark (event-time
+    # timeouts use the watermark computed from the PREVIOUS batch)
+    _write_snapshot(landing, "vp_3.json",
+                    snap([veh("e", "V9", t0 + 3700)]))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.vehicle_id: r for r in
+            spark.sql("SELECT * FROM vp_timeout_sessions").collect()}
+    assert set(rows) == {"V0", "V1"}  # V9's session still open
+    assert rows["V0"].session_start == t0
+    assert rows["V0"].session_end == t0 + 60
+    assert rows["V0"].n_reports == 2
+    assert rows["V1"].n_reports == 1

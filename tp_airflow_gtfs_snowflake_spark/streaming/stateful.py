@@ -164,3 +164,73 @@ def trip_position_attribution(feed_stream: DataFrame, *,
                     (F.abs(F.col("cur_lat") - F.col("prev_lat"))
                      + F.abs(F.col("cur_lon") - F.col("prev_lon")))
                     .alias("l1_move")))
+
+
+_TIMEOUT_SESSION_STATE = StructType([
+    StructField("start_epoch", LongType()),
+    StructField("end_epoch", LongType()),
+    StructField("n", LongType()),
+])
+
+TIMEOUT_SESSION_SCHEMA = StructType([
+    StructField("vehicle_id", StringType()),
+    StructField("session_start", LongType()),
+    StructField("session_end", LongType()),
+    StructField("n_reports", LongType()),
+])
+
+
+def timed_out_sessions(feed_stream: DataFrame, *,
+                       gap_seconds: int = 600,
+                       watermark: str = "5 seconds") -> DataFrame:
+    """TIMER-driven sessionization: a session row is emitted exactly
+    once, when the event-time timer fires (watermark passes
+    last_event + gap) — not re-emitted on every update.
+
+    This is the GroupState timeout facility that the built-in
+    session_window aggregation (sessionized_vehicle_activity) hides:
+    each key re-arms ``setTimeoutTimestamp(end + gap)`` on every
+    update; when the watermark crosses it, the callback runs with
+    ``state.hasTimedOut`` and NO input rows, emits the final session,
+    and clears state.  State per key is three longs — bounded no
+    matter how long the session runs — and expiry is driven by the
+    engine's watermark bookkeeping, not by data arrival for that key
+    (an idle vehicle's session closes because OTHER traffic advances
+    the watermark; a NoTimeout design would leak the key forever).
+    transformWithState timers (streaming/tws.py) are the Spark-4
+    successor of this shape; this form executes without the protobuf
+    runtime dependency.
+    """
+
+    def fn(key: tuple[str], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"vehicle_id": key[0],
+                                 "session_start": start,
+                                 "session_end": end,
+                                 "n_reports": n}])
+            return
+        start, end, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            es = pdf["timestamp_epoch"]
+            mn, mx = int(es.min()), int(es.max())
+            start = mn if start is None else min(start, mn)
+            end = mx if end is None else max(end, mx)
+            n += len(pdf)
+        if end is None:
+            return
+        state.update((start, end, n))
+        # re-arm: expire when the watermark proves the gap elapsed
+        state.setTimeoutTimestamp((end + gap_seconds) * 1000)
+
+    pos = _positions(feed_stream).select(
+        "vehicle_id", "timestamp_epoch", "ts")
+    return (pos.withWatermark("ts", watermark)
+            .groupBy("vehicle_id")
+            .applyInPandasWithState(
+                fn, TIMEOUT_SESSION_SCHEMA, _TIMEOUT_SESSION_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))

@@ -380,3 +380,45 @@ def c85_feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("cnt"))
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col("dim").cast("long").alias("dim"), "cnt"))
+
+
+@_register(
+    "b104_tree_depth_histogram",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part
+      UNION ALL
+      SELECT w.node, w.anc // 2, w.d + 1 FROM walk w WHERE w.anc >= 2
+    ), depths AS (
+      SELECT node, max(d) AS depth FROM walk GROUP BY node
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM depths GROUP BY depth ORDER BY depth
+    """,
+    "recursive-CTE replacement: per-node root+depth over the "
+    "parent-pointer forest parent(n) = n div 2 (roots 0 and 1), "
+    "aggregated to a depth histogram.  Spark has no WITH RECURSIVE; "
+    "operators/hierarchy.py pointer-doubles instead (anc <- anc.anc, "
+    "d <- d + d.anc): ceil(log2 D)+1 self-equi-joins for depth D "
+    "versus D level-at-a-time shuffles — 11 levels here converge in "
+    "5 rounds, a million levels would take 21.  The DuckDB oracle IS "
+    "the recursive CTE, walking every node to its root",
+)
+def b104_tree_depth_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.hierarchy import (
+        tree_depths)
+    part = _t(spark, sf_dir, "part")
+    parents = part.select(
+        F.col("p_partkey").alias("node"),
+        F.expr("if(p_partkey >= 2, p_partkey div 2, p_partkey)")
+        .alias("parent"))
+    return (tree_depths(parents)
+            .groupBy(F.col("depth").cast("long").alias("depth"))
+            .agg(F.count("*").cast("long").alias("n_nodes"),
+                 F.min("node").cast("long").alias("min_node"),
+                 F.max("node").cast("long").alias("max_node"))
+            .orderBy("depth"))

@@ -670,3 +670,32 @@ def test_c60_needle_probe_is_single_corpus_scan(spark):
 def test_b84_motif_topk_is_take_ordered(spark):
     p = _plan(spark, "b84_event_motifs")
     assert "TakeOrderedAndProject" in p
+
+
+def test_c86_jl_projection_is_exchange_free(spark):
+    """The 64->8 projection must be a pure narrow map over the scan:
+    sign matrices are expression literals, so any Exchange/Join in
+    the plan means the implementation regressed to the exploded
+    (vec x dim x out-dim) shape that shuffles 512x the corpus."""
+    p = _plan(spark, "c86_jl_projection")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_b101_spatial_join_is_cell_equi_hash(spark):
+    p = _plan(spark, "b101_spatial_radius_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_b102_kmv_merge_is_single_exchange_over_partials(spark):
+    """The sketch merge exchange must sit ABOVE the mapInPandas
+    partials (k-bounded rows), not carry the raw distinct stream."""
+    p = _plan(spark, "b102_kmv_distinct_estimate")
+    assert "MapInPandas" in p
+    # exactly one exchange per sketch branch: the merge agg over
+    # k-bounded partials (plus one for the exact-count audit side and
+    # the final join).  A raw-distinct shuffle would add more.
+    assert p.count("Exchange hashpartitioning") <= 3
+    # ordering (partials below the merge exchange) is pinned by
+    # tests/test_kmv.py::test_kmv_partials_are_bounded_...

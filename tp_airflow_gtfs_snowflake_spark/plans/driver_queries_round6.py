@@ -422,3 +422,58 @@ def b104_tree_depth_histogram(spark: SparkSession,
                  F.min("node").cast("long").alias("min_node"),
                  F.max("node").cast("long").alias("max_node"))
             .orderBy("depth"))
+
+
+@_register(
+    "c86_jl_projection",
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q
+      FROM (SELECT vec_id, embedding,
+                   unnest(range(1, len(embedding) + 1)) AS i
+            FROM embeddings)
+    )
+    SELECT vec_id, CAST(j.j AS BIGINT) AS j,
+           CAST(sum(q * (1 - 2 * (CAST('0x' ||
+                  substr(md5((i - 1) || '-' || j.j), 1, 2)
+                  AS BIGINT) % 2))) AS BIGINT) AS val
+    FROM ex, (SELECT unnest(range(0, 8)) AS j) j
+    GROUP BY vec_id, j.j
+    """,
+    "Johnson-Lindenstrauss random projection 64 -> 8 dims with a "
+    "PORTABLE sign matrix (sign_ij from md5('i-j') parity -- the "
+    "Achlioptas 2003 database-friendly +-1 projection) over "
+    "1e6-quantized components, so every projected value is integer-"
+    "exact and oracle-checkable.  The Spark plan is 8 zip_with folds "
+    "against sign-array LITERALS exploded to long format: zero "
+    "joins, zero extra shuffle, one narrow pass over the corpus -- "
+    "the shape a 100 TB embedding-reduction pass needs (the oracle "
+    "explodes 64x8 rows per vector instead; both sum the same "
+    "integers).  Downstream: cheaper ANN/clustering on 8 dims",
+)
+def c86_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d_in, d_out = 64, 8
+    # same sign formula the oracle computes in SQL: md5("i-j") first
+    # byte parity -> +-1 (hashlib.md5 == SQL md5, both RFC 1321)
+    signs = [[1 - 2 * (int(hashlib.md5(f"{i}-{j}".encode())
+                           .hexdigest()[:2], 16) % 2)
+              for i in range(d_in)] for j in range(d_out)]
+    proj = [F.aggregate(
+        F.zip_with("embedding",
+                   F.array(*[F.lit(s) for s in signs[j]]),
+                   lambda v, s: F.floor(v.cast("double") * 1000000)
+                   .cast("long") * s),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+        for j in range(d_out)]
+    arr = F.array(*[F.struct(F.lit(j).cast("long").alias("j"),
+                             proj[j].alias("val"))
+                    for j in range(d_out)])
+    return (emb.select("vec_id", F.explode(arr).alias("p"))
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("p.j").alias("j"),
+                    F.col("p.val").cast("long").alias("val")))

@@ -477,3 +477,61 @@ def c86_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").cast("long").alias("vec_id"),
                     F.col("p.j").alias("j"),
                     F.col("p.val").cast("long").alias("val")))
+
+
+@_register(
+    "b105_copurchase_pairs",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), supp AS (
+      SELECT p, count(*) AS c FROM b GROUP BY p
+    ), n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+    pairs AS (
+      SELECT a.p AS p1, bb.p AS p2, count(*) AS cnt
+      FROM b a JOIN b bb ON a.o = bb.o AND a.p < bb.p
+      GROUP BY a.p, bb.p
+    )
+    SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt * n_orders * 1000000 // (s1.c * s2.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN supp s1 ON s1.p = pairs.p1
+    JOIN supp s2 ON s2.p = pairs.p2
+    CROSS JOIN n
+    WHERE cnt >= 2
+    ORDER BY cnt DESC, p1, p2 LIMIT 20
+    """,
+    "frequent-itemset mining, level 2 (market basket / A-priori): "
+    "part pairs co-occurring in an order, support >= 2, with LIFT in "
+    "ppm (pair support x n_orders over the product of item "
+    "supports, integer-exact).  The pair join is an EQUI self-join "
+    "on the basket key — pairs are generated co-partitioned, and "
+    "per-basket fan-out is bounded by basket size squared (TPC-H "
+    "<= 7 lines/order; a retail feed would cap items per basket "
+    "first, the classic SON/A-priori preconditioning).  Item "
+    "supports join back; top-k is TakeOrdered",
+)
+def b105_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+    supp = b.groupBy("p").agg(F.count("*").alias("c"))
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
+    a1 = b.select("o", F.col("p").alias("p1"))
+    a2 = b.select("o", F.col("p").alias("p2"))
+    pairs = (a1.join(a2, "o").filter(F.col("p1") < F.col("p2"))
+             .groupBy("p1", "p2").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") >= 2))
+    return (pairs
+            .join(supp.select(F.col("p").alias("p1"),
+                              F.col("c").alias("c1")), "p1")
+            .join(supp.select(F.col("p").alias("p2"),
+                              F.col("c").alias("c2")), "p2")
+            .crossJoin(F.broadcast(n))
+            .withColumn("lift_ppm",
+                        F.expr("cnt * n_orders * 1000000 div (c1 * c2)")
+                        .cast("long"))
+            .orderBy(F.desc("cnt"), "p1", "p2").limit(20)
+            .select("p1", "p2", F.col("cnt").cast("long").alias("cnt"),
+                    "lift_ppm"))

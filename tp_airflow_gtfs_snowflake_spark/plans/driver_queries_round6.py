@@ -535,3 +535,85 @@ def b105_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cnt"), "p1", "p2").limit(20)
             .select("p1", "p2", F.col("cnt").cast("long").alias("cnt"),
                     "lift_ppm"))
+
+
+@_register(
+    "c04c_variant_extract",
+    """
+    SELECT event_type,
+           CAST(count(json_valid(props)) AS BIGINT) AS n_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "Spark 4 VARIANT path for semi-structured events: try_parse_json "
+    "-> VariantType -> variant_get('$.k') typed extraction, the "
+    "binary-encoded substitute for c04's per-row get_json_object "
+    "string re-parse.  At scale variant decode is a one-time cost at ingest "
+    "(store the variant column) instead of a JSON parse per query; "
+    "try_parse_json degrades malformed rows to NULL instead of "
+    "failing the job",
+)
+def c04c_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (ev.select("event_type", v.alias("v"), k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("v").cast("long").alias("n_parsed"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").cast("long").alias("max_k")))
+
+
+@_register(
+    "c87_semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, emb, cent_id FROM (
+              SELECT e.vec_id, e.emb, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb,
+                                                             c.cemb), 6)
+                                DESC, c.cent_id) AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (e.vec_id NOT IN
+                 (SELECT vec_id FROM dropped)) AS BIGINT) AS n_kept
+    FROM e GROUP BY label ORDER BY label
+    """,
+    "SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning "
+    "inside embedding-cluster cells — drop any vector that has a "
+    "LOWER-ID neighbor above cosine 0.35 in its cell, keep the "
+    "rest; per-label kept/total accounting.  Deterministic min-id "
+    "dominator rule (a spec'd, order-free variant of the paper's "
+    "greedy scan; conservative on chains A~B~C).  Reuses c10's "
+    "cell-blocked pair derivation: O(sum cell^2) comparisons, the "
+    "drop set is a semi-join, never a global sort.  The final "
+    "curation step after lexical dedup (c01/c06): catches "
+    "paraphrases lexical hashes cannot",
+)
+def c87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.cell_blocked_neardup(emb, n_cents=8, threshold=0.35)
+    dropped = pairs.select(F.col("d2").alias("vec_id")).distinct()
+    kept = (emb.join(dropped, "vec_id", "left_anti")
+            .groupBy("label").agg(F.count("*").alias("n_kept")))
+    total = emb.groupBy("label").agg(F.count("*").alias("n_total"))
+    return (total.join(kept, "label", "left")
+            .select(F.col("label"),
+                    F.col("n_total").cast("long").alias("n_total"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+                    .alias("n_kept"))
+            .orderBy("label"))

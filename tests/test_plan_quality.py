@@ -699,3 +699,26 @@ def test_b102_kmv_merge_is_single_exchange_over_partials(spark):
     assert p.count("Exchange hashpartitioning") <= 3
     # ordering (partials below the merge exchange) is pinned by
     # tests/test_kmv.py::test_kmv_partials_are_bounded_...
+
+
+def test_shuffle_hash_hint_skips_smj_sorts(spark):
+    """Join-strategy steering: with broadcast off, Spark defaults to
+    sort-merge (two full sorts); a SHUFFLE_HASH hint on the smaller
+    side keeps the shuffle but drops both sorts — the right call when
+    one side comfortably builds a hash map per partition but exceeds
+    the broadcast threshold."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+        smj = (li.join(o, li.l_orderkey == o.o_orderkey)
+               ._jdf.queryExecution().executedPlan().toString())
+        shj = (li.join(o.hint("SHUFFLE_HASH"),
+                       li.l_orderkey == o.o_orderkey)
+               ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in smj and "Sort " in smj
+    assert "ShuffledHashJoin" in shj
+    assert "Sort " not in shj

@@ -354,3 +354,52 @@ def test_timed_out_session_emission(spark, landing, tmp_path):
     assert rows["V0"].session_end == t0 + 60
     assert rows["V0"].n_reports == 2
     assert rows["V1"].n_reports == 1
+
+
+def test_streaming_kmv_accumulation_equals_batch(spark, landing, tmp_path):
+    """Accumulated micro-batch KMV state must equal the batch sketch
+    of all data — set-merge is lossless and idempotent, so replays
+    cannot drift it."""
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv
+    from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
+        flatten_vehicle_positions, parse_feed_json)
+    from tp_airflow_gtfs_snowflake_spark.streaming.sketch_state import (
+        start_kmv_accumulation)
+
+    snaps = fixtures_gtfs.make_feed_snapshots(3)
+    state_dir = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "ckpt_kmv")
+
+    def run_available():
+        stream = read_feed_stream(spark, str(landing))
+        vp = flatten_vehicle_positions(parse_feed_json(stream)).select(
+            F.col("trip_id").alias("g"),
+            F.concat_ws("-", "vehicle_id", "timestamp_epoch")
+            .alias("v"))
+        q = start_kmv_accumulation(
+            spark, vp, group_col="g", value_col="v",
+            state_dir=state_dir, checkpoint_dir=ckpt, k=8,
+            available_now=True)
+        q.awaitTermination(120)
+
+    # two snapshots in batch 1+2, a third after a restart
+    _write_snapshot(landing, "vp_a.json", snaps[0])
+    _write_snapshot(landing, "vp_b.json", snaps[1])
+    run_available()
+    _write_snapshot(landing, "vp_c.json", snaps[2])
+    run_available()
+
+    got = {r["g"]: list(r["sketch"])
+           for r in spark.read.parquet(state_dir).collect()}
+
+    # batch recompute over all three snapshots at once
+    batch = spark.createDataFrame([(s,) for s in snaps],
+                                  "feed_json string")
+    vp_all = flatten_vehicle_positions(parse_feed_json(batch)).select(
+        F.col("trip_id").alias("g"),
+        F.concat_ws("-", "vehicle_id", "timestamp_epoch")
+        .alias("v"))
+    hashed = vp_all.select("g", kmv.portable_hash48(F.col("v")).alias("h"))
+    want = {r["g"]: list(r["sketch"])
+            for r in kmv.kmv_sketch(hashed, "g", "h", k=8).collect()}
+    assert got == want and len(want) > 0

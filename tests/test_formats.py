@@ -63,3 +63,17 @@ def test_partitioned_write_prunes(spark, tmp_path, sample):
         .fromString("formatted"))
     pf = next((l for l in p.splitlines() if "PartitionFilters" in l), "")
     assert "o_orderstatus" in pf, f"no partition pruning:\n{p[:800]}"
+
+
+def test_merge_schema_across_evolving_parquet(spark, tmp_path):
+    """Schema evolution on read: batches written before/after a column
+    was added must union under mergeSchema (the b53 unionByName
+    reconciliation, done by the scan itself)."""
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(2, "b", 9)], "id long, v string, extra long")
+    old.write.parquet(str(tmp_path / "t" / "batch=1"))
+    new.write.parquet(str(tmp_path / "t" / "batch=2"))
+    got = (spark.read.option("mergeSchema", "true")
+           .parquet(str(tmp_path / "t")).orderBy("id").collect())
+    assert [r["extra"] for r in got] == [None, 9]
+    assert len(got[0].asDict()) == 4  # id, v, extra, batch

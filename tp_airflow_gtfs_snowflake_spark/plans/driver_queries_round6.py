@@ -617,3 +617,105 @@ def c87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
                     .alias("n_kept"))
             .orderBy("label"))
+
+
+@_register(
+    "b106_skyline_docs",
+    """
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(list_filter(
+                    string_split_regex(lower(text), '[^a-z]+'),
+                    w -> w <> ''))) AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT a.doc_id, a.x, a.y FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.x >= a.x AND b.y >= a.y
+        AND (b.x > a.x OR b.y > a.y)
+    )
+    """,
+    "skyline / Pareto-dominance query: documents not dominated in "
+    "(length, distinct-vocabulary) — no other doc is >= in both and "
+    "> in one.  The oracle is the O(n^2) NOT EXISTS dominance spec; "
+    "Spark computes it in ONE sorted window pass: descending-x "
+    "range frame ending at -1 gives max(y) over STRICTLY longer "
+    "docs (range, not rows, so x-ties stay out of their own "
+    "frame), plus a per-x partition max for same-length dominance. "
+    "O(n log n) vs O(n^2).  The window is global — the one "
+    "legitimately-global-sort family (like b47's equi-depth "
+    "histogram); at 100 TB: range-partition on x, per-partition "
+    "prefix max, then carry each partition's max to its successors "
+    "(two passes, no single-node sort)",
+)
+def b106_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                    lambda w: w != F.lit(""))
+    s = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"))
+    w_gt = (W.orderBy(F.col("x").desc())
+            .rangeBetween(W.unboundedPreceding, -1))
+    w_eq = W.partitionBy("x")
+    flagged = s.select(
+        "doc_id", "x", "y",
+        F.max("y").over(w_gt).alias("my_gt"),
+        F.max("y").over(w_eq).alias("my_eq"))
+    return (flagged
+            .filter((F.col("my_gt").isNull()
+                     | (F.col("my_gt") < F.col("y")))
+                    & (F.col("my_eq") <= F.col("y")))
+            .select("doc_id", "x", "y"))
+
+
+@_register(
+    "b107_pps_systematic_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             sum(w) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER () AS total
+      FROM s
+    )
+    SELECT doc_id, w,
+           CAST(cum * 50 // total AS BIGINT) AS bucket
+    FROM c
+    WHERE cum * 50 // total > (cum - w) * 50 // total
+    """,
+    "systematic PPS (probability-proportional-to-size) sampling: "
+    "pick ~50 docs with inclusion probability proportional to "
+    "length by marking rows whose cumulative-weight interval "
+    "crosses a multiple of total/50 — the classic survey-sampling "
+    "design, DETERMINISTIC (integer cumsum boundary test, no RNG) "
+    "and exactly reproducible by the oracle.  The corpus-"
+    "subsampling primitive when you want long docs favored without "
+    "a weighted lottery; heavy docs spanning multiple boundaries "
+    "enter once per crossing bucket (bucket id returned).  The "
+    "cumsum is one global-ordered window at toy scale; at 100 TB "
+    "the standard two-pass distributed prefix-sum (per-partition "
+    "totals broadcast as offsets) replaces it",
+)
+def b107_pps_systematic_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    c = s.select(
+        "doc_id", "w",
+        F.sum("w").over(W.orderBy("doc_id")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("w").over(W.partitionBy()).alias("total"))
+    return (c.filter(F.expr("cum * 50 div total")
+                     > F.expr("(cum - w) * 50 div total"))
+            .select("doc_id", "w",
+                    F.expr("cum * 50 div total").cast("long")
+                    .alias("bucket")))

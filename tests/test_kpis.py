@@ -115,3 +115,22 @@ def test_stop_service_state(wh):
     evo = kpis.delay_evolution_per_stop(
         kpis.observed_vs_scheduled(wh, SERVICE_DATE))
     assert evo.count() > 0
+
+
+def test_headway_regularity_ewt(spark):
+    from tp_airflow_gtfs_snowflake_spark.plans.kpis import (
+        headway_regularity)
+    # perfectly even 600s headways -> EWT = 300s, ratio 1.0 (1e6 ppm);
+    # bunched 2x(100,1100) -> mean 600 but EWT = (2*100^2+2*1100^2)
+    # / (2*2400) = 508s -> ratio > 1
+    rows = ([("even", t) for t in range(0, 3001, 600)]
+            + [("bunched", 0), ("bunched", 100), ("bunched", 1200),
+               ("bunched", 1300), ("bunched", 2400)])
+    df = spark.createDataFrame(rows, "stop_id string, arrival_s long")
+    got = {r["stop_id"]: r for r in headway_regularity(df).collect()}
+    assert got["even"]["mean_headway_s"] == 600
+    assert got["even"]["ewt_s"] == 300
+    assert got["even"]["bunching_ratio_ppm"] == 1000000
+    assert got["bunched"]["mean_headway_s"] == 600
+    assert got["bunched"]["ewt_s"] > 450
+    assert got["bunched"]["bunching_ratio_ppm"] > 1500000

@@ -719,3 +719,51 @@ def b107_pps_systematic_sample(spark: SparkSession,
             .select("doc_id", "w",
                     F.expr("cum * 50 div total").cast("long")
                     .alias("bucket")))
+
+
+@_register(
+    "b108_excess_wait_time",
+    """
+    WITH a AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), h AS (
+      SELECT event_type,
+             lead(t) OVER (PARTITION BY event_type ORDER BY t)
+               - t AS hh
+      FROM a
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_headways,
+           CAST(sum(hh) // count(*) AS BIGINT) AS mean_headway_s,
+           CAST(sum(hh * hh) // (2 * sum(hh)) AS BIGINT) AS ewt_s,
+           CAST((sum(hh * hh) // (2 * sum(hh))) * 2000000
+                // (sum(hh) // count(*)) AS BIGINT)
+             AS bunching_ratio_ppm
+    FROM h WHERE hh IS NOT NULL AND hh > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "excess wait time / headway regularity (kpis.headway_regularity "
+    "twin on the events stream): EWT = E[h^2]/(2 E[h]) over the "
+    "positive inter-arrival gaps per type — the transit-industry "
+    "bunching KPI (ratio 1.0 = perfectly even service; >1 = "
+    "bunched).  The positive-gap MULTISET is invariant to tie "
+    "ordering, so the window needs no tiebreaker to stay "
+    "deterministic; integer-seconds arithmetic end to end.  One "
+    "per-type window + one agg",
+)
+def b108_excess_wait_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.plans.kpis import (
+        headway_regularity)
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("event_type",
+                  F.unix_timestamp("ts").alias("arrival_s"))
+    out = headway_regularity(a, group_cols=("event_type",))
+    return (out.select(
+        "event_type",
+        F.col("n_headways").cast("long").alias("n_headways"),
+        F.col("mean_headway_s").cast("long").alias("mean_headway_s"),
+        F.col("ewt_s").cast("long").alias("ewt_s"),
+        F.col("bunching_ratio_ppm").cast("long")
+        .alias("bunching_ratio_ppm"))
+        .orderBy("event_type"))

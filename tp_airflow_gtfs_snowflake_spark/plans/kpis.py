@@ -204,3 +204,29 @@ def delay_evolution_per_stop(delays: DataFrame,
                  F.count("*").alias("n_observations"))
             .select("stop_id", F.col("w.start").alias("bucket_start"),
                     "avg_delay_s", "n_observations"))
+
+
+def headway_regularity(stop_times: DataFrame, *,
+                       group_cols: tuple[str, ...] = ("stop_id",),
+                       time_col: str = "arrival_s") -> DataFrame:
+    """Scheduled headways and excess wait time per stop (classic
+    transit KPI the reference's KPI list stops short of,
+    README.md:116-129 names delays/heatmaps only): headway = gap to
+    the next arrival at the same stop; EWT = E[h^2] / (2 E[h]) is the
+    average wait a random-arriving passenger experiences, which
+    exceeds half the mean headway exactly when service bunches.
+    Computed as one window (lead) + one agg — integer seconds
+    throughout."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(*group_cols).orderBy(time_col)
+    h = (stop_times
+         .withColumn("_h", F.lead(time_col).over(w) - F.col(time_col))
+         .filter(F.col("_h").isNotNull() & (F.col("_h") > 0)))
+    return (h.groupBy(*group_cols)
+            .agg(F.count("*").alias("n_headways"),
+                 F.expr("sum(_h) div count(*)").alias("mean_headway_s"),
+                 F.expr("sum(_h * _h) div (2 * sum(_h))")
+                 .alias("ewt_s"))
+            .withColumn("bunching_ratio_ppm",
+                        F.expr("ewt_s * 2000000 div "
+                               "nullif(mean_headway_s, 0)")))

@@ -72,3 +72,30 @@ def test_finalize_flushes_everything(spark):
     closed, st = sessions.sessionize_increment(ev, None, gap_seconds=60)
     assert _rows(closed) == [(7, 10, 10, 1)]
     assert _rows(sessions.finalize(st)) == [(7, 5000, 5000, 1)]
+
+
+def test_lookback_dedup_incremental_equals_batch(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        dedup_increment, dedup_with_lookback)
+    ev = (_t(spark, SF_SMALL, "events")
+          .select(F.col("user_id").alias("key"),
+                  F.datediff(F.col("ts").cast("date"),
+                             F.lit("2024-01-01").cast("date"))
+                  .alias("day"))
+          .distinct())
+    whole = {(r["key"], r["day"]) for r in
+             dedup_with_lookback(ev, lookback_days=7).collect()}
+
+    d1, d2 = ev.approxQuantile("day", [1 / 3, 2 / 3], 0.0)
+    slices = [ev.filter(F.col("day") <= d1),
+              ev.filter((F.col("day") > d1) & (F.col("day") <= d2)),
+              ev.filter(F.col("day") > d2)]
+    state, kept = None, set()
+    for s in slices:
+        k, state = dedup_increment(s, state, lookback_days=7)
+        state = state.localCheckpoint(eager=True)
+        kept |= {(r["key"], r["day"]) for r in k.collect()}
+    assert kept == whole and whole
+    # state stays bounded by the lookback horizon
+    mx = ev.agg(F.max("day")).collect()[0][0]
+    assert all(r["last_day"] >= mx - 7 for r in state.collect())

@@ -447,3 +447,66 @@ def minhash_bipartite_pairs(df_a: DataFrame, df_b: DataFrame,
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------
+# Windowed (lookback) dedup — batch spec + incremental twin.
+# ---------------------------------------------------------------------
+
+def dedup_with_lookback(df: DataFrame, *, key_col: str = "key",
+                        day_col: str = "day",
+                        lookback_days: int) -> DataFrame:
+    """Sliding-window dedup over the WHOLE input: a row is kept iff
+    the same key did not occur within the previous ``lookback_days``
+    (gap to the previous occurrence strictly greater than the
+    window).  The re-admission rule a perpetual first-wins dedup
+    (exact_dedup) lacks: content may legitimately reappear after the
+    window (refreshed crawls, re-sent telemetry).
+
+    One per-key window (lag) — occurrence spacing alone decides, so
+    the rule is streaming-friendly: dedup_increment carries only
+    (key, last_day) state and provably matches this batch spec."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(key_col).orderBy(day_col)
+    return (df.withColumn("_prev", F.lag(day_col).over(w))
+            .filter(F.col("_prev").isNull()
+                    | (F.col(day_col) - F.col("_prev") > lookback_days))
+            .drop("_prev"))
+
+
+def dedup_increment(batch: DataFrame, state: DataFrame | None, *,
+                    key_col: str = "key", day_col: str = "day",
+                    lookback_days: int) -> tuple[DataFrame, DataFrame]:
+    """Incremental twin of :func:`dedup_with_lookback` for slices
+    arriving in day order (the operators/sessions.py ingest
+    contract).  Returns ``(kept_rows, new_state)``.
+
+    State is one ``(key, last_day)`` row per recently-seen key —
+    bounded by distinct keys in the lookback horizon, never history
+    — pruned each batch below the slice's frontier minus the window.
+    Within-batch spacing uses the same lag rule; the carried state
+    supplies the cross-batch previous occurrence."""
+    from pyspark.sql import Window as W
+    spark = batch.sparkSession
+    if state is None:
+        state = spark.createDataFrame([], f"{key_col} long, last_day long")
+    w = W.partitionBy(key_col).orderBy(day_col)
+    prev_in = state.select(key_col, F.col("last_day").alias("_state_day"))
+    flagged = (batch
+               .withColumn("_prev_b", F.lag(day_col).over(w))
+               .join(prev_in, key_col, "left")
+               .withColumn("_prev", F.coalesce("_prev_b", "_state_day")))
+    kept = (flagged.filter(
+        F.col("_prev").isNull()
+        | (F.col(day_col) - F.col("_prev") > lookback_days))
+        .drop("_prev_b", "_state_day", "_prev"))
+    frontier = batch.agg(F.max(day_col).alias("_mx"))
+    new_last = (batch.groupBy(key_col)
+                .agg(F.max(day_col).alias("last_day"))
+                .unionByName(state)
+                .groupBy(key_col).agg(F.max("last_day").alias("last_day")))
+    new_state = (new_last.crossJoin(F.broadcast(frontier))
+                 .filter(F.col("last_day")
+                         >= F.col("_mx") - lookback_days)
+                 .drop("_mx"))
+    return kept, new_state

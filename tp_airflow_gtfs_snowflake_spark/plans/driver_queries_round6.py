@@ -767,3 +767,46 @@ def b108_excess_wait_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bunching_ratio_ppm").cast("long")
         .alias("bunching_ratio_ppm"))
         .orderBy("event_type"))
+
+
+@_register(
+    "c88_lookback_dedup",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS k,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ), g AS (
+      SELECT k, d, lag(d) OVER (PARTITION BY k ORDER BY d) AS pd
+      FROM ud
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM g WHERE pd IS NULL OR d - pd > 7
+    GROUP BY d ORDER BY d
+    """,
+    "sliding-lookback dedup (operators/dedup.dedup_with_lookback): "
+    "a (user, day) observation is kept iff the user was NOT seen in "
+    "the previous 7 days — first-wins dedup WITH re-admission after "
+    "the window, the rule refreshed crawls and re-sent telemetry "
+    "need (c01's exact dedup suppresses forever).  Spacing of "
+    "occurrences alone decides, so ONE per-key lag window is the "
+    "whole batch spec, and the incremental twin (dedup_increment) "
+    "carries only (key, last_day) state bounded by the horizon — "
+    "pytest proves slice-by-slice == whole-history.  Output: kept "
+    "observations per day",
+)
+def c88_lookback_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        dedup_with_lookback)
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select(
+        F.col("user_id").alias("k"),
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("d"))
+        .distinct())
+    kept = dedup_with_lookback(ud, key_col="k", day_col="d",
+                               lookback_days=7)
+    return (kept.groupBy(F.col("d").cast("long").alias("day_num"))
+            .agg(F.count("*").cast("long").alias("n_kept"))
+            .orderBy("day_num"))

@@ -6,6 +6,7 @@ c38/b102 cover mapInPandas)."""
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField,
@@ -72,3 +73,35 @@ def test_polymorphic_udtf_schema_from_analyze(spark):
         "LATERAL split_fixed(x, 4) s")
     assert four.columns == ["c0", "c1", "c2", "c3"]
     assert [tuple(r) for r in four.collect()] == [("a", "b", "c", None)]
+
+
+def test_arrow_native_udf_matches_native_expression(spark):
+    """Spark 4.1 Arrow-native UDFs (arrow_udf): batch-level pyarrow
+    compute without the pandas conversion tax — must agree exactly
+    with the JVM zip_with/aggregate dot product on quantized ints
+    (the functions/vectors.py hot path stays native; this pins the
+    escape hatch for kernels pyspark.sql.functions cannot express)."""
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import LongType
+
+    @arrow_udf(LongType())
+    def dot_q(a: pa.Array, b: pa.Array) -> pa.Array:
+        out = []
+        for x, y in zip(a.to_pylist(), b.to_pylist()):
+            out.append(sum(int(u * 1000) * int(v * 1000)
+                           for u, v in zip(x, y)))
+        return pa.array(out, pa.int64())
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(50)
+           .select("vec_id", F.col("embedding").alias("a"),
+                   F.reverse("embedding").alias("b")))
+    native = F.aggregate(
+        F.zip_with("a", "b", lambda x, y:
+                   (x.cast("double") * 1000).cast("long")
+                   * (y.cast("double") * 1000).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    got = emb.select("vec_id", dot_q("a", "b").alias("u"),
+                     native.alias("n")).collect()
+    assert len(got) == 50
+    assert all(r["u"] == r["n"] for r in got)

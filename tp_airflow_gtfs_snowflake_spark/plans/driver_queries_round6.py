@@ -810,3 +810,48 @@ def c88_lookback_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.groupBy(F.col("d").cast("long").alias("day_num"))
             .agg(F.count("*").cast("long").alias("n_kept"))
             .orderBy("day_num"))
+
+
+@_register(
+    "b109_exact_global_median_two_pass",
+    """
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+    FROM v
+    """,
+    "EXACT global median without a global sort: pass 1 aggregates "
+    "value counts into $1000 buckets and walks the (tiny) cumulative "
+    "bucket table to locate the bucket holding rank ceil(n/2); pass "
+    "2 scans ONLY that bucket and picks the in-bucket rank element.  "
+    "Two fact scans + one driver-side scalar — versus sorting 100 TB "
+    "to read one row.  Bucket width bounds pass-2 memory; b47's "
+    "equi-depth histogram is the general-sort sibling, b75 the "
+    "grouped small-cardinality case.  Oracle: quantile_disc "
+    "(= ceil(p*n) sorted element, the b75-verified equivalence)",
+)
+def b109_exact_global_median_two_pass(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(F.floor(F.col("l_extendedprice") * 100)
+                  .cast("long").alias("cents"))
+    v = v.localCheckpoint(eager=True)  # both passes read this
+    buckets = (v.groupBy(F.expr("cents div 100000").alias("b"))
+               .agg(F.count("*").alias("c")))
+    from pyspark.sql import Window as W
+    cum = buckets.withColumn(
+        "cum", F.sum("c").over(W.orderBy("b")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    n = v.count()
+    k = (n + 1) // 2  # ceil(n/2): the quantile_disc(0.5) rank
+    hit = (cum.filter(F.col("cum") >= k).orderBy("b").limit(1)
+           .collect()[0])
+    offset = k - (int(hit["cum"]) - int(hit["c"]))
+    med = (v.filter(F.expr(f"cents div 100000 = {int(hit['b'])}"))
+           .agg(F.element_at(F.array_sort(F.collect_list("cents")),
+                             offset).alias("m")).collect()[0]["m"])
+    return spark.createDataFrame([(n, med)],
+                                 "n long, median_cents long")

@@ -58,6 +58,10 @@ HEADLINE = [
     "b77_weighted_median",   # histogram-collapsed weighted quantile
     "c61_mislabel_candidates",  # centroid-outlier mining
     "c64_source_overlap_matrix",  # cross-source shingle Jaccard
+    "c82_bpe_pair_counts",   # BPE trainer iteration-0 pair agg
+    "b101_spatial_radius_join",  # grid-blocked spatial self-join
+    "b102_kmv_distinct_estimate",  # mergeable KMV sketch + audit
+    "b106_skyline_docs",     # sorted prefix-max Pareto dominance
 ]
 
 

@@ -855,3 +855,58 @@ def b109_exact_global_median_two_pass(spark: SparkSession,
                              offset).alias("m")).collect()[0]["m"])
     return spark.createDataFrame([(n, med)],
                                  "n long, median_cents long")
+
+
+@_register(
+    "c89_unigram_surprise",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ), t AS (SELECT doc_id, word FROM w WHERE word <> ''),
+    vocab AS (SELECT word, count(*) AS freq FROM t GROUP BY word),
+    tot AS (SELECT count(*) AS n FROM t),
+    s AS (
+      SELECT t.doc_id,
+             (length(printf('%b', tot.n))
+              - length(printf('%b', vocab.freq))) AS surprise
+      FROM t JOIN vocab USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(surprise) AS BIGINT) AS sum_surprise,
+           CAST(sum(surprise) * 1000000 // count(*) AS BIGINT)
+             AS avg_surprise_ppm
+    FROM s GROUP BY doc_id
+    ORDER BY avg_surprise_ppm DESC, doc_id LIMIT 20
+    """,
+    "unigram surprise / rare-token density scoring WITHOUT libm: "
+    "floor(log2 x) computed portably as length-of-binary-string - 1 "
+    "(Spark bin() == DuckDB printf('%b'), both exact integers), so "
+    "per-token surprise ~ log2(N) - log2(freq) — the information-"
+    "content quality signal (docs dense in rare tokens = jargon / "
+    "noise / OOD) that usually forces a float log into the oracle "
+    "and breaks bit-parity.  One token explode, one vocab agg, one "
+    "join-back (broadcast when the vocab fits), one per-doc agg; "
+    "top-20 most surprising docs",
+)
+def c89_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != ""))
+    t = t.localCheckpoint(eager=True)  # vocab + join-back reuse
+    vocab = t.groupBy("word").agg(F.count("*").alias("freq"))
+    tot = t.agg(F.count("*").alias("n"))
+    s = (t.join(vocab, "word").crossJoin(F.broadcast(tot))
+         .select("doc_id",
+                 (F.length(F.bin("n")) - F.length(F.bin("freq")))
+                 .alias("surprise")))
+    return (s.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("surprise").cast("long").alias("sum_surprise"))
+            .withColumn("avg_surprise_ppm",
+                        F.expr("sum_surprise * 1000000 div n_tokens")
+                        .cast("long"))
+            .orderBy(F.desc("avg_surprise_ppm"), "doc_id").limit(20))

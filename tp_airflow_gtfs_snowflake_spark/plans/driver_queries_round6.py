@@ -910,3 +910,72 @@ def c89_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("sum_surprise * 1000000 div n_tokens")
                         .cast("long"))
             .orderBy(F.desc("avg_surprise_ppm"), "doc_id").limit(20))
+
+
+@_register(
+    "c90_zipf_slope_audit",
+    """
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      FROM documents
+    ), vocab AS (
+      SELECT word, count(*) AS freq FROM w WHERE word <> ''
+      GROUP BY word
+    ), ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM vocab
+    ), b AS (
+      SELECT (length(printf('%b', rnk)) - 1) AS rank_log2,
+             (length(printf('%b', freq)) - 1) AS freq_log2
+      FROM ranked
+    ), agg AS (
+      SELECT rank_log2, count(*) AS n_words,
+             sum(freq_log2) AS sfl
+      FROM b GROUP BY rank_log2
+    )
+    SELECT CAST(rank_log2 AS BIGINT) AS rank_log2,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sfl * 1000000 // n_words AS BIGINT)
+             AS mean_freq_log2_ppm,
+           CAST(lag(sfl * 1000000 // n_words)
+                  OVER (ORDER BY rank_log2)
+                - (sfl * 1000000 // n_words) AS BIGINT)
+             AS slope_ppm
+    FROM agg ORDER BY rank_log2
+    """,
+    "Zipf power-law audit: mean floor(log2 freq) per log2-rank "
+    "octave of the frequency-ranked vocabulary, with the octave-to-"
+    "octave drop (healthy natural-language corpora fall ~1 log2-"
+    "freq per log2-rank, i.e. slope_ppm ~ 1e6; a flat head means "
+    "boilerplate domination, a cliff means template spam).  All "
+    "integer via the c89 binary-length log2 — a distribution-shape "
+    "audit that is still value-hash oracled.  Vocabulary-sized "
+    "global sort (rank window), corpus touched once for counts",
+)
+def c90_zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq")))
+    ranked = vocab.select(
+        "freq", F.row_number().over(
+            W.orderBy(F.desc("freq"), "word")).alias("rnk"))
+    b = ranked.select(
+        (F.length(F.bin("rnk")) - 1).alias("rank_log2"),
+        (F.length(F.bin("freq")) - 1).alias("freq_log2"))
+    agg = (b.groupBy("rank_log2")
+           .agg(F.count("*").alias("n_words"),
+                F.sum("freq_log2").alias("sfl"))
+           .withColumn("mean_freq_log2_ppm",
+                       F.expr("sfl * 1000000 div n_words")))
+    return (agg.select(
+        F.col("rank_log2").cast("long").alias("rank_log2"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("mean_freq_log2_ppm").cast("long")
+        .alias("mean_freq_log2_ppm"),
+        (F.lag("mean_freq_log2_ppm").over(W.orderBy("rank_log2"))
+         - F.col("mean_freq_log2_ppm")).cast("long").alias("slope_ppm"))
+        .orderBy("rank_log2"))

@@ -875,3 +875,41 @@ def test_mllib_tfidf_invariants(spark):
     assert len(rows) == 3
     # idf = ln((n+1)/(df+1)) = ln(4/4) = 0 for the ubiquitous token
     assert all(abs(r["l1"]) < 1e-12 for r in rows)
+
+
+def test_avi_frame_sampling_real_path(spark):
+    """fake=False really demuxes an uncompressed AVI: hand-built RIFF
+    with 5 distinct '00db' DIB frames; sample_frames must return the
+    exact frame bytes, in order, frame-capped."""
+    import struct
+
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        _avi_frames, sample_frames)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\0" if len(body) & 1 else b"")
+
+    frames = [bytes([i]) * (24 + i) for i in range(5)]  # odd+even sizes
+    movi = b"movi" + b"".join(chunk(b"00db", f) for f in frames)
+    hdrl = b"hdrl" + chunk(b"avih", struct.pack("<14I", *([0] * 14)))
+    body = (b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi))
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert _avi_frames(avi) == frames
+
+    df = spark.createDataFrame([(1, bytearray(avi))],
+                               "doc_id long, payload binary")
+    got = (sample_frames(df, id_col="doc_id", payload_col="payload",
+                         max_frames=3, fake=False)
+           .orderBy("frame_idx").collect())
+    assert len(got) == 3
+    assert [bytes(r["frame_bytes"]) for r in got] == \
+        [frames[0], frames[1], frames[2]]
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([(2, bytearray(b"not an avi"))],
+                                "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="AVI|fake"):
+        sample_frames(bad, id_col="doc_id", payload_col="payload",
+                      fake=False).collect()

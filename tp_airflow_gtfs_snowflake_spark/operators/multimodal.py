@@ -12,7 +12,9 @@ Decode paths:
   bottom-up / top-down row order, 8/24/32 bpp, row padding; PNG:
   chunk walk + stdlib-zlib inflate + all five spec filters) and a PCM
   WAV decoder for audio (RIFF chunk walk, 8/16-bit, multi-channel,
-  integer-exact amplitude stats).  Other formats raise
+  integer-exact amplitude stats); video frame sampling demuxes
+  uncompressed AVI containers (RIFF 'movi' walk — a container needs
+  no codec when frames are DIBs).  Codec-compressed formats raise
   NotImplementedError at task time until PIL/ffmpeg is plugged in.
 Everything Spark-side — schema contract, Arrow batch shape, partition
 sizing, UDF signatures — is identical between the two paths.
@@ -396,19 +398,61 @@ def decode_image_features(df: DataFrame, *, id_col: str, payload_col: str,
             .mapInPandas(run, IMAGE_FEATURES_SCHEMA))
 
 
+def _avi_frames(payload: bytes) -> list[bytes]:
+    """Frame payloads of an uncompressed AVI (public RIFF layout):
+    walk the chunk tree, collect '..db'/'..dw' entries under the
+    'movi' LIST.  Pure Python — a video CONTAINER needs no codec
+    when the frames are device-independent bitmaps."""
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "real video path supports uncompressed AVI only "
+            "(RIFF/'AVI '); pass fake=True for other payloads")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = buf[off:off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body = off + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(buf, body + 4, min(end, body + size))
+            elif fourcc[2:4] in (b"db", b"dw"):
+                frames.append(buf[body:body + size])
+            off = body + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    return frames
+
+
 def sample_frames(df: DataFrame, *, id_col: str, payload_col: str,
                   every_n_bytes: int = 1024, max_frames: int = 8,
                   fake: bool = False) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits up to
-    `max_frames` byte-slices per payload (one output row per frame) —
-    the explode-shaped mapInPandas contract a real ffmpeg-based
-    sampler would fill in."""
+    """Frame sampling for video payloads: up to `max_frames` frames
+    per payload, one output row each.  fake=False REALLY demuxes
+    uncompressed AVI containers (RIFF 'movi' walk, every-k-th frame
+    up to the cap); fake=True emits deterministic byte-slices (the
+    stand-in for codec-compressed formats in this codec-less
+    container).  Same explode-shaped mapInPandas contract either
+    way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "no video codec in this environment; pass fake=True")
+                out = []
+                for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                    fr = _avi_frames(bytes(payload or b""))
+                    step = max(1, len(fr) // max_frames)
+                    for i, j in enumerate(range(0, len(fr), step)):
+                        if i >= max_frames:
+                            break
+                        out.append((int(doc_id), i, fr[j]))
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in
+                                  FRAME_SAMPLE_SCHEMA.fields])
+                continue
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""

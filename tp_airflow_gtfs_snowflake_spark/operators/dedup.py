@@ -101,7 +101,8 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        keep_sizes: bool = False) -> DataFrame:
     """Exact pairwise n-gram Jaccard over shingle-sharing pairs.
 
     Only pairs that share >= 1 shingle are materialized (inverted-index
@@ -125,7 +126,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col("n_common")
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
-            .select("d1", "d2", "n_common", "jaccard"))
+            .select("d1", "d2", "n_common", "jaccard",
+                    *(["n1", "n2"] if keep_sizes else [])))
 
 
 # MinHash universal-hash family: sig[i] = min over shingles of

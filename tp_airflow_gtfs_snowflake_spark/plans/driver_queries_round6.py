@@ -1160,3 +1160,64 @@ def c91_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("recall10_ppm"),
                  F.expr("sum(coalesce(rrp, 0)) div count(*)")
                  .cast("long").alias("mrr_ppm")))
+
+
+@_register(
+    "c92_dedup_threshold_sweep",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                                    ' +'), t -> t <> '')
+               AS ts
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]
+               || ' ' || ts[CAST(i AS INT) + 2] AS sh
+      FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+            FROM toks)
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                      count(*) AS n_common
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    j AS (SELECT n_common * 1000000
+                 // (x.n_sh + y.n_sh - n_common) AS j_ppm
+          FROM common JOIN sizes x ON x.doc_id = d1
+                      JOIN sizes y ON y.doc_id = d2),
+    t AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+            AS thr)
+    SELECT CAST(thr AS BIGINT) AS threshold_ppm,
+           CAST(count(j_ppm) FILTER (j_ppm >= thr) AS BIGINT)
+             AS n_pairs
+    FROM t LEFT JOIN j ON true
+    GROUP BY thr ORDER BY thr
+    """,
+    "dedup THRESHOLD SWEEP: near-duplicate pair counts at jaccard "
+    "cutoffs 0.5-0.9 from ONE inverted-index pair derivation (c08's "
+    "exact 3-gram Jaccard, integer ppm) — the tuning table that "
+    "decides a production threshold: pairs-versus-cutoff is the "
+    "dedup ROI curve, and computing all 5 cutoffs costs one extra "
+    "tiny aggregation, not 5 pair scans.  Companions: c80 audits "
+    "LSH against this exact truth; c91 is the ANN counterpart",
+)
+def c92_dedup_threshold_sweep(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+    docs = _t(spark, sf_dir, "documents")
+    # keep_sizes exposes the integer counts: ppm comes from exact
+    # integer division, never the float jaccard column
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.0, keep_sizes=True)
+    j = pairs.select(
+        F.expr("n_common * 1000000 div (n1 + n2 - n_common)")
+        .alias("j_ppm"))
+    thr = spark.createDataFrame(
+        [(t,) for t in (500000, 600000, 700000, 800000, 900000)],
+        "thr long")
+    return (thr.crossJoin(j)
+            .groupBy(F.col("thr").cast("long").alias("threshold_ppm"))
+            .agg(F.count(F.when(F.col("j_ppm") >= F.col("thr"), 1))
+                 .cast("long").alias("n_pairs"))
+            .orderBy("threshold_ppm"))

@@ -403,3 +403,49 @@ def test_streaming_kmv_accumulation_equals_batch(spark, landing, tmp_path):
     want = {r["g"]: list(r["sketch"])
             for r in kmv.kmv_sketch(hashed, "g", "h", k=8).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_static_dim_refresh_between_batches(spark, landing,
+                                                   tmp_path):
+    """Static-dimension refresh for stream-static joins: a running
+    query's plan holds the dim's RESOLVED file listing, so an
+    in-place overwrite crashes it with FILE_NOT_EXIST — and even
+    spark.catalog.refreshByPath cannot fix the already-analyzed
+    stream (both verified while writing this test).  The robust
+    daily-refresh recipe is re-resolving the dimension INSIDE
+    foreachBatch: each micro-batch reads the dim fresh, so a rewrite
+    between triggers enriches later batches with the new values, no
+    restart."""
+    from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
+        flatten_vehicle_positions, parse_feed_json)
+    dim_dir = str(tmp_path / "routes_dim")
+    out_dir = str(tmp_path / "enriched_out")
+
+    def write_dim(ver):
+        spark.createDataFrame(
+            [(f"R{i}", ver) for i in range(fixtures_gtfs.N_ROUTES)],
+            "route_id string, dim_ver string").write.mode("overwrite") \
+            .parquet(dim_dir)
+
+    write_dim("v1")
+    snaps = fixtures_gtfs.make_feed_snapshots(2)
+    vp = flatten_vehicle_positions(
+        parse_feed_json(read_feed_stream(spark, str(landing))))
+
+    def enrich(batch_df, batch_id):
+        dim = F.broadcast(spark.read.parquet(dim_dir))  # fresh resolve
+        (batch_df.join(dim, "route_id", "left")
+         .select("route_id", "vehicle_id", "dim_ver")
+         .write.mode("append").parquet(out_dir))
+
+    q = (vp.writeStream.foreachBatch(enrich)
+         .option("checkpointLocation", str(tmp_path / "ckpt_dr")).start())
+    _write_snapshot(landing, "vp_a.json", snaps[0])
+    q.processAllAvailable()
+    write_dim("v2")  # dimension refreshed BETWEEN batches
+    _write_snapshot(landing, "vp_b.json", snaps[1])
+    q.processAllAvailable()
+    q.stop()
+
+    vers = [r.dim_ver for r in spark.read.parquet(out_dir).collect()]
+    assert vers.count("v1") == 12 and vers.count("v2") == 12

@@ -77,3 +77,33 @@ def test_merge_schema_across_evolving_parquet(spark, tmp_path):
            .parquet(str(tmp_path / "t")).orderBy("id").collect())
     assert [r["extra"] for r in got] == [None, 9]
     assert len(got[0].asDict()) == 4  # id, v, extra, batch
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """Custom DataSource WRITE path: per-partition jsonl part files
+    land atomically, and the driver-side commit writes a _MANIFEST
+    with the file list + row count (the export-dir contract of the
+    reference's export scripts)."""
+    import json
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(20)], "id long, v string") \
+        .repartition(3)
+    df.write.format("gtfs_rt_snapshots").option("path", out) \
+        .mode("append").save()
+
+    manifest = json.loads(open(os.path.join(out, "_MANIFEST")).read())
+    assert manifest["n_rows"] == 20
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert parts == manifest["files"] and len(parts) == 3
+    rows = []
+    for fname in parts:
+        with open(os.path.join(out, fname)) as fh:
+            rows += [json.loads(l) for l in fh]
+    assert sorted(r["id"] for r in rows) == list(range(20))
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))

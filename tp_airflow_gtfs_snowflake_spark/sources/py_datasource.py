@@ -27,7 +27,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader, DataSourceWriter,
+                                    InputPartition, WriterCommitMessage)
 
 SCHEMA = "path string, mtime_epoch long, feed_json string"
 
@@ -109,6 +110,66 @@ class GtfsRtSnapshotDataSource(DataSource):
 
     def streamReader(self, schema) -> GtfsRtSnapshotStreamReader:
         return GtfsRtSnapshotStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "SnapshotExportWriter":
+        return SnapshotExportWriter(self.options)
+
+
+class _ExportCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class SnapshotExportWriter(DataSourceWriter):
+    """df.write.format("gtfs_rt_snapshots") sink: one JSON-lines file
+    per input partition plus a _MANIFEST written atomically at COMMIT
+    time — the export-directory contract of the reference's
+    scripts/export_rt_text.py (files land, then a marker flips the
+    directory visible).  Executor tasks write part files (renamed
+    into place so readers never see partials); the driver-side
+    commit() writes the manifest listing every part + row count, and
+    abort() removes orphans — the two-phase protocol that makes the
+    export idempotent under task retries."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _ExportCommit:
+        import json as _json
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(tmp, os.path.join(self.path, name))
+        return _ExportCommit(name, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(_json.dumps(manifest))
+        os.rename(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
 
 
 def register(spark) -> None:

@@ -1221,3 +1221,46 @@ def c92_dedup_threshold_sweep(spark: SparkSession,
             .agg(F.count(F.when(F.col("j_ppm") >= F.col("thr"), 1))
                  .cast("long").alias("n_pairs"))
             .orderBy("threshold_ppm"))
+
+
+@_register(
+    "b111_sequence_pattern_match",
+    """
+    WITH s AS (
+      SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+               ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(len(regexp_extract_all(seq, 'vcp')) AS BIGINT)
+             AS n_matches,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    "MATCH_RECOGNIZE emulation (Spark has no row-pattern clause): "
+    "each user's event history collapses to an ordered single-char "
+    "code string (deterministic ordered aggregation, the b73 "
+    "collect->sort->join idiom with a (ts, event_id) total order), "
+    "then the row pattern is literally a REGEX — here adjacent "
+    "view->click->purchase, counted non-overlapping per user and "
+    "histogrammed.  ONE per-user shuffle; the sequence string is "
+    "session-history sized, so at 100 TB this runs on sessionized "
+    "slices (b29) rather than lifetime histories.  Arbitrary "
+    "quantified patterns (v+c?p) come free from the regex engine, "
+    "which is the point of the encoding",
+)
+def b111_sequence_pattern_match(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = (ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"),
+                 F.substring("event_type", 1, 1).alias("c")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")),
+                        lambda x: x["c"]), "").alias("seq")))
+    return (seq.select(F.regexp_count("seq", F.lit("vcp"))
+                       .cast("long").alias("n_matches"))
+            .groupBy("n_matches")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy("n_matches"))

@@ -1264,3 +1264,84 @@ def b111_sequence_pattern_match(spark: SparkSession,
             .groupBy("n_matches")
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy("n_matches"))
+
+
+@_register(
+    "b112_periodicity_detection",
+    """
+    WITH d AS (
+      SELECT event_type AS t,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lags AS (SELECT unnest(range(1, 11)) AS lag),
+    p AS (
+      SELECT a.t, l.lag, a.n AS x, b.n AS y
+      FROM d a JOIN lags l ON true
+      JOIN d b ON b.t = a.t AND b.day = a.day + l.lag
+    ), m AS (
+      SELECT t, lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY t, lag
+    ), c AS (
+      SELECT t, lag, n,
+             round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)), 6) AS corr
+      FROM m
+    )
+    SELECT t AS event_type, CAST(lag AS BIGINT) AS best_lag,
+           corr AS best_corr, CAST(n AS BIGINT) AS n_pairs
+    FROM (SELECT *, row_number() OVER (PARTITION BY t
+                      ORDER BY corr DESC, lag) AS rn FROM c)
+    WHERE rn = 1 ORDER BY event_type
+    """,
+    "periodicity detection: per event type, the lag in 1..10 days "
+    "whose CALENDAR-aligned autocorrelation of daily counts is "
+    "highest (b94's lesson: join on day+L, never lag(L)-over-rows "
+    "which misaligns on gap days).  Correlations use b81's exact-"
+    "BIGINT-moment form (order-proof partials, one double formula "
+    "per (type, lag) at the end) over a |types| x 10-lag explode of "
+    "the TINY daily pre-aggregate — the fact is touched once.  The "
+    "weekly-seasonality detector behind capacity planning",
+)
+def b112_periodicity_detection(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("day"))
+        .agg(F.count("*").alias("n")))
+    d = d.localCheckpoint(eager=True)  # tiny; reused by both sides
+    lags = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("lag")
+    a = d.select("t", "day", F.col("n").alias("x")).select("*", lags)
+    b = d.select(F.col("t").alias("t2"), F.col("day").alias("day2"),
+                 F.col("n").alias("y"))
+    p = a.join(b, (F.col("t2") == F.col("t"))
+               & (F.col("day2") == F.col("day") + F.col("lag")))
+    m = (p.groupBy("t", "lag")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = F.round((nd * F.col("sxy") - sx * F.col("sy"))
+                   / F.sqrt((nd * F.col("sxx") - sx * F.col("sx"))
+                            * (nd * F.col("syy") - sy * F.col("sy"))),
+                   6)
+    c = m.withColumn("corr", corr)
+    rn = F.row_number().over(
+        W.partitionBy("t").orderBy(F.desc("corr"), "lag"))
+    return (c.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select(F.col("t").alias("event_type"),
+                    F.col("lag").cast("long").alias("best_lag"),
+                    F.col("corr").alias("best_corr"),
+                    F.col("n").cast("long").alias("n_pairs"))
+            .orderBy("event_type"))

@@ -1345,3 +1345,56 @@ def b112_periodicity_detection(spark: SparkSession,
                     F.col("corr").alias("best_corr"),
                     F.col("n").cast("long").alias("n_pairs"))
             .orderBy("event_type"))
+
+
+@_register(
+    "b113_future_activity_labels",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS d
+      FROM events
+    )
+    SELECT CAST(d AS BIGINT) AS day_num,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (EXISTS (
+                  SELECT 1 FROM ud f
+                  WHERE f.u = ud.u AND f.d > ud.d
+                    AND f.d <= ud.d + 7)) AS BIGINT) AS n_retained
+    FROM ud GROUP BY d ORDER BY d
+    """,
+    "supervised-label construction: for every (user, active-day) "
+    "observation, the binary label 'active again within the next 7 "
+    "days' — the churn/retention target a training pipeline joins "
+    "features onto.  The oracle is the correlated-EXISTS spec; "
+    "Spark builds it WITHOUT a range join: each active day SCATTERS "
+    "into the 7 earlier days it would label (explode(sequence), the "
+    "b100 trick in reverse), then one distinct semi-join marks the "
+    "labeled observations.  Shuffle is 7x the distinct user-day "
+    "relation, label leakage is structurally impossible (only "
+    "strictly-future days contribute)",
+)
+def b113_future_activity_labels(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = (ev.select(
+        F.col("user_id").alias("u"),
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("d"))
+        .distinct())
+    ud = ud.localCheckpoint(eager=True)  # scatter + spine reuse
+    contrib = (ud.select(
+        "u", F.explode(F.sequence(F.col("d") - 7, F.col("d") - 1))
+        .alias("qd")).distinct())
+    labeled = ud.join(
+        contrib.select("u", F.col("qd").alias("d")), ["u", "d"],
+        "left_semi")
+    pos = labeled.groupBy("d").agg(F.count("*").alias("n_retained"))
+    return (ud.groupBy("d").agg(F.count("*").alias("n_active"))
+            .join(pos, "d", "left")
+            .select(F.col("d").cast("long").alias("day_num"),
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.coalesce(F.col("n_retained"), F.lit(0))
+                    .cast("long").alias("n_retained"))
+            .orderBy("day_num"))

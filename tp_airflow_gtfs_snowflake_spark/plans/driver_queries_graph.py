@@ -233,3 +233,52 @@ def c49_quality_canonical_dedup(spark: SparkSession, sf_dir: str
             .groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+@_register(
+    "c93_component_density_audit",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach
+             GROUP BY node),
+    sizes2 AS (SELECT component_id, count(*) AS n_nodes
+               FROM comp GROUP BY component_id),
+    ec AS (SELECT c.component_id, count(*) AS n_edges
+           FROM edges e JOIN comp c ON c.node = e.d1
+           GROUP BY c.component_id)
+    SELECT component_id, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_edges * 2000000 // (n_nodes * (n_nodes - 1))
+                AS BIGINT) AS density_ppm
+    FROM sizes2 JOIN ec USING (component_id)
+    ORDER BY component_id
+    """,
+    "dedup-cluster QUALITY audit: per near-dup component, node "
+    "count, edge count and graph density (edges over possible "
+    "pairs, ppm).  Density 1e6 = a clique (every member verified "
+    "similar to every other — safe to keep one); low density = a "
+    "CHAIN grown by transitive merging, where keep-one-per-"
+    "component silently discards documents never directly compared "
+    "— the known failure mode of connected-component dedup that "
+    "this table quantifies before anyone deletes data.  Edge "
+    "counts join the pair table to the component labelling; "
+    "components are c19's propagation",
+)
+def c93_component_density_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)  # reused: CC + count
+    comp = connected_components(edges).withColumnRenamed("node", "d1")
+    sizes = (comp.groupBy("component")
+             .agg(F.count("*").alias("n_nodes")))
+    ec = (edges.join(comp, "d1")
+          .groupBy("component").agg(F.count("*").alias("n_edges")))
+    return (sizes.join(ec, "component")
+            .select(F.col("component").cast("long")
+                    .alias("component_id"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    F.expr("n_edges * 2000000 "
+                           "div (n_nodes * (n_nodes - 1))")
+                    .cast("long").alias("density_ppm"))
+            .orderBy("component_id"))

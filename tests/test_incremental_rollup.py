@@ -94,3 +94,46 @@ def test_merge_upsert_latest_wins_partition_scoped(spark, tmp_path):
     after = {f: os.path.getmtime(f)
              for f in glob.glob(f"{path}/day=2026-08-02/*.parquet")}
     assert before == after, "untouched partition rewritten"
+
+
+def test_erase_keys_is_surgical_and_complete(spark, tmp_path):
+    """GDPR erasure: doomed keys vanish (including from partitions
+    they fully owned), untouched partitions keep byte-identical
+    files, and only hit partitions are rewritten."""
+    import datetime as dt
+    import glob
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import erase_keys
+
+    root = str(tmp_path / "t")
+    d1, d2, d3, d4 = (dt.date(2024, 3, i) for i in (1, 2, 3, 4))
+    rows = (
+        [(u, f"a{u}", d1) for u in (0, 1, 2)]   # user 2 present
+        + [(u, f"b{u}", d2) for u in (0, 1)]    # untouched
+        + [(u, f"c{u}", d3) for u in (0, 1)]    # untouched
+        + [(2, "d2", d4)])                      # fully owned by user 2
+    df = spark.createDataFrame(rows, "user long, v string, day date")
+    df.repartition(1).write.partitionBy("day").parquet(root)
+
+    def snap(day):
+        return {f: (os.path.getmtime(f), os.path.getsize(f))
+                for f in glob.glob(f"{root}/day={day}/*.parquet")}
+
+    before2, before3 = snap("2024-03-02"), snap("2024-03-03")
+    out = erase_keys(spark, root, key_col="user", keys=[2],
+                     partition_col="day")
+    assert out == {"partitions_rewritten": 2, "rows_erased": 2}
+
+    got = spark.read.parquet(root)
+    assert got.filter(F.col("user") == 2).count() == 0
+    assert got.count() == 6
+    assert not os.path.isdir(f"{root}/day=2024-03-04")  # fully-owned
+    # untouched partitions: files byte-stable (not rewritten)
+    assert snap("2024-03-02") == before2
+    assert snap("2024-03-03") == before3
+
+    # erasing a key that never existed is zero work
+    out2 = erase_keys(spark, root, key_col="user", keys=[99],
+                      partition_col="day")
+    assert out2 == {"partitions_rewritten": 0, "rows_erased": 0}

@@ -276,3 +276,46 @@ def write_zorder_layout(df: DataFrame, path: str, *,
            .sortWithinPartitions("__z")
            .drop("__z"))
     out.write.mode("overwrite").parquet(path)
+
+
+def erase_keys(spark: SparkSession, table_path: str, *, key_col: str,
+               keys: list, partition_col: str) -> dict:
+    """Right-to-erasure (GDPR art. 17) as a SURGICAL partition
+    rewrite: find the partitions that actually contain the doomed
+    keys (one pruned scan), anti-join ONLY those partitions' rows,
+    and dynamic-partition-overwrite them back.  Untouched partition
+    directories keep their files byte-for-byte (pinned by
+    tests/test_incremental_rollup.py's byte-stability pattern), so
+    at 100 TB an erasure of one user's rows costs O(partitions
+    containing that user), not a table rewrite — the same touched-
+    partition discipline as incremental_rollup_refresh.
+
+    Returns {"partitions_rewritten": n, "rows_erased": n}."""
+    df = spark.read.parquet(table_path)
+    doomed = [k for k in keys]
+    hit_parts = [r[partition_col] for r in
+                 (df.filter(F.col(key_col).isin(doomed))
+                  .select(partition_col).distinct().collect())]
+    if not hit_parts:
+        return {"partitions_rewritten": 0, "rows_erased": 0}
+    affected = df.filter(F.col(partition_col).isin(hit_parts))
+    erased = affected.filter(F.col(key_col).isin(doomed)).count()
+    kept = affected.filter(~F.col(key_col).isin(doomed))
+    kept = kept.localCheckpoint(eager=True)  # sever from the files
+    (kept.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col)
+     .parquet(table_path))
+    # dynamic overwrite only touches partitions present in `kept`: a
+    # partition whose every row was erased must be deleted explicitly
+    # or the doomed files would survive.
+    still = {r[partition_col] for r in
+             kept.select(partition_col).distinct().collect()}
+    jvm = spark._jvm
+    for p in set(hit_parts) - still:
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/{partition_col}={p}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    return {"partitions_rewritten": len(hit_parts),
+            "rows_erased": int(erased)}

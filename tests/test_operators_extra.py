@@ -913,3 +913,81 @@ def test_avi_frame_sampling_real_path(spark):
     with _pytest.raises(Exception, match="AVI|fake"):
         sample_frames(bad, id_col="doc_id", payload_col="payload",
                       fake=False).collect()
+
+
+def _gif_pack_codes(codes, width0, min_code):
+    """LSB-first GIF bit packing with the same width-growth schedule
+    as a real encoder (width bumps when the decoder's table fills)."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    clear = 1 << min_code
+    width = width0
+    table_len = clear + 2
+    prev_seen = False
+    for c in codes:
+        bitbuf |= c << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+        if c == clear:
+            table_len, prev_seen = clear + 2, False
+        elif c != clear + 1:
+            if prev_seen:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+            prev_seen = True
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(codes, *, w, h, min_code=2):
+    import struct
+    gct = bytes([0, 0, 0, 255, 255, 255, 10, 10, 10, 200, 200, 200])
+    lzw = _gif_pack_codes(codes, min_code + 1, min_code)
+    sub = bytes([len(lzw)]) + lzw + b"\x00"
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + gct
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code]) + sub + b"\x3b")
+
+
+def test_gif_decode_dict_growth_and_kwkwk(spark):
+    """Real GIF LZW: dictionary growth (code 6 = '01') and pixel
+    mapping through the global palette."""
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        _gif_decode)
+    # clear, A, B, AB, end  ->  pixels 0 1 0 1 (2x2)
+    w, h, ch, hist = _gif_decode(_make_gif([4, 0, 1, 6, 5], w=2, h=2))
+    assert (w, h, ch) == (2, 2, 3)
+    # palette: color0 black (bin 0), color1 white (bin 7), 6 bytes each
+    assert hist[0] == 500000 and hist[7] == 500000
+
+    # KwKwK: clear, 0, 6 -> A, AA (code equals next table slot)
+    w2, h2, _, hist2 = _gif_decode(_make_gif([4, 0, 6, 5], w=3, h=1))
+    assert (w2, h2) == (3, 1)
+    assert hist2[0] == 1000000  # AAA -> all black
+
+
+def test_gif_decode_through_mapinpandas(spark):
+    """The GIF path composes with decode_image_features end to end
+    (extensions skipped, uncompressed-style clear-heavy streams)."""
+    from tp_airflow_gtfs_snowflake_spark.operators.multimodal import (
+        decode_image_features)
+    # uncompressed trick: CLEAR before every symbol
+    codes = []
+    for px in (0, 1, 1, 0):
+        codes += [4, px]
+    codes.append(5)
+    gif = _make_gif(codes, w=2, h=2)
+    # splice a comment extension before the frame to exercise skipping
+    ext = b"\x21\xfe\x03abc\x00"
+    gif = gif[:13 + 12] + ext + gif[13 + 12:]
+    df = spark.createDataFrame([(1, bytearray(gif))],
+                               "doc_id long, payload binary")
+    row = decode_image_features(df, id_col="doc_id",
+                                payload_col="payload",
+                                fake=False).collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (2, 2, 3)

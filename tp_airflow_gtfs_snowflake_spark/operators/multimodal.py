@@ -260,20 +260,122 @@ def _netpbm_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, channels, _hist_ppm(data)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW (public spec, GIF89a appendix F): variable
+    code width LSB-first, CLEAR resets the dictionary, and the
+    just-emitted+first-symbol rule covers the KwKwK case."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    pos = 0
+
+    def reset():
+        return ([bytes([i]) for i in range(clear)] + [b"", b""],
+                min_code_size + 1)
+
+    table, width = reset()
+    prev: bytes | None = None
+    while True:
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """GIF87a/89a first frame: header + global color table walk,
+    extensions skipped, LZW-decoded palette indices mapped through
+    the color table.  Interlace and local color tables raise (rare,
+    and honesty beats silent wrong pixels)."""
+    import struct
+
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w, h, packed = struct.unpack_from("<HHB", payload, 6)
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[i:i + n]
+        i += n
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB",
+                                                       payload, i + 1)
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            if ipacked & 0x80:
+                raise NotImplementedError("local color table unsupported")
+            i += 10
+            min_code = payload[i]
+            i += 1
+            lzw = bytearray()
+            while payload[i] != 0:
+                ln = payload[i]
+                lzw += payload[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _gif_lzw_decode(bytes(lzw), min_code)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF frame")
+            px = bytearray()
+            for p in idx[:iw * ih]:
+                px += gct[3 * p:3 * p + 3]
+            return iw, ih, 3, _hist_ppm(px)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Dispatch on magic bytes.  BMP, PNG and binary netpbm decode
-    natively (PNG via stdlib zlib); other formats need a codec library
-    this container doesn't ship."""
+    """Dispatch on magic bytes.  BMP, PNG, binary netpbm and GIF
+    decode natively (PNG via stdlib zlib, GIF via the pure-Python
+    LZW above); other formats need a codec library this container
+    doesn't ship."""
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
     if payload[:8] == _PNG_SIG:
         return _png_decode(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _netpbm_decode(payload)
+    if payload[:4] == b"GIF8":
+        return _gif_decode(payload)
     raise NotImplementedError(
         "built-in real decodes: uncompressed BMP, PNG (8-bit, "
-        "non-interlaced) and binary netpbm (P5/P6).  Plug "
-        "PIL/torchvision in _real_decode for JPEG/WebP")
+        "non-interlaced), binary netpbm (P5/P6) and GIF "
+        "(non-interlaced, global palette).  Plug PIL/torchvision "
+        "in _real_decode for JPEG/WebP")
 
 
 def _wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int]:

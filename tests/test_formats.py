@@ -107,3 +107,39 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
             rows += [json.loads(l) for l in fh]
     assert sorted(r["id"] for r in rows) == list(range(20))
     assert not any(f.endswith(".tmp") for f in os.listdir(out))
+
+
+@pytest.mark.parametrize("mode,expect", [
+    ("PERMISSIVE", 3), ("DROPMALFORMED", 2)])
+def test_csv_malformed_row_modes(spark, tmp_path, mode, expect):
+    """COPY ON_ERROR semantics, natively: PERMISSIVE keeps malformed
+    rows (nulled + captured in _corrupt_record), DROPMALFORMED drops
+    them, FAILFAST (below) aborts — the three Snowflake ON_ERROR
+    postures (reference dags/gtfs_static_daily.py COPY options)."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = StructType([StructField("id", LongType()),
+                         StructField("qty", LongType()),
+                         StructField("_corrupt_record", StringType())])
+    df = (spark.read.schema(schema).option("header", "true")
+          .option("mode", mode)
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(str(p)))
+    rows = df.collect()
+    assert len(rows) == expect
+    if mode == "PERMISSIVE":
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(bad) == 1 and bad[0]["qty"] is None
+        assert "notanumber" in bad[0]["_corrupt_record"]
+
+
+def test_csv_failfast_aborts(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n")
+    df = (spark.read.schema("id long, qty long")
+          .option("header", "true").option("mode", "FAILFAST")
+          .csv(str(p)))
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        df.collect()

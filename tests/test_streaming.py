@@ -449,3 +449,53 @@ def test_stream_static_dim_refresh_between_batches(spark, landing,
 
     vers = [r.dim_ver for r in spark.read.parquet(out_dir).collect()]
     assert vers.count("v1") == 12 and vers.count("v2") == 12
+
+
+def test_streaming_query_listener_captures_progress(spark, landing,
+                                                    tmp_path):
+    """Streaming observability: a StreamingQueryListener receives
+    per-batch progress (rows, duration) — the hook the SLO report
+    (bench.py's measured batch durations) formalizes; listeners are
+    where a production job exports lag/throughput metrics."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            seen.append((event.progress.numInputRows,
+                         event.progress.batchDuration))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        snaps = fixtures_gtfs.make_feed_snapshots(2)
+        for i, s in enumerate(snaps):
+            _write_snapshot(landing, f"vp_{i}.json", s)
+        stream = read_feed_stream(spark, str(landing))
+        q = (stream.select(F.length("feed_json").alias("n"))
+             .writeStream.outputMode("append").format("memory")
+             .queryName("vp_listener")
+             .option("checkpointLocation", str(tmp_path / "ckpt_l"))
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        for _ in range(40):  # listener delivery is asynchronous
+            if any(rows > 0 for rows, _ in seen):
+                break
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert any(rows == 2 for rows, _ in seen)  # both snapshot files
+    assert all(dur >= 0 for _, dur in seen)

@@ -1398,3 +1398,71 @@ def b113_future_activity_labels(spark: SparkSession,
                     F.coalesce(F.col("n_retained"), F.lit(0))
                     .cast("long").alias("n_retained"))
             .orderBy("day_num"))
+
+
+@_register(
+    "c94_quantile_normalization",
+    """
+    WITH v AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+      FROM documents
+    ), s AS (
+      SELECT source, doc_id, x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY x, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM v
+    ), g AS (
+      SELECT x AS gx,
+             row_number() OVER (ORDER BY x, doc_id) AS gr
+      FROM v
+    ), n AS (SELECT count(*) AS ng FROM v),
+    mapped AS (
+      SELECT s.source,
+             g.gx AS mx
+      FROM s CROSS JOIN n
+      JOIN g ON g.gr = (s.r * n.ng + s.ns - 1) // s.ns
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mx) AS BIGINT) AS sum_mapped,
+           CAST(min(mx) AS BIGINT) AS min_mapped,
+           CAST(max(mx) AS BIGINT) AS max_mapped
+    FROM mapped GROUP BY source ORDER BY source
+    """,
+    "quantile normalization across sources (the batch-effect "
+    "remover of bioinformatics, applied to corpus stats): each "
+    "source's length distribution is replaced by the GLOBAL "
+    "reference distribution at the same quantile position — rank "
+    "within source r/ns maps to global rank ceil(r*ng/ns), a pure "
+    "integer join key, so the normalized values are exact and "
+    "oracle-checkable.  Two rank windows (per-source partitioned + "
+    "one global sort, the b47-family caveat: range-partition the "
+    "global rank at 100 TB) and one equi-join on the computed "
+    "rank.  Downstream filters then use ONE threshold across "
+    "sources whose raw scales disagree",
+)
+def c94_quantile_normalization(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select("source", "doc_id",
+                    F.col("n_chars").cast("long").alias("x"))
+    v = v.localCheckpoint(eager=True)  # three derivations below
+    s = v.select(
+        "source", "x",
+        F.row_number().over(W.partitionBy("source")
+                            .orderBy("x", "doc_id")).alias("r"),
+        F.count("*").over(W.partitionBy("source")).alias("ns"))
+    g = v.select(F.col("x").alias("gx"),
+                 F.row_number().over(W.orderBy("x", "doc_id"))
+                 .alias("gr"))
+    n = v.agg(F.count("*").alias("ng"))
+    mapped = (s.crossJoin(F.broadcast(n))
+              .withColumn("k", F.expr("(r * ng + ns - 1) div ns"))
+              .join(g, F.col("k") == F.col("gr")))
+    return (mapped.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("gx").cast("long").alias("sum_mapped"),
+                 F.min("gx").cast("long").alias("min_mapped"),
+                 F.max("gx").cast("long").alias("max_mapped"))
+            .orderBy("source"))

@@ -1466,3 +1466,77 @@ def c94_quantile_normalization(spark: SparkSession,
                  F.min("gx").cast("long").alias("min_mapped"),
                  F.max("gx").cast("long").alias("max_mapped"))
             .orderBy("source"))
+
+
+# Poisson(1) CDF thresholds scaled to 2^48, precomputed as INTEGER
+# LITERALS (the b86 Benford rule: constants go in the query text on
+# both sides; libm exp() never runs inside either engine).
+_POIS_T = [103548857136060, 207097714272121, 258872142840152,
+           276130285696162, 280444821410164, 281307728552965,
+           281451546410098, 281472091818260]
+
+_POIS_CASE_SQL = ("CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 8 END")
+
+
+@_register(
+    "c95_poisson_bootstrap",
+    f"""
+    WITH reps AS (SELECT unnest(range(0, 16)) AS r),
+    u AS (
+      SELECT r.r AS r, CAST(n_chars AS BIGINT) AS x,
+             CAST(CAST('0x' || substr(md5(doc_id || '-' || r.r),
+                                      1, 12) AS BIGINT)
+                  AS BIGINT) AS u
+      FROM documents CROSS JOIN reps r
+    ), w AS (
+      SELECT r, x, {_POIS_CASE_SQL} AS w FROM u
+    ), m AS (
+      SELECT r, sum(w * x) // nullif(sum(w), 0) AS mean_r
+      FROM w GROUP BY r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_reps,
+           CAST(min(mean_r) AS BIGINT) AS min_mean,
+           CAST(max(mean_r) AS BIGINT) AS max_mean,
+           CAST((count(*) * sum(mean_r * mean_r)
+                 - sum(mean_r) * sum(mean_r))
+                // (count(*) * (count(*) - 1)) AS BIGINT) AS var_est
+    FROM m
+    """,
+    "Poisson bootstrap (Chamandy et al., 'Estimating uncertainty "
+    "for massive data streams'): 16 bootstrap replicates of the "
+    "mean document length, each reweighting every doc by a "
+    "Poisson(1) draw — the resampling scheme that works in ONE "
+    "pass over distributed data because it never needs to know n "
+    "up front.  Draws are DETERMINISTIC: md5(doc, replicate) "
+    "uniform inverted through the Poisson CDF as integer-literal "
+    "thresholds, so both engines produce identical replicates and "
+    "the variance estimate is value-hash checkable.  Uncertainty "
+    "quantification for every other aggregate in this registry "
+    "follows the same 16x-explode shape",
+)
+def c95_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r")
+    u_expr = (F.conv(F.substring(F.md5(
+        F.concat_ws("-", F.col("doc_id"), F.col("r"))), 1, 12), 16, 10)
+        .cast("long"))
+    w_expr = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w_expr = F.when(F.col("u") < _POIS_T[k], k).otherwise(w_expr)
+    w = (docs.select(F.col("doc_id"),
+                     F.col("n_chars").cast("long").alias("x"), reps)
+         .withColumn("u", u_expr)
+         .withColumn("w", w_expr))
+    m = (w.groupBy("r")
+         .agg(F.expr("sum(w * x) div nullif(sum(w), 0)")
+              .alias("mean_r")))
+    return m.agg(
+        F.count("*").cast("long").alias("n_reps"),
+        F.min("mean_r").cast("long").alias("min_mean"),
+        F.max("mean_r").cast("long").alias("max_mean"),
+        F.expr("(count(*) * sum(mean_r * mean_r) "
+               "- sum(mean_r) * sum(mean_r)) "
+               "div (count(*) * (count(*) - 1))").cast("long")
+        .alias("var_est"))

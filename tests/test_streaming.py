@@ -499,3 +499,28 @@ def test_streaming_query_listener_captures_progress(spark, landing,
         spark.streams.removeListener(listener)
     assert any(rows == 2 for rows, _ in seen)  # both snapshot files
     assert all(dur >= 0 for _, dur in seen)
+
+
+def test_max_files_per_trigger_bounds_batches(spark, landing, tmp_path):
+    """Ingest backpressure: maxFilesPerTrigger=1 must split an
+    availableNow catch-up into one micro-batch per file — the knob
+    that keeps recovery from a landing-dir backlog from loading the
+    whole backlog as one giant batch."""
+    snaps = fixtures_gtfs.make_feed_snapshots(3)
+    for i, s in enumerate(snaps):
+        _write_snapshot(landing, f"vp_{i}.json", s)
+    stream = read_feed_stream(spark, str(landing),
+                              max_files_per_trigger=1)
+    q = (stream.select(F.length("feed_json").alias("n"))
+         .writeStream.outputMode("append").format("memory")
+         .queryName("vp_backpressure")
+         .option("checkpointLocation", str(tmp_path / "ckpt_bp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    q.stop()
+    batches = [p["numInputRows"] for p in progress
+               if p["numInputRows"] > 0]
+    assert batches == [1, 1, 1]  # one file per micro-batch
+    assert spark.sql("SELECT count(*) c FROM vp_backpressure") \
+        .collect()[0]["c"] == 3

@@ -1540,3 +1540,48 @@ def c95_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
                "- sum(mean_r) * sum(mean_r)) "
                "div (count(*) * (count(*) - 1))").cast("long")
         .alias("var_est"))
+
+
+@_register(
+    "b114_lead_time_matrix",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (dd < 30) AS BIGINT) AS d_lt30,
+           CAST(count(*) FILTER (dd >= 30 AND dd < 60) AS BIGINT)
+             AS d_30_60,
+           CAST(count(*) FILTER (dd >= 60 AND dd < 90) AS BIGINT)
+             AS d_60_90,
+           CAST(count(*) FILTER (dd >= 90) AS BIGINT) AS d_ge90,
+           CAST(sum(dd) // count(*) AS BIGINT) AS mean_days
+    FROM (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS dd
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "order-to-ship lead-time matrix: per priority class, line counts "
+    "in 30-day service bands plus the integer mean — the fulfilment "
+    "SLA dashboard tile (the delay-KPI shape of the reference's "
+    "transit dashboard applied to the supply chain).  One fact-fact "
+    "equi-join, conditional counts in a single map-side-combinable "
+    "agg (never one pass per band)",
+)
+def b114_lead_time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"))
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .select("o_orderpriority", dd.alias("dd")))
+    band = lambda c: F.count(F.when(c, 1)).cast("long")  # noqa: E731
+    return (j.groupBy("o_orderpriority")
+            .agg(band(F.col("dd") < 30).alias("d_lt30"),
+                 band((F.col("dd") >= 30) & (F.col("dd") < 60))
+                 .alias("d_30_60"),
+                 band((F.col("dd") >= 60) & (F.col("dd") < 90))
+                 .alias("d_60_90"),
+                 band(F.col("dd") >= 90).alias("d_ge90"),
+                 F.expr("sum(dd) div count(*)").cast("long")
+                 .alias("mean_days"))
+            .orderBy("o_orderpriority"))

@@ -1585,3 +1585,42 @@ def b114_lead_time_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(dd) div count(*)").cast("long")
                  .alias("mean_days"))
             .orderBy("o_orderpriority"))
+
+
+@_register(
+    "c96_gini_concentration",
+    """
+    WITH v AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000
+                // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+    FROM v GROUP BY source ORDER BY source
+    """,
+    "Gini concentration of document length per source — the "
+    "inequality audit behind token-budget planning (gini ~0: every "
+    "doc contributes evenly; high gini: a few giant docs dominate "
+    "the source's token mass and one bad doc skews training).  The "
+    "sorted-rank identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / "
+    "(n*sum(x)) makes it ONE rank window + one agg in exact integer "
+    "arithmetic (ppm).  Distribution-shape sibling of c90's Zipf "
+    "slope (vocabulary axis) on the document axis",
+)
+def c96_gini_concentration(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(W.partitionBy("source")
+                            .orderBy("n_chars", "doc_id")).alias("i"))
+    return (v.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("(2 * sum(i * x) - (count(*) + 1) * sum(x)) "
+                        "* 1000000 div (count(*) * sum(x))")
+                 .cast("long").alias("gini_ppm"))
+            .orderBy("source"))

@@ -1624,3 +1624,58 @@ def c96_gini_concentration(spark: SparkSession,
                         "* 1000000 div (count(*) * sum(x))")
                  .cast("long").alias("gini_ppm"))
             .orderBy("source"))
+
+
+@_register(
+    "c97_decontam_needle_sweep",
+    """
+    WITH lens AS (SELECT unnest([6, 8, 12, 16, 24]) AS nl),
+    needles AS (
+      SELECT l.nl, substr(t.text, 1, CAST(l.nl AS INT)) AS needle,
+             t.doc_id AS src_id
+      FROM (SELECT doc_id, text FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10) t
+      CROSS JOIN lens l
+    )
+    SELECT CAST(n.nl AS BIGINT) AS needle_len,
+           CAST(count(d.doc_id) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs_hit
+    FROM needles n LEFT JOIN documents d
+      ON d.doc_id <> n.src_id AND instr(d.text, n.needle) > 0
+    GROUP BY n.nl ORDER BY n.nl
+    """,
+    "decontamination SENSITIVITY sweep: exact-substring hits at "
+    "needle lengths 6-24 from one corpus scan (c60's method "
+    "parameter-swept) — short needles over-match (false "
+    "contamination, training data thrown away), long needles "
+    "under-match (leaks survive); this table is how the length "
+    "threshold gets chosen, mirroring c92's jaccard sweep and "
+    "c91's ANN recall table.  All 50 (needle, length) probes "
+    "broadcast against ONE pass over the corpus; at 100 TB the "
+    "multi-needle probe becomes one Aho-Corasick automaton per "
+    "task, still one scan",
+)
+def c97_decontam_needle_sweep(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    top = (docs.orderBy(F.desc("n_chars"), "doc_id").limit(10)
+           .select(F.col("doc_id").alias("src_id"), "text"))
+    lens = spark.createDataFrame([(n,) for n in (6, 8, 12, 16, 24)],
+                                 "nl int")
+    needles = (top.crossJoin(lens)
+               .select("src_id", "nl",
+                       F.expr("substring(text, 1, nl)").alias("needle")))
+    hits = (docs.crossJoin(F.broadcast(needles))
+            .filter((F.col("doc_id") != F.col("src_id"))
+                    & (F.instr("text", F.col("needle")) > 0))
+            .groupBy("nl")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("doc_id").alias("n_docs_hit")))
+    spine = lens.select(F.col("nl"))
+    return (spine.join(hits, "nl", "left")
+            .select(F.col("nl").cast("long").alias("needle_len"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.coalesce("n_docs_hit", F.lit(0)).cast("long")
+                    .alias("n_docs_hit"))
+            .orderBy("needle_len"))

@@ -1679,3 +1679,57 @@ def c97_decontam_needle_sweep(spark: SparkSession,
                     F.coalesce("n_docs_hit", F.lit(0)).cast("long")
                     .alias("n_docs_hit"))
             .orderBy("needle_len"))
+
+
+@_register(
+    "b115_bounce_rate",
+    """
+    WITH e AS (
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), g AS (
+      SELECT u, t,
+             CASE WHEN t - lag(t) OVER (PARTITION BY u ORDER BY t)
+                       > 1800 OR lag(t) OVER (PARTITION BY u
+                                              ORDER BY t) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), s AS (
+      SELECT u, t,
+             sum(brk) OVER (PARTITION BY u ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM g
+    ), sess AS (
+      SELECT u, sid, min(t) AS start_t, count(*) AS n
+      FROM s GROUP BY u, sid
+    )
+    SELECT CAST(start_t // 86400 AS BIGINT) AS day_num,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounces,
+           CAST(count(*) FILTER (n = 1) * 1000000 // count(*)
+                AS BIGINT) AS bounce_ppm
+    FROM sess GROUP BY 1 ORDER BY 1
+    """,
+    "bounce rate: share of 30-minute-gap sessions containing exactly "
+    "one event, per session-start day — the classic engagement KPI, "
+    "built on the same gaps-and-islands core as b29/operators/"
+    "sessions.py (one per-user window + cumsum, one session agg, "
+    "one day agg).  Sessions attribute to their START day, so a "
+    "midnight-spanning session counts once",
+)
+def b115_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import sessions
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("user"),
+        F.unix_timestamp("ts").alias("ts"))
+    sess = sessions.sessionize(ev, gap_seconds=1800)
+    return (sess.groupBy(F.expr("start_epoch div 86400")
+                         .cast("long").alias("day_num"))
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.count(F.when(F.col("n") == 1, 1)).cast("long")
+                 .alias("n_bounces"))
+            .withColumn("bounce_ppm",
+                        F.expr("n_bounces * 1000000 div n_sessions")
+                        .cast("long"))
+            .orderBy("day_num"))

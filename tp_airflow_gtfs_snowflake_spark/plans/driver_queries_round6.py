@@ -1733,3 +1733,42 @@ def b115_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr("n_bounces * 1000000 div n_sessions")
                         .cast("long"))
             .orderBy("day_num"))
+
+
+@_register(
+    "b116_weekend_lift",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (dayofweek(ts) IN (0, 6)) AS BIGINT)
+             AS n_weekend,
+           CAST(count(*) FILTER (dayofweek(ts) NOT IN (0, 6))
+                AS BIGINT) AS n_weekday,
+           CAST(count(*) FILTER (dayofweek(ts) IN (0, 6)) * 5
+                * 1000000
+                // nullif(count(*) FILTER (dayofweek(ts)
+                                           NOT IN (0, 6)) * 2, 0)
+                AS BIGINT) AS weekend_lift_ppm
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "weekend-vs-weekday rate lift per event type: weekend volume "
+    "per weekend day over weekday volume per weekday day (the 5:2 "
+    "day-count normalization folded into one integer expression), "
+    "lift > 1e6 = weekend-skewed behavior.  The seasonality scalar "
+    "behind b08's full heatmap; single conditional aggregate, no "
+    "second pass.  DuckDB dayofweek: 0=Sunday, 6=Saturday — Spark "
+    "has no dayofweek() int twin with that convention, so the "
+    "Spark side derives it from date_format 'E'",
+)
+def b116_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    is_we = F.date_format("ts", "E").isin("Sat", "Sun")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.when(is_we, 1)).cast("long")
+                 .alias("n_weekend"),
+                 F.count(F.when(~is_we, 1)).cast("long")
+                 .alias("n_weekday"))
+            .withColumn("weekend_lift_ppm",
+                        F.expr("n_weekend * 5 * 1000000 "
+                               "div nullif(n_weekday * 2, 0)")
+                        .cast("long"))
+            .orderBy("event_type"))

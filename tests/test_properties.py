@@ -343,3 +343,27 @@ def test_incremental_lookback_dedup_any_split(spark, rows, cut):
         state = state.localCheckpoint(eager=True)
         kept.extend((r["key"], r["day"]) for r in k.collect())
     assert sorted(kept) == whole
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(-300, 300),
+                          st.integers(-300, 300)),
+                min_size=2, max_size=60),
+       st.integers(1, 400))
+def test_spatial_radius_join_lossless_any_radius(spark, pts, radius):
+    """Grid blocking must be lossless for ARBITRARY point sets and
+    radii — including negative coordinates (the double-width cell
+    straddling zero) and radii larger than the point cloud."""
+    import itertools
+
+    from tp_airflow_gtfs_snowflake_spark.operators import spatial
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {(r["id_a"], r["id_b"], r["dist_sq"]) for r in
+           spatial.radius_pairs(df, radius=radius).collect()}
+    want = set()
+    for (i, x1, y1), (j, x2, y2) in itertools.combinations(rows, 2):
+        d = (x1 - x2) ** 2 + (y1 - y2) ** 2
+        if d < radius * radius:
+            want.add((min(i, j), max(i, j), d))
+    assert got == want

@@ -99,3 +99,26 @@ def test_kmv_partials_are_bounded_and_merge_in_one_exchange(
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" in plan
+
+
+def test_merge_is_idempotent_and_commutative(spark, grouped_values):
+    """Set-merge algebra: re-merging a sketch with itself (replay) or
+    merging in either order yields the identical sketch — the
+    property streaming/sketch_state.py relies on for exactly-once
+    output without an epoch ledger."""
+    from tp_airflow_gtfs_snowflake_spark.streaming.sketch_state import (
+        merge_sketch_tables)
+    a = kmv.kmv_sketch(grouped_values.filter(F.col("h") % 2 == 0),
+                       "g", "h", k=64)
+    b = kmv.kmv_sketch(grouped_values.filter(F.col("h") % 2 == 1),
+                       "g", "h", k=64)
+
+    def rows(df):
+        return {r["g"]: list(r["sketch"]) for r in df.collect()}
+
+    ab = rows(merge_sketch_tables(a, b, 64))
+    ba = rows(merge_sketch_tables(b, a, 64))
+    replay = rows(merge_sketch_tables(
+        merge_sketch_tables(a, b, 64), b, 64))
+    full = rows(kmv.kmv_sketch(grouped_values, "g", "h", k=64))
+    assert ab == ba == replay == full

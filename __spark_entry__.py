@@ -49,8 +49,27 @@ _DRIVER_VERIFIED = [
     "c04b_from_json_struct", "c05_multimodal_meta", "c05b_image_features",
     "c05c_frame_sample", "c06_minhash_neardup", "c07_simhash_neardup",
     "c08_ngram_jaccard",
-    # c09/c10 errored in r02 (fixed since) -> keep them in the front
-    # window so they get a green row this round.
+    # --- r03 greens (CORRECTNESS_r03.json: 46 hash_match + 4 rows-only) ---
+    "c09_ivf_ann", "c10_embedding_neardup", "b20_percentiles",
+    "b22_salted_distinct_agg", "b24_full_outer_join", "c11_map_functions",
+    "b25_tumbling_window", "c12_string_suite", "c13_array_suite",
+    "b26_datetime_suite", "b27_unpivot", "b28_semi_anti_join",
+    "q01_pricing_summary", "q03_shipping_priority", "q06_forecast_revenue",
+    "q05_local_supplier_volume", "q18_large_volume_customer",
+    "q04_exists_subquery", "q17_small_qty_revenue", "c14_tfidf_top_terms",
+    "c15_contamination_check", "c16_pii_scrub", "c17_stratified_sample",
+    "q13_order_count_distribution", "q19_disjunctive_predicates",
+    "q22_dormant_accounts", "b29_sessionization", "b30_retention_cohorts",
+    "c05d_audio_features", "q10_returned_item_revenue",
+    "q12_priority_line_counts", "q14_promo_revenue_pct",
+    "b31_outlier_filter", "b32_sequence_gap_detection",
+    "b33_funnel_analysis", "c20_label_centroids", "b34_moving_range_window",
+    "b35_gap_fill_forward", "c21_doc_chunking", "c22_sequence_packing",
+    "q07_volume_shipping", "q08_market_share", "q15_top_supplier",
+    "q21_waiting_supplier", "q02_min_cost_supplier", "q09_product_profit",
+    # rows-only (no_oracle) in r03 -- already driver-exercised, rotate back
+    "b23_approx_sketches", "c06f_minhash_neardup_fast",
+    "c07f_simhash_neardup_fast", "c18_kmeans_ivf_ann",
 ]
 
 

@@ -137,3 +137,25 @@ def test_erase_keys_is_surgical_and_complete(spark, tmp_path):
     out2 = erase_keys(spark, root, key_col="user", keys=[99],
                       partition_col="day")
     assert out2 == {"partitions_rewritten": 0, "rows_erased": 0}
+
+
+def test_erase_keys_preserves_null_keys(spark, tmp_path):
+    """NULL-keyed rows in a rewritten partition must survive the
+    erasure (NOT IN is NULL for NULL keys — a bare negation would
+    silently drop them; round-3 advice regression)."""
+    import datetime as dt
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import erase_keys
+
+    root = str(tmp_path / "tn")
+    d1 = dt.date(2024, 3, 1)
+    rows = [(1, "a1", d1), (None, "anon", d1), (2, "a2", d1)]
+    df = spark.createDataFrame(rows, "user long, v string, day date")
+    df.repartition(1).write.partitionBy("day").parquet(root)
+
+    out = erase_keys(spark, root, key_col="user", keys=[2],
+                     partition_col="day")
+    assert out == {"partitions_rewritten": 1, "rows_erased": 1}
+    got = spark.read.parquet(root)
+    assert got.count() == 2
+    assert got.filter(F.col("user").isNull()).count() == 1

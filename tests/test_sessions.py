@@ -99,3 +99,23 @@ def test_lookback_dedup_incremental_equals_batch(spark):
     # state stays bounded by the lookback horizon
     mx = ev.agg(F.max("day")).collect()[0][0]
     assert all(r["last_day"] >= mx - 7 for r in state.collect())
+
+
+def test_increment_first_batch_accepts_string_keys(spark):
+    """The empty initial state must take its key type from the batch
+    — a hardcoded `long` fails string-keyed datasets on their first
+    batch (round-3 advice regression)."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        dedup_increment)
+    ev = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 1)], "key string, day long")
+    kept, state = dedup_increment(ev, None, lookback_days=7)
+    assert {(r["key"], r["day"]) for r in kept.collect()} == \
+        {("a", 1), ("b", 1)}
+    assert dict(state.collect()) == {"a": 3, "b": 1}
+
+    ev2 = spark.createDataFrame(
+        [("u1", 10), ("u1", 5000)], "user string, ts long")
+    closed, st = sessions.sessionize_increment(ev2, None, gap_seconds=60)
+    assert _rows(closed) == [("u1", 10, 10, 1)]
+    assert _rows(sessions.finalize(st)) == [("u1", 5000, 5000, 1)]

@@ -58,6 +58,24 @@ def test_radius_pairs_handles_negative_coords(spark):
     assert got == {(1, 2)}
 
 
+def test_radius_pairs_no_int32_overflow(spark):
+    """IntegerType coordinates with a large radius: the squared
+    distance must be computed in 64-bit (int math wraps at 2^31 for
+    radius over ~15k, admitting wrong pairs — round-3 advice)."""
+    # dsq = 60000^2 = 3.6e9 > 2^31; wrapped it becomes negative and
+    # would pass the `< r^2` filter.
+    pts = [(1, 0, 0), (2, 60000, 0)]
+    df = spark.createDataFrame(pts, "id int, x int, y int")
+    got = spatial.radius_pairs(df, radius=50000).collect()
+    assert got == []
+    # and a genuinely-close pair at int type still matches exactly
+    pts2 = [(1, 0, 0), (2, 49999, 0)]
+    df2 = spark.createDataFrame(pts2, "id int, x int, y int")
+    rows = spatial.radius_pairs(df2, radius=50000).collect()
+    assert [(r["id_a"], r["id_b"], r["dist_sq"]) for r in rows] == \
+        [(1, 2, 49999 * 49999)]
+
+
 def test_radius_join_is_cell_equi_join(spark, random_points):
     """The candidate join must hash on the grid-cell key -- a plan
     that falls back to BroadcastNestedLoop/Cartesian means the engine

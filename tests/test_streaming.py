@@ -356,6 +356,58 @@ def test_timed_out_session_emission(spark, landing, tmp_path):
     assert rows["V1"].n_reports == 1
 
 
+def test_timed_out_session_intra_batch_gap_split(spark, landing, tmp_path):
+    """Events for one key arriving in the SAME micro-batch but > gap
+    apart (the availableNow/backlog catch-up shape) must yield two
+    sessions — the first closed by in-batch data, not silently merged
+    into the carried state (round-3 advice regression)."""
+    import json
+
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        timed_out_sessions)
+
+    t0 = 1709532000
+
+    def snap(entities):
+        return json.dumps({"entity": entities})
+
+    def veh(eid, vid, epoch):
+        return {"id": eid, "vehicle": {
+            "trip": {"trip_id": "t", "route_id": "R0"},
+            "position": {"latitude": 43.7, "longitude": 7.27},
+            "vehicle": {"id": vid}, "timestamp": epoch}}
+
+    stream = read_feed_stream(spark, str(landing))
+    out = timed_out_sessions(stream, gap_seconds=300,
+                             watermark="5 seconds")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("vp_gap_split")
+         .option("checkpointLocation", str(tmp_path / "ckpt_g")).start())
+
+    # ONE batch: V0 has a burst at t0..t0+60, then a second burst a
+    # full hour later (>> gap) — backlog catch-up in a single batch.
+    _write_snapshot(landing, "vp_1.json", snap(
+        [veh("a", "V0", t0), veh("b", "V0", t0 + 60),
+         veh("c", "V0", t0 + 3600), veh("d", "V0", t0 + 3660)]))
+    q.processAllAvailable()
+    # advance the watermark so the SECOND session's timer fires too
+    _write_snapshot(landing, "vp_2.json",
+                    snap([veh("e", "V9", t0 + 8000)]))
+    q.processAllAvailable()
+    _write_snapshot(landing, "vp_3.json",
+                    snap([veh("f", "V9", t0 + 8100)]))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(
+        (r for r in spark.sql("SELECT * FROM vp_gap_split").collect()
+         if r.vehicle_id == "V0"),
+        key=lambda r: r.session_start)
+    assert [(r.session_start, r.session_end, r.n_reports)
+            for r in rows] == [(t0, t0 + 60, 2),
+                               (t0 + 3600, t0 + 3660, 2)]
+
+
 def test_streaming_kmv_accumulation_equals_batch(spark, landing, tmp_path):
     """Accumulated micro-batch KMV state must equal the batch sketch
     of all data — set-merge is lossless and idempotent, so replays
@@ -364,7 +416,7 @@ def test_streaming_kmv_accumulation_equals_batch(spark, landing, tmp_path):
     from tp_airflow_gtfs_snowflake_spark.sources.gtfs_rt import (
         flatten_vehicle_positions, parse_feed_json)
     from tp_airflow_gtfs_snowflake_spark.streaming.sketch_state import (
-        start_kmv_accumulation)
+        read_sketch_state, start_kmv_accumulation)
 
     snaps = fixtures_gtfs.make_feed_snapshots(3)
     state_dir = str(tmp_path / "kmv_state")
@@ -390,7 +442,7 @@ def test_streaming_kmv_accumulation_equals_batch(spark, landing, tmp_path):
     run_available()
 
     got = {r["g"]: list(r["sketch"])
-           for r in spark.read.parquet(state_dir).collect()}
+           for r in read_sketch_state(spark, state_dir).collect()}
 
     # batch recompute over all three snapshots at once
     batch = spark.createDataFrame([(s,) for s in snaps],

@@ -299,8 +299,13 @@ def erase_keys(spark: SparkSession, table_path: str, *, key_col: str,
     if not hit_parts:
         return {"partitions_rewritten": 0, "rows_erased": 0}
     affected = df.filter(F.col(partition_col).isin(hit_parts))
+    # NULL keys: `key IN (...)` is NULL for NULL keys, so a bare
+    # negation would silently DROP null-keyed rows from the rewritten
+    # partitions (round-3 advice).  Keep them explicitly — only rows
+    # that positively match a doomed key are erased.
     erased = affected.filter(F.col(key_col).isin(doomed)).count()
-    kept = affected.filter(~F.col(key_col).isin(doomed))
+    kept = affected.filter((~F.col(key_col).isin(doomed))
+                           | F.col(key_col).isNull())
     kept = kept.localCheckpoint(eager=True)  # sever from the files
     (kept.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

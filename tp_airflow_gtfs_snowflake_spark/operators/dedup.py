@@ -491,7 +491,11 @@ def dedup_increment(batch: DataFrame, state: DataFrame | None, *,
     from pyspark.sql import Window as W
     spark = batch.sparkSession
     if state is None:
-        state = spark.createDataFrame([], f"{key_col} long, last_day long")
+        # derive the key type from the batch — a hardcoded `long`
+        # breaks string-keyed datasets on their first batch
+        kt = batch.schema[key_col].dataType.simpleString()
+        state = spark.createDataFrame(
+            [], f"{key_col} {kt}, last_day long")
     w = W.partitionBy(key_col).orderBy(day_col)
     prev_in = state.select(key_col, F.col("last_day").alias("_state_day"))
     flagged = (batch

@@ -64,8 +64,11 @@ def sessionize_increment(events: DataFrame, open_state: DataFrame | None,
     cur = (cur.withColumn("rn", F.row_number().over(wo))
            .withColumn("n_sess", F.count("*").over(W.partitionBy("user"))))
     if open_state is None:
+        # key type follows the input — a hardcoded `long` breaks
+        # string-keyed datasets on their first batch
+        ut = events.schema[user_col].dataType.simpleString()
         open_state = spark.createDataFrame(
-            [], "user long, start_epoch long, end_epoch long, n long")
+            [], f"user {ut}, start_epoch long, end_epoch long, n long")
     prev = open_state.select(
         "user", F.col("start_epoch").alias("p_start"),
         F.col("end_epoch").alias("p_end"), F.col("n").alias("p_n"))

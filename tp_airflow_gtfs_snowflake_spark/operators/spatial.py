@@ -46,9 +46,13 @@ def radius_pairs(points: DataFrame, *, id_col: str = "id",
     """
     if radius <= 0:
         raise ValueError("radius must be positive")
+    # cast to long up front: with IntegerType inputs the squared
+    # distance would wrap at 2^31 (radius over ~15k admits wrong
+    # pairs) — the documented overflow guarantee needs 64-bit math
+    # for any integer input type.
     p = points.select(F.col(id_col).alias("pid"),
-                      F.col(x_col).alias("px"),
-                      F.col(y_col).alias("py"))
+                      F.col(x_col).cast("long").alias("px"),
+                      F.col(y_col).cast("long").alias("py"))
     left = p.select(
         "pid", "px", "py",
         (F.col("px") - (F.col("px") % radius)).alias("gx"),
@@ -72,7 +76,7 @@ def radius_pairs(points: DataFrame, *, id_col: str = "id",
            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")))
     return (left.join(right, ["gx", "gy"])
             .filter((F.col("pid") < F.col("qid"))
-                    & (dsq < F.lit(radius) * F.lit(radius)))
+                    & (dsq < F.lit(int(radius) * int(radius))))
             .select(F.col("pid").alias("id_a"),
                     F.col("qid").alias("id_b"),
                     dsq.alias("dist_sq")))

@@ -212,17 +212,39 @@ def timed_out_sessions(feed_stream: DataFrame, *,
                                  "session_end": end,
                                  "n_reports": n}])
             return
-        start, end, n = state.get if state.exists else (None, None, 0)
+        # Gap-aware merge (round-3 advice): the timer only fires for
+        # keys with NO input this batch, so events arriving in one
+        # batch but > gap apart (guaranteed during availableNow /
+        # backlog catch-up) must be split HERE, not folded into one
+        # carried session.  Treat the carried state as an interval,
+        # each event as a point interval, sort, and merge on the gap;
+        # every merged session except the last is provably closed by
+        # in-batch data and is emitted now, the last stays in state.
+        intervals: list[list[int]] = []
+        if state.exists:
+            s0, e0, n0 = state.get
+            intervals.append([s0, e0, n0])
+        epochs: list[int] = []
         for pdf in pdfs:
-            if not len(pdf):
-                continue
-            es = pdf["timestamp_epoch"]
-            mn, mx = int(es.min()), int(es.max())
-            start = mn if start is None else min(start, mn)
-            end = mx if end is None else max(end, mx)
-            n += len(pdf)
-        if end is None:
+            if len(pdf):
+                epochs.extend(int(x) for x in pdf["timestamp_epoch"])
+        intervals.extend([e, e, 1] for e in sorted(epochs))
+        intervals.sort(key=lambda iv: iv[0])
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= gap_seconds:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        if not merged:
             return
+        *closed, (start, end, n) = merged
+        if closed:
+            yield pd.DataFrame(
+                [{"vehicle_id": key[0], "session_start": s,
+                  "session_end": e, "n_reports": c}
+                 for s, e, c in closed])
         state.update((start, end, n))
         # re-arm: expire when the watermark proves the gap elapsed
         state.setTimeoutTimestamp((end + gap_seconds) * 1000)

@@ -757,3 +757,65 @@ def test_b104_pointer_doubling_rounds_are_equi_joins(spark):
     plan = nxt._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _single_partition_exchanges_over_raw_scans(df):
+    """Offending SinglePartition exchanges: ones whose subtree reaches
+    a file scan WITHOUT passing through an aggregate.  Collapsing a
+    post-aggregate (block/bucket) table to one partition is fine — it
+    is tiny by construction; collapsing a raw scan is the global-sort
+    anti-pattern that falls over at 100 TB."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    bad = []
+
+    def kids(n):
+        c = n.children()
+        return [c.apply(i) for i in range(c.size())]
+
+    def scan_before_agg(n):
+        name = n.nodeName()
+        if "Aggregate" in name:
+            return False
+        if name.startswith("Scan") or "FileScan" in name:
+            return True
+        return any(scan_before_agg(k) for k in kids(n))
+
+    def walk(n):
+        if (n.nodeName() == "Exchange"
+                and "SinglePartition" in n.outputPartitioning().toString()):
+            for k in kids(n):
+                if scan_before_agg(k):
+                    bad.append(n.toString()[:200])
+        for k in kids(n):
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
+def test_two_pass_prefix_ops_have_no_global_sort_over_facts(spark):
+    """b107 PPS cumsum, b106 skyline, b47 equi-depth ntile: the r03
+    verdict's three toy-scale global windows, now two-pass (local
+    window per range block + tiny block-offset table).  Gate: no
+    SinglePartition exchange may sit over a raw scan — only over the
+    post-aggregate block tables."""
+    for name in ("b107_pps_systematic_sample", "b106_skyline_docs",
+                 "b47_equidepth_histogram"):
+        df = REGISTRY[name].fn(spark, SF_ORACLE)
+        bad = _single_partition_exchanges_over_raw_scans(df)
+        assert not bad, f"{name}: global collapse of a raw scan: {bad}"
+
+
+def test_single_partition_gate_catches_global_window(spark):
+    """Negative control: a genuinely global-ordered window over a raw
+    scan must be flagged, or the gate above proves nothing."""
+    from pyspark.sql import Window as W
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    badq = docs.select(
+        "doc_id",
+        F.sum("n_chars").over(W.orderBy("doc_id")
+                              .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+    assert _single_partition_exchanges_over_raw_scans(badq)

@@ -584,22 +584,46 @@ def c36_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
     FROM q GROUP BY decile
     """,
-    "equi-depth (quantile-bucket) histogram via ntile: each decile "
-    "holds the same row count, bucket bounds come out of min/max per "
+    "equi-depth (quantile-bucket) histogram: each decile holds the "
+    "same row count (±1), bucket bounds come out of min/max per "
     "bucket (b09 is the fixed-WIDTH histogram; equi-depth is what "
-    "optimizers and feature-binning actually use).  The ntile window "
-    "is a GLOBAL sort — the one legitimately global-sort op in the "
-    "registry; at 100 TB use range partitioning + per-partition "
-    "offsets (write_range_layout) or approx_percentile instead, which "
-    "is exactly the trade b23 demonstrates.  Tiebreak on the key "
-    "makes bucket assignment deterministic",
+    "optimizers and feature-binning actually use).  EXACT ntile "
+    "semantics without a global sort (r03 verdict item): value-range "
+    "blocks -> local row_number per block (parallel window), block "
+    "counts cumsum'd on the tiny block table and broadcast back as "
+    "rank offsets, then the SQL-standard ntile formula (first n%10 "
+    "buckets one row larger) applied to the exact global rank.  "
+    "Tiebreak on the key makes rank, hence bucket, deterministic",
 )
 def b47_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    q = o.select("o_totalprice",
-                 F.ntile(10).over(
-                     W.orderBy("o_totalprice", "o_orderkey"))
-                 .alias("decile"))
+    s = o.select("o_totalprice", "o_orderkey")
+    # block id monotone in o_totalprice; ties share a block, so the
+    # (price, key) order is globally consistent across blocks
+    blk = s.withColumn(
+        "_b", F.expr("cast(floor(o_totalprice) as bigint) div 5000"))
+    local = blk.withColumn(
+        "_lr", F.row_number().over(
+            W.partitionBy("_b").orderBy("o_totalprice", "o_orderkey")))
+    bcnt = blk.groupBy("_b").agg(F.count("*").alias("_c"))
+    boff = bcnt.select(
+        "_b",
+        F.coalesce(F.sum("_c").over(W.orderBy("_b")
+                                    .rowsBetween(W.unboundedPreceding,
+                                                 -1)),
+                   F.lit(0)).alias("_off"))
+    tot = bcnt.agg(F.sum("_c").alias("_n"))
+    ranked = (local.join(F.broadcast(boff), "_b")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("_r", F.col("_off") + F.col("_lr")))
+    # ntile(10) from the exact global rank: the first (n mod 10)
+    # buckets hold ceil(n/10) rows, the rest floor(n/10)
+    decile = F.expr(
+        "CASE WHEN _r <= (_n div 10 + 1) * (_n % 10) "
+        "THEN (_r - 1) div (_n div 10 + 1) + 1 "
+        "ELSE (_n % 10) + (_r - (_n div 10 + 1) * (_n % 10) - 1) "
+        "div (_n div 10) + 1 END")
+    q = ranked.select("o_totalprice", decile.alias("decile"))
     return (q.groupBy("decile")
             .agg(F.count("*").cast("long").alias("n"),
                  F.floor(F.min("o_totalprice") * 100).cast("long")

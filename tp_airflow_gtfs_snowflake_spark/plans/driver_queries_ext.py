@@ -1151,9 +1151,32 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable twins (c06/c07) carry the value-level verification.
 
 @_register(
-    "c06f_minhash_neardup_fast", None,
-    "c06 with the xxhash64 base hash (engine fast path; oracle can't "
-    "reproduce JVM xxhash64, value check covered by c06)",
+    "c06f_minhash_neardup_fast",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    common AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+                      count(*) AS n_common
+               FROM sh s1 JOIN sh s2
+                 ON s2.sh = s1.sh AND s1.doc_id < s2.doc_id
+               GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT d1, d2,
+           n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common JOIN sizes x ON x.doc_id = d1
+                JOIN sizes y ON y.doc_id = d2
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.5
+    """,
+    "c06 with the xxhash64 base hash (engine fast path, ~3x less "
+    "hash cost).  VALUE-ORACLED against the exact Jaccard >= 0.5 "
+    "pair set (r03 verdict item 9): the verify filter makes every "
+    "emitted (d1, d2, jaccard) hash-INDEPENDENT — only candidate "
+    "recall depends on xxhash64, and banding recall is empirically "
+    "full on the test corpora (missed = 0 at sf0.001 and sf0.01, "
+    "checked against the candidate-free exact oracle).  In general "
+    "banding recall is probabilistic (1-(1-s^r)^b); a miss would "
+    "surface as a hash-mismatch row, which is exactly the signal "
+    "we want",
 )
 def c06f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
@@ -1166,7 +1189,14 @@ def c06f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "c07f_simhash_neardup_fast", None,
     "c07 with the xxhash64 base hash (engine fast path; value check "
-    "covered by c07)",
+    "covered by c07).  Irreducibly rows-only, unlike c06f: the "
+    "OUTPUT column is signature Hamming distance and the signature "
+    "bits are votes over per-shingle xxhash64 bits — both pair "
+    "membership and the emitted value are functions of a hash DuckDB "
+    "cannot compute, and there is no hash-free verify filter to "
+    "anchor on (c06f's exact-Jaccard verify is what makes IT "
+    "oracle-able).  Multi-table recall at the radius and c07 parity "
+    "are the compensating checks",
 )
 def c07f_simhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))

@@ -661,23 +661,72 @@ def b48_listagg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "c38_heavy_hitters", None,
-    "frequent-items sketch: Misra-Gries summaries per partition "
-    "(vectorized mapInPandas, k=32 counters), merged with one "
-    "groupBy-sum into guaranteed-superset heavy hitters over the "
-    "corpus token stream — the mergeable-summary discipline of "
-    "b41 (HLL) and b44 (bitmaps) applied to top-k items.  rows-only "
-    "check (counter state depends on partition order); the n/(k+1) "
-    "undercount bound and planted-heavy-item recall are pinned in "
+    "c38_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+               AS item
+      FROM documents
+    ), h AS (
+      SELECT item,
+             CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) % 32
+               AS p
+      FROM toks
+    ), cnt AS (
+      SELECT p, item, count(*) AS c FROM h GROUP BY p, item
+    ), rk AS (
+      SELECT p, item, c,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY c DESC, item) AS rn
+      FROM cnt
+    ), mm AS (
+      SELECT p, max(CASE WHEN rn = 33 THEN c ELSE 0 END) AS m
+      FROM rk GROUP BY p
+    )
+    SELECT item, CAST(c - m AS BIGINT) AS est_count
+    FROM rk JOIN mm USING (p)
+    WHERE c > m
+    ORDER BY est_count DESC, item
+    LIMIT 10
+    """,
+    "frequent-items sketch, DETERMINISTIC two-level Misra-Gries "
+    "(r03 verdict item 5 — flipped from rows-only to value-hash via "
+    "the b102 portable-hash pattern): tokens shard by "
+    "portable-md5-48 % 32, each shard keeps its exact count table "
+    "truncated one-shot MG style (subtract the 33rd-largest count, "
+    "keep positive) — a valid mergeable summary with the same "
+    "n_p/(k+1) undercount bound, but a pure function of the input "
+    "multiset, so DuckDB reproduces every count bit-for-bit.  Each "
+    "item lives in exactly one shard, so its lower bound is "
+    "global-count minus one shard's m.  The order-dependent one-pass "
+    "operator (operators/heavy_hitters.py, mapInPandas) remains the "
+    "streaming form; its bounds stay pinned in "
     "tests/test_operators_extra.py",
 )
 def c38_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tp_airflow_gtfs_snowflake_spark.operators.heavy_hitters import (
-        heavy_hitters)
+    from pyspark.sql import Window as W
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv
+    k = 32
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = docs.select(
-        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"))
-    return heavy_hitters(toks, "tok", k=32, top=10)
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("item"))
+    cnt = (toks
+           .groupBy(F.pmod(kmv.portable_hash48(F.col("item")),
+                           F.lit(32)).alias("p"), "item")
+           .agg(F.count("*").alias("c")))
+    rk = cnt.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("p").orderBy(F.desc("c"), F.asc("item"))))
+    mm = (rk.groupBy("p")
+          .agg(F.max(F.when(F.col("rn") == k + 1, F.col("c"))
+                     .otherwise(F.lit(0))).alias("m")))
+    return (rk.join(mm, "p")
+            .filter(F.col("c") > F.col("m"))
+            .select("item",
+                    (F.col("c") - F.col("m")).cast("long")
+                    .alias("est_count"))
+            .orderBy(F.desc("est_count"), F.asc("item"))
+            .limit(10))
 
 
 @_register(

@@ -560,6 +560,75 @@ def c05b_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "c05e_real_image_decode",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+             md5(CAST(doc_id AS VARCHAR))
+               || md5(CAST(doc_id + 1000000 AS VARCHAR))
+               || md5(CAST(doc_id + 2000000 AS VARCHAR)) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h),
+               i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT // 32)
+               AS bins
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(len(list_filter(bins, x -> x = 0)) * 1000000 // (w * h) AS BIGINT) AS f0,
+           CAST(len(list_filter(bins, x -> x = 1)) * 1000000 // (w * h) AS BIGINT) AS f1,
+           CAST(len(list_filter(bins, x -> x = 2)) * 1000000 // (w * h) AS BIGINT) AS f2,
+           CAST(len(list_filter(bins, x -> x = 3)) * 1000000 // (w * h) AS BIGINT) AS f3,
+           CAST(len(list_filter(bins, x -> x = 4)) * 1000000 // (w * h) AS BIGINT) AS f4,
+           CAST(len(list_filter(bins, x -> x = 5)) * 1000000 // (w * h) AS BIGINT) AS f5,
+           CAST(len(list_filter(bins, x -> x = 6)) * 1000000 // (w * h) AS BIGINT) AS f6,
+           CAST(len(list_filter(bins, x -> x = 7)) * 1000000 // (w * h) AS BIGINT) AS f7
+    FROM b
+    """,
+    "charter multimodal through the REAL decoder (r03 verdict item 6 "
+    "— every prior multimodal driver row exercised fake=True): build "
+    "a binary netpbm P5 payload per document IN SQL (header + md5-"
+    "derived pixel bytes, dims varying 3-7 x 2-5 per doc), run it "
+    "through _real_decode's netpbm path via the production Arrow "
+    "mapInPandas operator, and value-check width/height/channels and "
+    "the full 8-bin ppm histogram against DuckDB recomputing the "
+    "same bytes with integer arithmetic.  Proves header parsing, "
+    "dimension extraction and pixel accounting on genuine image "
+    "bytes, not the fake stand-in",
+)
+def c05e_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.expr("3 + doc_id % 5").alias("w"),
+        F.expr("2 + doc_id % 4").alias("h"),
+        F.expr("unhex(md5(CAST(doc_id AS STRING)) "
+               "|| md5(CAST(doc_id + 1000000 AS STRING)) "
+               "|| md5(CAST(doc_id + 2000000 AS STRING)))").alias("raw"))
+    src = src.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.concat_ws("", F.lit("P5 "), F.col("w").cast("string"),
+                                 F.lit(" "), F.col("h").cast("string"),
+                                 F.lit(" 255\n")), "UTF-8"),
+            F.expr("substring(raw, 1, w * h)")).alias("payload"))
+    feats = decode_image_features(src, id_col="doc_id",
+                                  payload_col="payload", fake=False)
+    bins = [F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(8)]
+    return feats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        *bins)
+
+
+@_register(
     "c05c_frame_sample",
     """
     WITH f AS (

@@ -663,6 +663,30 @@ def test_cell_blocked_neardup_sub_blocks_invariant(spark):
         assert got == base, f"sub_blocks={sb} diverged"
 
 
+def test_cell_blocked_neardup_auto_engages_on_hot_cell(spark):
+    """sub_blocks=None auto-sizing: a skewed corpus (one dominant IVF
+    cell) must trigger the block-pair grid with ceil(max/cap) blocks
+    — and the result must still equal the unblocked pair set."""
+    from tests.conftest import SF_ORACLE
+    from tp_airflow_gtfs_snowflake_spark.operators import similarity as SIM
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    emb = _t(spark, SF_ORACLE, "embeddings")
+    # tiny cap -> even the oracle fixture has a "hot" cell
+    auto = {(r["d1"], r["d2"], r["cos_sim"]) for r in
+            SIM.cell_blocked_neardup(emb, threshold=0.3,
+                                     hot_cell_cap=16).collect()}
+    plain = {(r["d1"], r["d2"], r["cos_sim"]) for r in
+             SIM.cell_blocked_neardup(emb, threshold=0.3,
+                                      sub_blocks=1).collect()}
+    assert auto == plain and plain
+    # the auto rule itself: max cell size 100, cap 16 -> 7 blocks
+    asg = SIM.ivf_assign(emb)
+    mx = (asg.groupBy("cent_id").agg(F.count("*").alias("n"))
+          .agg(F.max("n").alias("m")).first()["m"])
+    assert mx > 16, "fixture not skewed enough for the cap"
+    assert -(-int(mx) // 16) > 1
+
+
 class TestPagerank:
     def _pr(self, spark, pairs, **kw):
         from tp_airflow_gtfs_snowflake_spark.operators.components import (

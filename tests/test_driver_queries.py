@@ -37,3 +37,37 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_c64b_sketch_matrix_tracks_exact_c64(spark, duck):
+    """The KMV-sketched source-overlap matrix must agree with the
+    exact inverted-index Jaccard within sketch tolerance (k=256 ->
+    ~6% std on retained-fraction estimates; the fixture Jaccards are
+    2-4%, so absolute ppm slack is the meaningful bound)."""
+    exact = {(r[0], r[1]): r[2] for r in duck.sql("""
+        WITH t AS (SELECT source,
+                          string_split_regex(trim(lower(text)), ' +')
+                            AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT source,
+                      unnest(list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' '
+                             || toks[i+2]))) AS sh
+               FROM t),
+        sizes AS (SELECT source, count(*) AS n_sh FROM sh
+                  GROUP BY source),
+        common AS (SELECT a.source s1, b.source s2, count(*) n
+                   FROM sh a JOIN sh b
+                     ON a.sh = b.sh AND a.source < b.source
+                   GROUP BY 1, 2)
+        SELECT s1, s2, n * 1000000 // (x.n_sh + y.n_sh - n)
+        FROM common JOIN sizes x ON x.source = s1
+                    JOIN sizes y ON y.source = s2""").fetchall()}
+    got = {(r["src1"], r["src2"]): r["jaccard_est_ppm"] for r in
+           REGISTRY["c64b_source_overlap_sketched"]
+           .fn(spark, SF_SMALL).collect()}
+    assert exact and set(exact) <= set(got)
+    diffs = sorted(abs(got[k] - e) for k, e in exact.items())
+    assert diffs[-1] <= 30_000, f"max drift {diffs[-1]} ppm"
+    assert diffs[int(len(diffs) * 0.9)] <= 15_000

@@ -1045,6 +1045,106 @@ def c64_source_overlap_matrix(spark: SparkSession,
 
 
 @_register(
+    "c64b_source_overlap_sketched",
+    """
+    WITH t AS (
+      SELECT source, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source AS g,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS sh
+      FROM t
+    ), hh AS (
+      SELECT DISTINCT g,
+             CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+      FROM sh
+    ), r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hh
+    ), agg AS (
+      SELECT g, count(*) AS nh,
+             CASE WHEN count(*) >= 256
+                  THEN max(CASE WHEN rn = 256 THEN h END)
+                  ELSE 281474976710656 END AS theta
+      FROM r WHERE rn <= 256 GROUP BY g
+    ), est AS (
+      SELECT g, theta,
+             CASE WHEN nh < 256 THEN nh
+                  ELSE 255 * 281474976710656 // theta END AS est
+      FROM agg
+    ), ret AS (
+      SELECT g, h FROM r WHERE rn <= 256
+    ), spine AS (
+      SELECT a.g AS src1, b.g AS src2,
+             least(a.theta, b.theta) AS cth, a.est AS e1, b.est AS e2
+      FROM est a JOIN est b ON a.g < b.g
+    ), common AS (
+      SELECT s.src1, s.src2, count(*) AS c
+      FROM spine s
+      JOIN ret ra ON ra.g = s.src1
+      JOIN ret rb ON rb.g = s.src2 AND rb.h = ra.h
+      WHERE ra.h < s.cth
+      GROUP BY s.src1, s.src2
+    )
+    SELECT s.src1 AS src1, s.src2 AS src2,
+           CAST(coalesce(c.c, 0) * 281474976710656 // s.cth AS BIGINT)
+             AS est_inter,
+           CAST(coalesce(c.c, 0) * 281474976710656 // s.cth * 1000000
+                // (s.e1 + s.e2
+                    - coalesce(c.c, 0) * 281474976710656 // s.cth)
+                AS BIGINT) AS jaccard_est_ppm
+    FROM spine s
+    LEFT JOIN common c ON c.src1 = s.src1 AND c.src2 = s.src2
+    ORDER BY s.src1, s.src2
+    """,
+    "c64's docstring escape hatch, implemented (r03 verdict item 7): "
+    "source-overlap matrix from per-source KMV/theta sketches "
+    "instead of the exact inverted-index self-join.  Each source "
+    "collapses to a k=256 sketch of its distinct 3-gram shingles "
+    "(one Arrow partial pass + one k-bounded merge agg — the ONLY "
+    "work proportional to the corpus), and the |sources|^2 pairwise "
+    "stage is array math over tiny sketch rows: at 1000s of sources "
+    "the c64 join's |shingles| x |sources|^2 blowup disappears.  "
+    "Portable md5-48 hash + truncating-integer estimators make it "
+    "VALUE-HASH oracled (the b102/b103 pattern), not merely "
+    "rows-only as charted; accuracy vs exact c64 is pinned in "
+    "tests/test_driver_queries.py",
+)
+def c64b_source_overlap_sketched(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    sh = (docs.select(F.col("source").alias("g"),
+                      F.explode(token_shingles(F.col("text"), 3))
+                      .alias("sh"))
+          .distinct())
+    hashed = sh.select(
+        "g", _kmv.portable_hash48(F.col("sh")).alias("h")).distinct()
+    sk = _kmv.kmv_sketch(hashed, "g", "h", k=256)
+    est = _kmv.with_distinct_estimate(sk, 256)
+    a = est.select(F.col("g").alias("src1"),
+                   F.col("sketch").alias("sketch_a"),
+                   F.col("est").alias("e1"))
+    b = est.select(F.col("g").alias("src2"),
+                   F.col("sketch").alias("sketch_b"),
+                   F.col("est").alias("e2"))
+    spine = a.join(b, F.col("src1") < F.col("src2"))
+    out = _kmv.with_intersect_estimate(spine, 256)
+    return (out.withColumn(
+        "jaccard_est_ppm",
+        F.expr("est_inter * 1000000 div (e1 + e2 - est_inter)")
+        .cast("long"))
+        .select("src1", "src2",
+                F.col("est_inter").cast("long").alias("est_inter"),
+                "jaccard_est_ppm"))
+
+
+@_register(
     "c65_effective_token_yield",
     """
     WITH canon AS (

@@ -316,6 +316,90 @@ def c26_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "c26c_pq_adc_int",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), cbl AS (
+      SELECT list(q ORDER BY vec_id) AS books
+      FROM e WHERE vec_id < 16
+    ), qv AS (
+      SELECT q AS qq FROM e WHERE vec_id = 0
+    ), sub AS (
+      SELECT e.vec_id, j.j,
+             list_transform(range(0, 16), c ->
+               list_sum(list_transform(range(1, 17), i ->
+                 (e.q[j.j * 16 + i] - cbl.books[c + 1][j.j * 16 + i])
+                 * (e.q[j.j * 16 + i]
+                    - cbl.books[c + 1][j.j * 16 + i])))) AS dl,
+             list_transform(range(0, 16), c ->
+               list_sum(list_transform(range(1, 17), i ->
+                 (qv.qq[j.j * 16 + i] - cbl.books[c + 1][j.j * 16 + i])
+                 * (qv.qq[j.j * 16 + i]
+                    - cbl.books[c + 1][j.j * 16 + i])))) AS lut
+      FROM e, cbl, qv, range(0, 4) j(j)
+    ), scored AS (
+      SELECT vec_id,
+             sum(lut[list_position(dl, list_min(dl))]) AS adc_dist
+      FROM sub GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+    FROM scored
+    ORDER BY adc_dist, vec_id
+    LIMIT 20
+    """,
+    "VALUE-HASH-oracled PQ/ADC (the c26/c26b family's missing hard "
+    "check): embeddings quantize to an integer grid (round(x*1000)), "
+    "codebooks are the 16 lowest-id vectors' subvectors (m=4 "
+    "subspaces x 16 codewords, the ivf_assign stand-in discipline), "
+    "encode = integer squared-L2 argmin per subspace (ties to the "
+    "lowest code via first-position), ADC = 4 lookups in the query's "
+    "m x 16 integer LUT shipped as a literal.  All-integer "
+    "arithmetic end to end, so DuckDB reproduces every distance "
+    "bit-for-bit — proving the ADC scan logic the rows-only trained "
+    "variants share.  Scan shape is identical to c26: narrow per-row "
+    "map over codes + TakeOrdered top-k, zero exchanges before the "
+    "final k rows",
+)
+def c26c_pq_adc_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, k_words, d = 4, 16, 16
+    emb = _t(spark, sf_dir, "embeddings")
+    qi = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 1000).cast("long"))
+    quant = emb.select("vec_id", qi.alias("q"))
+    # bounded driver pulls: 16 codebook vectors + the query vector
+    books = {int(r["vec_id"]): list(r["q"]) for r in
+             quant.filter(F.col("vec_id") < k_words).collect()}
+    qvec = next(v for i, v in books.items() if i == 0)
+    sub = lambda vec, j: vec[j * d:(j + 1) * d]
+    luts = [[sum((a - b) * (a - b)
+                 for a, b in zip(sub(qvec, j), sub(books[c], j)))
+             for c in range(k_words)] for j in range(m)]
+
+    adc_terms = []
+    for j in range(m):
+        s = F.slice(F.col("q"), j * d + 1, d)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(s,
+                           F.array(*[F.lit(w) for w in sub(books[c], j)]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for c in range(k_words)])
+        code = F.array_position(dists, F.array_min(dists))  # 1-based
+        lut = F.array(*[F.lit(int(x)) for x in luts[j]])
+        adc_terms.append(F.element_at(lut, code.cast("int")))
+    total = adc_terms[0]
+    for t in adc_terms[1:]:
+        total = total + t
+    return (quant.select("vec_id", total.cast("long").alias("adc_dist"))
+            .orderBy("adc_dist", "vec_id").limit(20))
+
+
+@_register(
     "b37_constraint_audit",
     """
     SELECT 'lineitem_orphan_orderkey' AS check_name,

@@ -159,3 +159,46 @@ def test_erase_keys_preserves_null_keys(spark, tmp_path):
     got = spark.read.parquet(root)
     assert got.count() == 2
     assert got.filter(F.col("user").isNull()).count() == 1
+
+
+def test_merge_replace_is_surgical(spark, tmp_path):
+    """MERGE semantics with the erase_keys partition discipline:
+    matched keys replaced, new keys inserted, a key moving partition
+    vacates the old one, and untouched partitions keep byte-identical
+    files."""
+    import datetime as dt
+    import glob
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import merge_replace
+
+    root = str(tmp_path / "m")
+    d1, d2, d3, d4 = (dt.date(2024, 3, i) for i in (1, 2, 3, 4))
+    rows = ([(u, f"a{u}", d1) for u in (0, 1)]
+            + [(u, f"b{u}", d2) for u in (2, 3)]      # untouched
+            + [(9, "move-me", d3)])                   # fully owned
+    df = spark.createDataFrame(rows, "user long, v string, day date")
+    df.repartition(1).write.partitionBy("day").parquet(root)
+
+    def snap(day):
+        return {f: (os.path.getmtime(f), os.path.getsize(f))
+                for f in glob.glob(f"{root}/day={day}/*.parquet")}
+
+    before2 = snap("2024-03-02")
+    updates = spark.createDataFrame(
+        [(1, "a1-new", d1),     # in-place update
+         (9, "moved", d4),      # update that changes partition
+         (7, "fresh", d4)],     # insert
+        "user long, v string, day date")
+    out = merge_replace(spark, root, updates, key_col="user",
+                       partition_col="day")
+    assert out == {"partitions_rewritten": 3,  # d1, d3 (vacated), d4
+                   "rows_updated": 2, "rows_inserted": 1}
+
+    got = {(r["user"], r["v"], str(r["day"])) for r in
+           spark.read.parquet(root).collect()}
+    assert got == {(0, "a0", "2024-03-01"), (1, "a1-new", "2024-03-01"),
+                   (2, "b2", "2024-03-02"), (3, "b3", "2024-03-02"),
+                   (9, "moved", "2024-03-04"), (7, "fresh", "2024-03-04")}
+    assert not os.path.isdir(f"{root}/day=2024-03-03")  # vacated
+    assert snap("2024-03-02") == before2  # untouched = byte-stable

@@ -819,3 +819,13 @@ def test_single_partition_gate_catches_global_window(spark):
                               .rowsBetween(W.unboundedPreceding, 0))
         .alias("cum"))
     assert _single_partition_exchanges_over_raw_scans(badq)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """b111's LATERAL (ORDER BY ... LIMIT 2) subquery must decorrelate
+    into a WindowGroupLimit + equi-join — a correlated-execution or
+    nested-loop fallback would run the subquery per customer."""
+    p = _plan(spark, "b111_lateral_topk_orders")
+    assert "WindowGroupLimit" in p, f"no group-limit pushdown:\n{p[:1500]}"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1801,3 +1801,99 @@ def b116_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "div nullif(n_weekday * 2, 0)")
                         .cast("long"))
             .orderBy("event_type"))
+
+
+@_register(
+    "b111_lateral_topk_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(floor(t.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    "LATERAL correlated subquery with per-row ORDER BY + LIMIT — the "
+    "SQL-standard form of grouped top-k (each customer's 2 priciest "
+    "orders), exercised through spark.sql to prove the decorrelation "
+    "path: Catalyst rewrites the per-customer subquery into a "
+    "WindowGroupLimit (rank <= 2 maintained DURING the sort, "
+    "map-side, before any shuffle) + one equi-join — never an "
+    "O(customers) loop of subquery executions.  The same result as "
+    "b42's explicit window form, arrived at from the declarative "
+    "side; plan-gated in tests/test_plan_quality.py.  DuckDB "
+    "executes the identical SQL natively",
+)
+def b111_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(floor(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
+
+
+@_register(
+    "c95_contamination_13gram",
+    """
+    WITH toks AS (
+      SELECT doc_id, doc_id % 19 = 0 AS is_test,
+             string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, is_test,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 11),
+               i -> list_aggregate(t[i:i+12], 'string_agg', ' '))))
+               AS sh
+      FROM toks WHERE len(t) >= 13
+    ), train AS (
+      SELECT DISTINCT sh FROM g WHERE NOT is_test
+    ), hit AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN train USING (sh)
+      WHERE g.is_test
+    ), test_docs AS (
+      SELECT count(*) AS n_test FROM toks
+      WHERE is_test AND len(t) >= 13
+    )
+    SELECT CAST(n_test AS BIGINT) AS n_test,
+           CAST((SELECT count(*) FROM hit) AS BIGINT)
+             AS n_contaminated,
+           CAST((SELECT count(*) FROM hit) * 1000000 // n_test
+                AS BIGINT) AS contaminated_ppm
+    FROM test_docs
+    """,
+    "GPT-3-style 13-gram decontamination audit (Brown et al. 2020 "
+    "appendix C; the industry-standard n for test-set overlap): "
+    "fraction of held-out docs (doc_id % 19) sharing ANY 13-gram "
+    "with the training split.  Train side collapses to DISTINCT "
+    "13-grams before the semi-join (c30's discipline) and the test "
+    "side explodes only held-out docs — shuffle keys are shingle "
+    "strings, never documents; the c15/c30/c41 family's missing "
+    "standard-n variant.  At 100 TB hash the shingles first "
+    "(portable_hash48) to shrink shuffle width 10x",
+)
+def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", (F.col("doc_id") % 19 == 0).alias("is_test"),
+        token_shingles(F.col("text"), 13).alias("shs"),
+        F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_t"))
+    toks = toks.filter(F.col("n_t") >= 13)
+    g = toks.select("doc_id", "is_test",
+                    F.explode(F.array_distinct("shs")).alias("sh"))
+    train = g.filter(~F.col("is_test")).select("sh").distinct()
+    hit = (g.filter(F.col("is_test"))
+           .join(train, "sh", "left_semi")
+           .select("doc_id").distinct())
+    n_test = toks.filter(F.col("is_test")).count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [(n_test, n_hit, n_hit * 1_000_000 // max(n_test, 1))],
+        "n_test long, n_contaminated long, contaminated_ppm long")

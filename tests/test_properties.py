@@ -367,3 +367,102 @@ def test_spatial_radius_join_lossless_any_radius(spark, pts, radius):
         if d < radius * radius:
             want.add((min(i, j), max(i, j), d))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(1, 500)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+def test_two_pass_prefix_sum_equals_global_window(spark, rows):
+    """The b107-style blocked prefix sum (local cumsum per id-range
+    block + block offsets) must equal the single global-ordered window
+    for arbitrary ids and weights — including ids straddling block
+    boundaries and single-row blocks."""
+    from pyspark.sql import Window as W
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    want = {(r["doc_id"], r["cum"]) for r in df.select(
+        "doc_id",
+        F.sum("w").over(W.orderBy("doc_id")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum")).collect()}
+    blk = df.withColumn("_b", F.expr("doc_id div 16"))
+    local = blk.withColumn(
+        "_lc", F.sum("w").over(W.partitionBy("_b").orderBy("doc_id")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    boff = (blk.groupBy("_b").agg(F.sum("w").alias("_bt"))
+            .select("_b", F.coalesce(
+                F.sum("_bt").over(W.orderBy("_b")
+                                  .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)).alias("_off")))
+    got = {(r["doc_id"], r["cum"]) for r in
+           local.join(F.broadcast(boff), "_b")
+           .select("doc_id", (F.col("_lc") + F.col("_off")).alias("cum"))
+           .collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=60))
+def test_two_pass_skyline_equals_brute_force(spark, pts):
+    """b106's blocked skyline (per-block strictly-greater window +
+    suffix-max carry-in over higher blocks) must equal the O(n^2)
+    dominance spec for arbitrary (x, y) points with ties."""
+    from pyspark.sql import Window as W
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    want = {(i, x, y) for i, x, y in rows
+            if not any((x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                       for _, x2, y2 in rows)}
+    s = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    blk = s.withColumn("_b", F.expr("x div 8"))
+    bhi = (blk.groupBy("_b").agg(F.max("y").alias("_bm"))
+           .select("_b", F.max("_bm").over(
+               W.orderBy(F.col("_b").desc())
+               .rowsBetween(W.unboundedPreceding, -1)).alias("_hi")))
+    w_gt = (W.partitionBy("_b").orderBy(F.col("x").desc())
+            .rangeBetween(W.unboundedPreceding, -1))
+    w_eq = W.partitionBy("x")
+    flagged = (blk.join(F.broadcast(bhi), "_b")
+               .select("doc_id", "x", "y",
+                       F.greatest(F.max("y").over(w_gt),
+                                  F.col("_hi")).alias("mg"),
+                       F.max("y").over(w_eq).alias("me")))
+    got = {(r["doc_id"], r["x"], r["y"]) for r in
+           flagged.filter((F.col("mg").isNull()
+                           | (F.col("mg") < F.col("y")))
+                          & (F.col("me") <= F.col("y"))).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=80),
+       st.integers(2, 10))
+def test_two_pass_ntile_formula_equals_ntile(spark, vals, n_buckets):
+    """b47's reconstructed-rank ntile formula (first n%k buckets one
+    row larger) must equal F.ntile for arbitrary values, tie runs and
+    bucket counts."""
+    from pyspark.sql import Window as W
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    want = {(r["k"], r["t"]) for r in df.select(
+        "k", F.ntile(n_buckets).over(W.orderBy("v", "k")).alias("t"))
+        .collect()}
+    blk = df.withColumn("_b", F.expr("v div 512"))
+    local = blk.withColumn(
+        "_lr", F.row_number().over(W.partitionBy("_b").orderBy("v", "k")))
+    boff = (blk.groupBy("_b").agg(F.count("*").alias("_c"))
+            .select("_b", F.coalesce(
+                F.sum("_c").over(W.orderBy("_b")
+                                 .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)).alias("_off")))
+    n = len(vals)
+    ranked = (local.join(F.broadcast(boff), "_b")
+              .withColumn("_r", F.col("_off") + F.col("_lr")))
+    q, rem = n // n_buckets, n % n_buckets
+    tile = F.expr(
+        f"CASE WHEN _r <= ({q} + 1) * {rem} "
+        f"THEN (_r - 1) div ({q} + 1) + 1 "
+        f"ELSE {rem} + (_r - ({q} + 1) * {rem} - 1) div {max(q, 1)} + 1 "
+        f"END")
+    got = {(r["k"], r["t"]) for r in
+           ranked.select("k", tile.alias("t")).collect()}
+    assert got == want

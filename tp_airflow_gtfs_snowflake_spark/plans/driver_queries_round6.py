@@ -1897,3 +1897,126 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_test, n_hit, n_hit * 1_000_000 // max(n_test, 1))],
         "n_test long, n_contaminated long, contaminated_ppm long")
+
+
+@_register(
+    "c96_source_score_normalize",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(lower(text)), ' +'))
+               AS score
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST(CASE WHEN n > 1
+                     THEN (rn - 1) * 1000000 // (n - 1)
+                     ELSE 0 END AS BIGINT) AS rank_ppm
+    FROM r
+    """,
+    "per-source score calibration: within-source rank normalization "
+    "of a quality score to [0, 1e6] ppm — the curation step that "
+    "makes thresholds comparable ACROSS sources whose raw score "
+    "distributions differ (a fixed global cutoff over-prunes "
+    "whichever source scores low; mixing weights like c34's assume "
+    "calibrated quality).  Score here is token count; ANY per-doc "
+    "score column plugs in.  One window per source partition "
+    "(hash-sharded, no global sort), integer rank arithmetic with a "
+    "deterministic (score, doc_id) tiebreak so both engines agree "
+    "exactly — the within-group twin of b47's global equi-depth "
+    "buckets",
+)
+def c96_source_score_normalize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.lower("text")), " +")).alias("score"))
+    w = W.partitionBy("source")
+    r = s.select(
+        "doc_id", "source", "score",
+        F.row_number().over(w.orderBy("score", "doc_id")).alias("rn"),
+        F.count("*").over(w).alias("n"))
+    return r.select(
+        "doc_id", "source", F.col("score").cast("long").alias("score"),
+        F.when(F.col("n") > 1,
+               F.expr("(rn - 1) * 1000000 div (n - 1)"))
+        .otherwise(F.lit(0)).cast("long").alias("rank_ppm"))
+
+
+@_register(
+    "c98_triangle_count",
+    """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), nodes AS (
+      SELECT count(DISTINCT p) AS n_nodes FROM pl
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*)
+                 FROM e a JOIN e b ON b.p1 = a.p2
+                          JOIN e c ON c.p1 = a.p1 AND c.p2 = b.p2)
+                AS BIGINT) AS n_triangles
+    FROM nodes
+    """,
+    "distributed triangle counting over the part co-purchase graph "
+    "(parts sharing an order), the missing classic in the graph "
+    "family (c19 components, c32 PageRank, b104 pointer doubling): "
+    "Spark runs the DEGREE-ORIENTED algorithm (Suri & Vassilvitskii "
+    "WWW'11 / Cohen '09) — orient each edge from the lower (degree, "
+    "id) endpoint to the higher, enumerate wedges only from each "
+    "node's outgoing (low-degree) side, close them with a semi-join "
+    "— O(m^1.5) wedges instead of sum(deg^2), which is what "
+    "survives power-law degree skew at 100 TB (a hub's wedges "
+    "explode quadratically in the naive join).  Orientation "
+    "preserves the count exactly: every triangle has a unique "
+    "lowest-(degree, id) apex.  The oracle counts the same "
+    "canonical p1<p2<p3 closures directly",
+)
+def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    a = pl.select(F.col("o"), F.col("p").alias("p1"))
+    b = pl.select(F.col("o"), F.col("p").alias("p2"))
+    e = (a.join(b, "o").filter(F.col("p1") < F.col("p2"))
+         .select("p1", "p2").distinct())
+    e = e.localCheckpoint(eager=True)  # reused 3x below
+    n_nodes = pl.select("p").distinct().count()
+    n_edges = e.count()
+    # degree-oriented arrows: from the (deg, id)-smaller endpoint
+    deg = (e.select(F.col("p1").alias("p"))
+           .unionAll(e.select(F.col("p2").alias("p")))
+           .groupBy("p").agg(F.count("*").alias("d")))
+    d1 = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    ed = e.join(d1, "p1").join(d2, "p2")
+    arrows = ed.select(
+        F.when((F.col("d1") < F.col("d2"))
+               | ((F.col("d1") == F.col("d2"))
+                  & (F.col("p1") < F.col("p2"))),
+               F.struct(F.col("p1").alias("u"), F.col("p2").alias("v")))
+        .otherwise(F.struct(F.col("p2").alias("u"),
+                            F.col("p1").alias("v"))).alias("s")
+    ).select("s.u", "s.v")
+    w1 = arrows.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = arrows.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = (w1.join(w2, "a")
+              .filter(F.col("b") < F.col("c")))
+    closing = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    n_tri = wedges.join(closing, ["b", "c"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes long, n_edges long, n_triangles long")

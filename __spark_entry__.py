@@ -73,11 +73,26 @@ _DRIVER_VERIFIED = [
 ]
 
 
+# Queries ADDED this round go first inside the unverified window:
+# driver hash rows on brand-new code are worth more than on queries
+# already green in the local mirror for several rounds.
+_NEW_THIS_ROUND = [
+    "c05e_real_image_decode", "c26c_pq_adc_int",
+    "c64b_source_overlap_sketched", "c38_heavy_hitters",
+    "c06f_minhash_neardup_fast", "b47_equidepth_histogram",
+    "b106_skyline_docs", "b107_pps_systematic_sample",
+    "b111_lateral_topk_orders", "c95_contamination_13gram",
+    "c96_source_score_normalize", "c98_triangle_count",
+]
+
+
 def _rotated(d: dict) -> dict:
     seen = set(_DRIVER_VERIFIED)
-    front = {k: v for k, v in d.items() if k not in seen}
-    back = {k: v for k, v in d.items() if k in seen}
-    return {**front, **back}
+    prio = {k: d[k] for k in _NEW_THIS_ROUND if k in d}
+    front = {k: v for k, v in d.items()
+             if k not in seen and k not in prio}
+    back = {k: v for k, v in d.items() if k in seen and k not in prio}
+    return {**prio, **front, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -61,7 +61,15 @@ HEADLINE = [
     "c82_bpe_pair_counts",   # BPE trainer iteration-0 pair agg
     "b101_spatial_radius_join",  # grid-blocked spatial self-join
     "b102_kmv_distinct_estimate",  # mergeable KMV sketch + audit
-    "b106_skyline_docs",     # sorted prefix-max Pareto dominance
+    "b106_skyline_docs",     # two-pass blocked Pareto dominance
+    "b107_pps_systematic_sample",  # two-pass distributed prefix sum
+    "b47_equidepth_histogram",     # two-pass exact ntile
+    "b111_lateral_topk_orders",    # LATERAL -> WindowGroupLimit
+    "c64b_source_overlap_sketched",  # KMV source-overlap matrix
+    "c95_contamination_13gram",    # 13-gram decontamination audit
+    "c98_triangle_count",          # degree-oriented triangles
+    "c05e_real_image_decode",      # real netpbm decode via Arrow
+    "c26c_pq_adc_int",             # int-grid PQ ADC scan
 ]
 
 

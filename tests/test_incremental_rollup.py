@@ -202,3 +202,34 @@ def test_merge_replace_is_surgical(spark, tmp_path):
                    (9, "moved", "2024-03-04"), (7, "fresh", "2024-03-04")}
     assert not os.path.isdir(f"{root}/day=2024-03-03")  # vacated
     assert snap("2024-03-02") == before2  # untouched = byte-stable
+
+
+def test_merge_replace_rejects_null_update_keys(spark, tmp_path):
+    """A NULL merge key matches nothing; merge_replace must refuse
+    rather than insert unmatchable rows, while NULL-keyed rows already
+    IN the table survive a rewrite of their partition."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import merge_replace
+
+    root = str(tmp_path / "mn")
+    d1 = dt.date(2024, 3, 1)
+    base = spark.createDataFrame(
+        [(1, "a", d1), (None, "anon", d1)],
+        "user long, v string, day date")
+    base.repartition(1).write.partitionBy("day").parquet(root)
+
+    bad = spark.createDataFrame([(None, "x", d1)],
+                                "user long, v string, day date")
+    with _pytest.raises(ValueError, match="NULL"):
+        merge_replace(spark, root, bad, key_col="user",
+                      partition_col="day")
+
+    ok = spark.createDataFrame([(1, "a2", d1)],
+                               "user long, v string, day date")
+    merge_replace(spark, root, ok, key_col="user", partition_col="day")
+    got = {(r["user"], r["v"]) for r in
+           spark.read.parquet(root).collect()}
+    assert got == {(1, "a2"), (None, "anon")}

@@ -351,6 +351,10 @@ def merge_replace(spark: SparkSession, table_path: str,
     "rows_inserted": n}."""
     df = spark.read.parquet(table_path)
     up = updates.localCheckpoint(eager=True)  # read twice + keys twice
+    if up.filter(F.col(key_col).isNull()).limit(1).count():
+        # a NULL merge key matches nothing and would silently insert
+        # unmatchable rows — refuse loudly instead
+        raise ValueError(f"merge_replace: NULL {key_col!r} in updates")
     up_keys = [r[key_col] for r in
                up.select(key_col).distinct().collect()]
     matched = {r[key_col] for r in

@@ -1847,14 +1847,15 @@ def b111_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id, is_test,
              unnest(list_distinct(list_transform(
-               range(1, len(t) - 11),
-               i -> list_aggregate(t[i:i+12], 'string_agg', ' '))))
-               AS sh
+               list_transform(range(1, len(t) - 11),
+                 i -> list_aggregate(t[i:i+12], 'string_agg', ' ')),
+               s -> CAST('0x' || substr(md5(s), 1, 12) AS BIGINT))))
+               AS h
       FROM toks WHERE len(t) >= 13
     ), train AS (
-      SELECT DISTINCT sh FROM g WHERE NOT is_test
+      SELECT DISTINCT h FROM g WHERE NOT is_test
     ), hit AS (
-      SELECT DISTINCT g.doc_id FROM g JOIN train USING (sh)
+      SELECT DISTINCT g.doc_id FROM g JOIN train USING (h)
       WHERE g.is_test
     ), test_docs AS (
       SELECT count(*) AS n_test FROM toks
@@ -1873,11 +1874,17 @@ def b111_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the training split.  Train side collapses to DISTINCT "
     "13-grams before the semi-join (c30's discipline) and the test "
     "side explodes only held-out docs — shuffle keys are shingle "
-    "strings, never documents; the c15/c30/c41 family's missing "
-    "standard-n variant.  At 100 TB hash the shingles first "
-    "(portable_hash48) to shrink shuffle width 10x",
+    "hashes, never documents or strings; the c15/c30/c41 family's "
+    "missing standard-n variant.  Shingles are portable-md5-48 "
+    "HASHED before the shuffle (8-byte keys vs ~90-char strings — "
+    "on local[32] the md5 CPU roughly cancels the narrower "
+    "exchange, ~4 s at sf0.1 either way, but over a real network "
+    "the 10x key-width reduction is what matters) — the oracle "
+    "hashes identically, so the 2^-48 collision slack is "
+    "mirrored, not hidden",
 )
 def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
     from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
         token_shingles)
     docs = _t(spark, sf_dir, "documents")
@@ -1886,11 +1893,14 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles(F.col("text"), 13).alias("shs"),
         F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_t"))
     toks = toks.filter(F.col("n_t") >= 13)
-    g = toks.select("doc_id", "is_test",
-                    F.explode(F.array_distinct("shs")).alias("sh"))
-    train = g.filter(~F.col("is_test")).select("sh").distinct()
+    g = toks.select(
+        "doc_id", "is_test",
+        F.explode(F.array_distinct(F.transform(
+            F.col("shs"), lambda sh: _kmv.portable_hash48(sh))))
+        .alias("h"))
+    train = g.filter(~F.col("is_test")).select("h").distinct()
     hit = (g.filter(F.col("is_test"))
-           .join(train, "sh", "left_semi")
+           .join(train, "h", "left_semi")
            .select("doc_id").distinct())
     n_test = toks.filter(F.col("is_test")).count()
     n_hit = hit.count()

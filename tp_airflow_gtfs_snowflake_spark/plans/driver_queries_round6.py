@@ -2041,3 +2041,191 @@ def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_nodes, n_edges, int(n_tri))],
         "n_nodes long, n_edges long, n_triangles long")
+
+
+@_register(
+    "b117_position_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, max(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), j AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv c
+        ON c.user_id = e.user_id AND e.ts <= c.conv_ts
+    ), w AS (
+      SELECT user_id, event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS w_ppm
+      FROM j
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    "position-based (U-shaped) multi-touch attribution: each "
+    "converting user's journey up to their last purchase credits "
+    "40% to the first touch, 40% to the last, and splits 20% across "
+    "the middles — the standard marketing-analytics model next to "
+    "b51's first-touch.  Weights are integer ppm with truncating "
+    "middle shares (the sub-ppm remainder is dropped, documented — "
+    "float shares would never cross-engine hash); journeys order by "
+    "the deterministic (ts, event_id) tiebreak.  Two windows per "
+    "user partition + one agg; the conversion spine joins on "
+    "user_id (hash-sharded, no global state)",
+)
+def b117_position_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id").agg(F.max("ts").alias("conv_ts")))
+    j = (ev.join(conv, "user_id")
+         .filter(F.col("ts") <= F.col("conv_ts")))
+    wu = W.partitionBy("user_id")
+    j = j.select(
+        "user_id", "event_type",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wu).alias("n"))
+    w_ppm = (F.when(F.col("n") == 1, F.lit(1_000_000))
+             .when(F.col("n") == 2, F.lit(500_000))
+             .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+                   F.lit(400_000))
+             .otherwise(F.expr("200000 div (n - 2)")))
+    return (j.withColumn("w_ppm", w_ppm)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_touches"),
+                 F.sum("w_ppm").cast("long").alias("credit_ppm"))
+            .orderBy("event_type"))
+
+
+def _c100_oracle() -> str:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _duck_hash64, _duck_minhash_band_case, _duck_minhash_mins,
+        _duck_shingles, _duck_toks)
+    return f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    exact_pairs AS (
+      SELECT s1.doc_id AS d1, s2.doc_id AS d2
+      FROM sh s1 JOIN sh s2 ON s2.sh = s1.sh AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) * 1.0
+             / (max((SELECT n_sh FROM sizes WHERE doc_id = s1.doc_id))
+                + max((SELECT n_sh FROM sizes WHERE doc_id = s2.doc_id))
+                - count(*)) >= 0.5
+    ),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {_D.MINHASH_P} AS h
+           FROM sh),
+    m AS (SELECT doc_id, {_duck_minhash_mins(16)} FROM hx GROUP BY doc_id),
+    banded AS (SELECT doc_id, b.band AS band,
+                      md5({_duck_minhash_band_case(16, 4)}) AS bucket
+               FROM m, range(0, 4) b(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+    minhash_pairs AS (
+      SELECT c.d1, c.d2 FROM cand c
+      JOIN exact_pairs e ON e.d1 = c.d1 AND e.d2 = c.d2
+    ),
+    h2 AS (SELECT doc_id,
+                  list_transform({_duck_shingles(2)},
+                                 x -> {_duck_hash64('x')}) AS hs
+           FROM t),
+    g AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 64), k ->
+                   CASE WHEN list_sum(list_transform(hs,
+                          h -> ((h >> k) & 1) * 2 - 1)) > 0
+                        THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+                   AS BIGINT) AS sig
+          FROM h2),
+    simhash_pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    ),
+    tagged AS (
+      SELECT 'exact' AS m, d1, d2 FROM exact_pairs
+      UNION ALL SELECT 'minhash', d1, d2 FROM minhash_pairs
+      UNION ALL SELECT 'simhash', d1, d2 FROM simhash_pairs
+    ),
+    ms AS (SELECT m, count(*) AS n FROM tagged GROUP BY m),
+    common AS (
+      SELECT a.m AS m1, b.m AS m2, count(*) AS c
+      FROM tagged a JOIN tagged b
+        ON a.d1 = b.d1 AND a.d2 = b.d2 AND a.m < b.m
+      GROUP BY 1, 2
+    )
+    SELECT x.m AS m1, y.m AS m2,
+           CAST(x.n AS BIGINT) AS n_m1, CAST(y.n AS BIGINT) AS n_m2,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(c.c, 0) * 1000000
+                // (x.n + y.n - coalesce(c.c, 0)) AS BIGINT)
+             AS agree_ppm
+    FROM ms x JOIN ms y ON x.m < y.m
+    LEFT JOIN common c ON c.m1 = x.m AND c.m2 = y.m
+    ORDER BY m1, m2
+    """
+
+
+@_register(
+    "c100_dedup_method_agreement", _c100_oracle(),
+    "dedup-method agreement audit: the pair sets of exact 3-gram "
+    "Jaccard (c08), MinHash-LSH-verified (c06) and SimHash radius-6 "
+    "(c07) compared pairwise — |A|, |B|, overlap and agreement ppm "
+    "per method pair.  The meta-analysis run BEFORE committing a "
+    "corpus to one dedup method: where simhash and exact Jaccard "
+    "disagree is exactly the paraphrase/near-boundary band, and "
+    "minhash-vs-exact measures the banding recall loss directly.  "
+    "All three pair derivations reuse the value-oracled c06/c07/c08 "
+    "constructions (portable hashes), so the whole matrix is "
+    "hash-checked; the agreement stage is tiny (pair-set-sized) "
+    "joins",
+)
+def c100_dedup_method_agreement(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _spread)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    exact = _D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.5).select("d1", "d2")
+    mh = _D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.5, hash_fn=_D.portable_hash64).select("d1", "d2")
+    sh = _D.simhash_near_duplicates(
+        docs, "doc_id", "text", radius=6, shingle_n=2,
+        hash_fn=_D.portable_hash64).select("d1", "d2")
+    tagged = (exact.withColumn("m", F.lit("exact"))
+              .unionByName(mh.withColumn("m", F.lit("minhash")))
+              .unionByName(sh.withColumn("m", F.lit("simhash"))))
+    tagged = tagged.localCheckpoint(eager=True)  # reused 3x, tiny
+    ms = tagged.groupBy("m").agg(F.count("*").alias("n"))
+    a = tagged.select("d1", "d2", F.col("m").alias("m1"))
+    b = tagged.select("d1", "d2", F.col("m").alias("m2"))
+    common = (a.join(b, ["d1", "d2"])
+              .filter(F.col("m1") < F.col("m2"))
+              .groupBy("m1", "m2").agg(F.count("*").alias("c")))
+    x = ms.select(F.col("m").alias("m1"), F.col("n").alias("n_m1"))
+    y = ms.select(F.col("m").alias("m2"), F.col("n").alias("n_m2"))
+    spine = x.join(y, F.col("m1") < F.col("m2"))
+    return (spine.join(common, ["m1", "m2"], "left")
+            .select("m1", "m2",
+                    F.col("n_m1").cast("long").alias("n_m1"),
+                    F.col("n_m2").cast("long").alias("n_m2"),
+                    F.coalesce("c", F.lit(0)).cast("long")
+                    .alias("n_common"))
+            .withColumn("agree_ppm",
+                        F.expr("n_common * 1000000 "
+                               "div (n_m1 + n_m2 - n_common)")
+                        .cast("long"))
+            .orderBy("m1", "m2"))

@@ -83,6 +83,7 @@ _NEW_THIS_ROUND = [
     "b106_skyline_docs", "b107_pps_systematic_sample",
     "b111_lateral_topk_orders", "c95_contamination_13gram",
     "c96_source_score_normalize", "c98_triangle_count",
+    "b117_position_attribution", "c100_dedup_method_agreement",
 ]
 
 

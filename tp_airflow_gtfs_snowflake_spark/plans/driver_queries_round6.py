@@ -1936,11 +1936,12 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributions differ (a fixed global cutoff over-prunes "
     "whichever source scores low; mixing weights like c34's assume "
     "calibrated quality).  Score here is token count; ANY per-doc "
-    "score column plugs in.  One window per source partition "
-    "(hash-sharded, no global sort), integer rank arithmetic with a "
-    "deterministic (score, doc_id) tiebreak so both engines agree "
-    "exactly — the within-group twin of b47's global equi-depth "
-    "buckets",
+    "score column plugs in.  Two-pass blocked ranks (b47's "
+    "treatment applied WITHIN each source — a bare per-source "
+    "window is one task per source, hot when a corpus has few huge "
+    "sources), integer rank arithmetic with a deterministic "
+    "(score, doc_id) tiebreak so both engines agree exactly — the "
+    "within-group twin of b47's global equi-depth buckets",
 )
 def c96_source_score_normalize(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
@@ -1949,11 +1950,26 @@ def c96_source_score_normalize(spark: SparkSession,
     s = docs.select(
         "doc_id", "source",
         F.size(F.split(F.trim(F.lower("text")), " +")).alias("score"))
-    w = W.partitionBy("source")
-    r = s.select(
-        "doc_id", "source", "score",
-        F.row_number().over(w.orderBy("score", "doc_id")).alias("rn"),
-        F.count("*").over(w).alias("n"))
+    # a bare per-source window is ONE task per source — hot when the
+    # corpus has few, huge sources.  Same two-pass treatment as b47:
+    # (source, score-range block) local row_numbers in parallel,
+    # block counts cumsum'd per source on the tiny block table and
+    # broadcast back as rank offsets.
+    blk = s.withColumn("_b", F.expr("score div 64"))
+    local = blk.withColumn(
+        "_lr", F.row_number().over(
+            W.partitionBy("source", "_b").orderBy("score", "doc_id")))
+    bcnt = blk.groupBy("source", "_b").agg(F.count("*").alias("_c"))
+    boff = bcnt.select(
+        "source", "_b",
+        F.coalesce(
+            F.sum("_c").over(W.partitionBy("source").orderBy("_b")
+                             .rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)).alias("_off"))
+    n_src = bcnt.groupBy("source").agg(F.sum("_c").alias("n"))
+    r = (local.join(F.broadcast(boff), ["source", "_b"])
+         .join(F.broadcast(n_src), "source")
+         .withColumn("rn", F.col("_off") + F.col("_lr")))
     return r.select(
         "doc_id", "source", F.col("score").cast("long").alias("score"),
         F.when(F.col("n") > 1,

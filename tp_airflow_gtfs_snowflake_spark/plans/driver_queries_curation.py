@@ -369,34 +369,54 @@ def c26c_pq_adc_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qi = F.transform(F.col("embedding").cast("array<double>"),
                      lambda x: F.round(x * 1000).cast("long"))
-    quant = emb.select("vec_id", qi.alias("q"))
     # bounded driver pulls: 16 codebook vectors + the query vector
     books = {int(r["vec_id"]): list(r["q"]) for r in
-             quant.filter(F.col("vec_id") < k_words).collect()}
+             emb.select("vec_id", qi.alias("q"))
+             .filter(F.col("vec_id") < k_words).collect()}
     qvec = next(v for i, v in books.items() if i == 0)
     sub = lambda vec, j: vec[j * d:(j + 1) * d]
     luts = [[sum((a - b) * (a - b)
                  for a, b in zip(sub(qvec, j), sub(books[c], j)))
              for c in range(k_words)] for j in range(m)]
 
-    adc_terms = []
-    for j in range(m):
-        s = F.slice(F.col("q"), j * d + 1, d)
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(s,
-                           F.array(*[F.lit(w) for w in sub(books[c], j)]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            for c in range(k_words)])
-        code = F.array_position(dists, F.array_min(dists))  # 1-based
-        lut = F.array(*[F.lit(int(x)) for x in luts[j]])
-        adc_terms.append(F.element_at(lut, code.cast("int")))
-    total = adc_terms[0]
-    for t in adc_terms[1:]:
-        total = total + t
-    return (quant.select("vec_id", total.cast("long").alias("adc_dist"))
-            .orderBy("adc_dist", "vec_id").limit(20))
+    # Arrow/numpy scoring: the m*k distance argmin is Catalyst's
+    # worst shape (the 64-way literal fold drops to interpreted eval
+    # — measured ~2.8 s vs ~0.4 s at sf0.1), and numpy's is one
+    # (batch, k, d) broadcasted subtract per subspace.  All-int64
+    # arithmetic, HALF-AWAY-FROM-ZERO quantization matching Spark's
+    # F.round / DuckDB round exactly; argmin first-hit ties to the
+    # lowest code like list_position.  Narrow map, zero exchanges
+    # before the final TakeOrdered.
+    import numpy as np
+    import pandas as pd
+
+    bk = np.array([[sub(books[c], j) for c in range(k_words)]
+                   for j in range(m)], dtype=np.int64)      # (m, k, d)
+    lut_np = np.array(luts, dtype=np.int64)                 # (m, k)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                    "adc_dist": pd.Series([], dtype="int64")})
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf["embedding"]])
+            scaled = v * 1000.0
+            q = (np.sign(scaled)
+                 * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+            total = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                sb = q[:, j * d:(j + 1) * d]
+                diff = sb[:, None, :] - bk[j][None, :, :]
+                dist = (diff * diff).sum(axis=2)
+                total += lut_np[j][dist.argmin(axis=1)]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                                "adc_dist": total})
+
+    out = (emb.select("vec_id", "embedding")
+           .mapInPandas(score, "vec_id long, adc_dist long"))
+    return out.orderBy("adc_dist", "vec_id").limit(20)
 
 
 @_register(

@@ -2245,3 +2245,80 @@ def c100_dedup_method_agreement(spark: SparkSession,
                                "div (n_m1 + n_m2 - n_common)")
                         .cast("long"))
             .orderBy("m1", "m2"))
+
+
+@_register(
+    "c101_embedding_drift_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, label, vec_id % 2 AS half,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), idx AS (
+      SELECT label, half,
+             unnest(list_transform(q, (v, i) -> {'pos': i, 'v': v}))
+               AS t
+      FROM e
+    ), u AS (
+      SELECT label, half, t.pos AS pos, t.v AS v FROM idx
+    ), c AS (
+      SELECT label, half, pos,
+             sum(v) // count(*) AS cen
+      FROM u GROUP BY label, half, pos
+    ), p AS (
+      SELECT a.label, a.pos, a.cen AS ca, b.cen AS cb
+      FROM c a JOIN c b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1
+    ), n AS (
+      SELECT label,
+             count(*) FILTER (half = 0) AS n_a,
+             count(*) FILTER (half = 1) AS n_b
+      FROM e GROUP BY label
+    )
+    SELECT n.label,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((SELECT sum(abs(ca - cb)) FROM p
+                 WHERE p.label = n.label) AS BIGINT) AS l1_shift
+    FROM n ORDER BY label
+    """,
+    "embedding-distribution drift audit: per label, the L1 distance "
+    "between the centroids of two corpus halves (vec_id parity "
+    "standing in for consecutive ingestion snapshots) on the "
+    "integer grid — the monitoring gate a continuously-refreshed "
+    "training corpus runs before each mixture re-weight (a drifted "
+    "label means its older curation thresholds no longer hold).  "
+    "Centroids are truncating integer means per dimension, so both "
+    "engines agree exactly.  One posexplode + one (label, half, "
+    "pos) agg — dims are a constant factor, the shuffle carries "
+    "label-cardinality x dims rows",
+)
+def c101_embedding_drift_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("half"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q"))
+    u = e.select("label", "half",
+                 F.posexplode("q").alias("pos0", "v"))
+    c = (u.groupBy("label", "half", F.expr("pos0 + 1").alias("pos"))
+         .agg(F.expr("sum(v) div count(*)").alias("cen")))
+    a = c.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("cen").alias("ca"))
+    b = c.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("cen").alias("cb"))
+    shift = (a.join(b, ["label", "pos"])
+             .groupBy("label")
+             .agg(F.sum(F.abs(F.col("ca") - F.col("cb")))
+                  .alias("l1_shift")))
+    n = (e.groupBy("label")
+         .agg(F.count(F.when(F.col("half") == 0, 1)).alias("n_a"),
+              F.count(F.when(F.col("half") == 1, 1)).alias("n_b")))
+    return (n.join(shift, "label", "left")
+            .select("label",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("l1_shift").cast("long").alias("l1_shift"))
+            .orderBy("label"))

@@ -84,7 +84,7 @@ _NEW_THIS_ROUND = [
     "b111_lateral_topk_orders", "c95_contamination_13gram",
     "c96_source_score_normalize", "c98_triangle_count",
     "b117_position_attribution", "c100_dedup_method_agreement",
-    "c101_embedding_drift_audit",
+    "c101_embedding_drift_audit", "c102_exact_substring_spans",
 ]
 
 

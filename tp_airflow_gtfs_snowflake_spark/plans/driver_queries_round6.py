@@ -2322,3 +2322,119 @@ def c101_embedding_drift_audit(spark: SparkSession,
                     F.col("n_b").cast("long").alias("n_b"),
                     F.col("l1_shift").cast("long").alias("l1_shift"))
             .orderBy("label"))
+
+
+@_register(
+    "c102_exact_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk
+      FROM documents
+    ), w AS (
+      SELECT doc_id, s.i AS start,
+             CAST('0x' || substr(md5(
+               list_aggregate(tk[s.i:s.i+19], 'string_agg', ' ')),
+               1, 12) AS BIGINT) AS h
+      FROM t, lateral (SELECT unnest(range(1, len(tk) - 18)) AS i) s
+      WHERE len(tk) >= 20
+    ), dup AS (
+      SELECT h FROM w GROUP BY h
+      HAVING count(*) > 1 OR count(DISTINCT doc_id) > 1
+    ), hits AS (
+      SELECT w.doc_id, w.start, w.start + 19 AS fin
+      FROM w JOIN dup USING (h)
+    ), marked AS (
+      SELECT doc_id, start, fin,
+             CASE WHEN start > coalesce(max(fin) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, start, fin,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isl
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, min(start) AS s, max(fin) AS f
+      FROM islands GROUP BY doc_id, isl
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(f - s + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ), sizes AS (
+      SELECT doc_id, len(tk) AS n_tokens FROM t
+    )
+    SELECT s.doc_id AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           CAST(dup_tokens * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+    FROM per_doc p JOIN sizes s ON s.doc_id = p.doc_id
+    ORDER BY s.doc_id
+    """,
+    "ExactSubstr deduplication spans (Lee et al., 'Deduplicating "
+    "Training Data Makes Language Models Better', ACL'22 — the "
+    "suffix-array method's output, re-expressed relationally): every "
+    "20-token window that occurs more than once in the corpus marks "
+    "a duplicated span; overlapping hits merge into maximal spans "
+    "per doc (gaps-and-islands with a running max), yielding the "
+    "span count, duplicated-token total and duplicated fraction the "
+    "span-REMOVAL step consumes.  Windows are md5-48 hashed before "
+    "the frequency agg (the c95 discipline; at 100 TB swap the "
+    "md5-of-concat for c03f's rolling hash to avoid materializing "
+    "window text) and the per-doc island windows are doc-partitioned "
+    "— no global sort.  The relational form finds spans >= L like "
+    "the suffix array does, at window granularity",
+)
+def c102_exact_substring_spans(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
+    L = 20
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), " +").alias("tk"))
+    t = t.withColumn("n_tokens", F.size("tk"))
+    w = (t.filter(F.col("n_tokens") >= L)
+         .select("doc_id",
+                 F.posexplode(F.expr(
+                     f"transform(sequence(1, size(tk) - {L - 1}), "
+                     f"i -> array_join(slice(tk, i, {L}), ' '))"))
+                 .alias("p0", "win"))
+         .select("doc_id", F.expr("p0 + 1").alias("start"),
+                 _kmv.portable_hash48(F.col("win")).alias("h")))
+    dup = (w.groupBy("h")
+           .agg(F.count("*").alias("c"),
+                F.countDistinct("doc_id").alias("cd"))
+           .filter((F.col("c") > 1) | (F.col("cd") > 1))
+           .select("h"))
+    hits = (w.join(dup, "h", "left_semi")
+            .select("doc_id", "start",
+                    (F.col("start") + L - 1).alias("fin")))
+    wd = W.partitionBy("doc_id").orderBy("start")
+    marked = hits.withColumn(
+        "new_island",
+        F.when(F.col("start") > F.coalesce(
+            F.max("fin").over(wd.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(-1)), 1).otherwise(0))
+    islands = marked.withColumn(
+        "isl", F.sum("new_island").over(
+            wd.rowsBetween(W.unboundedPreceding, 0)))
+    spans = (islands.groupBy("doc_id", "isl")
+             .agg(F.min("start").alias("s"), F.max("fin").alias("f")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum(F.col("f") - F.col("s") + 1)
+                    .alias("dup_tokens")))
+    return (per_doc.join(t.select("doc_id", "n_tokens"), "doc_id")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.col("dup_tokens").cast("long").alias("dup_tokens"),
+                    F.expr("dup_tokens * 1000000 div n_tokens")
+                    .cast("long").alias("dup_ppm"))
+            .orderBy("doc_id"))

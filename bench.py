@@ -69,7 +69,10 @@ HEADLINE = [
     "c95_contamination_13gram",    # 13-gram decontamination audit
     "c98_triangle_count",          # degree-oriented triangles
     "c05e_real_image_decode",      # real netpbm decode via Arrow
-    "c26c_pq_adc_int",             # int-grid PQ ADC scan
+    "c26c_pq_adc_int",             # int-grid PQ ADC scan (numpy)
+    "c101_embedding_drift_audit",  # integer centroid-drift monitor
+    "b117_position_attribution",   # U-shaped multi-touch windows
+    "c102_exact_substring_spans",  # ExactSubstr duplicated spans
 ]
 
 

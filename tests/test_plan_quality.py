@@ -830,3 +830,13 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in p, f"no group-limit pushdown:\n{p[:1500]}"
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c100_agreement_stage_is_equi_join(spark):
+    """The pairwise method-agreement joins must stay hash equi-joins
+    on (d1, d2) / (m1, m2) — never a nested-loop over pair sets."""
+    p = _plan(spark, "c100_dedup_method_agreement")
+    assert "CartesianProduct" not in p
+    # one intentional BNLJ: the 3x3 method spine (m1 < m2 over a
+    # 3-row aggregate) — anything more means a pair-set nested loop
+    assert p.count("BroadcastNestedLoopJoin") <= 2

@@ -2233,7 +2233,9 @@ def c100_dedup_method_agreement(spark: SparkSession,
               .groupBy("m1", "m2").agg(F.count("*").alias("c")))
     x = ms.select(F.col("m").alias("m1"), F.col("n").alias("n_m1"))
     y = ms.select(F.col("m").alias("m2"), F.col("n").alias("n_m2"))
-    spine = x.join(y, F.col("m1") < F.col("m2"))
+    # 3x3 method spine: theta join of two 3-row aggregates — broadcast
+    # so it plans as a BNLJ over tiny frames, never a cartesian
+    spine = x.join(F.broadcast(y), F.col("m1") < F.col("m2"))
     return (spine.join(common, ["m1", "m2"], "left")
             .select("m1", "m2",
                     F.col("n_m1").cast("long").alias("n_m1"),

@@ -803,7 +803,8 @@ def test_two_pass_prefix_ops_have_no_global_sort_over_facts(spark):
     post-aggregate block tables."""
     for name in ("b107_pps_systematic_sample", "b106_skyline_docs",
                  "b47_equidepth_histogram", "c96_source_score_normalize",
-                 "c102_exact_substring_spans", "b117_position_attribution"):
+                 "c102_exact_substring_spans", "b117_position_attribution",
+                 "c94_quantile_normalization"):
         df = REGISTRY[name].fn(spark, SF_ORACLE)
         bad = _single_partition_exchanges_over_raw_scans(df)
         assert not bad, f"{name}: global collapse of a raw scan: {bad}"

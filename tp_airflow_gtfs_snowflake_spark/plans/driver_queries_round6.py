@@ -1464,9 +1464,10 @@ def b113_future_activity_labels(spark: SparkSession,
     "reference distribution at the same quantile position — rank "
     "within source r/ns maps to global rank ceil(r*ng/ns), a pure "
     "integer join key, so the normalized values are exact and "
-    "oracle-checkable.  Two rank windows (per-source partitioned + "
-    "one global sort, the b47-family caveat: range-partition the "
-    "global rank at 100 TB) and one equi-join on the computed "
+    "oracle-checkable.  Both ranks (per-source and global) are "
+    "TWO-PASS blocked (r04, the b47 pattern): parallel per-block "
+    "row_numbers + tiny broadcast block offsets — no task ever "
+    "sorts a source or the corpus.  One equi-join on the computed "
     "rank.  Downstream filters then use ONE threshold across "
     "sources whose raw scales disagree",
 )
@@ -1477,14 +1478,34 @@ def c94_quantile_normalization(spark: SparkSession,
     v = docs.select("source", "doc_id",
                     F.col("n_chars").cast("long").alias("x"))
     v = v.localCheckpoint(eager=True)  # three derivations below
-    s = v.select(
-        "source", "x",
-        F.row_number().over(W.partitionBy("source")
-                            .orderBy("x", "doc_id")).alias("r"),
-        F.count("*").over(W.partitionBy("source")).alias("ns"))
-    g = v.select(F.col("x").alias("gx"),
-                 F.row_number().over(W.orderBy("x", "doc_id"))
-                 .alias("gr"))
+
+    # blocked exact ranks (the b47 two-pass pattern): local
+    # row_numbers per x-range block in parallel, block counts
+    # cumsum'd on the tiny block table and broadcast back — applied
+    # BOTH per source and globally, so no window ever holds a
+    # corpus- or source-sized sort in one task.
+    blk = v.withColumn("_b", F.expr("x div 256"))
+
+    def _ranked(df, part_cols):
+        local = df.withColumn(
+            "_lr", F.row_number().over(
+                W.partitionBy(*(part_cols + ["_b"]))
+                .orderBy("x", "doc_id")))
+        bcnt = df.groupBy(*(part_cols + ["_b"])).agg(
+            F.count("*").alias("_c"))
+        woff = (W.partitionBy(*part_cols) if part_cols
+                else W.partitionBy()).orderBy("_b")             .rowsBetween(W.unboundedPreceding, -1)
+        boff = bcnt.select(
+            *(part_cols + ["_b"]),
+            F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"))
+        return local.join(F.broadcast(boff), part_cols + ["_b"])             .withColumn("_r", F.col("_off") + F.col("_lr"))
+
+    ns = v.groupBy("source").agg(F.count("*").alias("ns"))
+    s = (_ranked(blk, ["source"])
+         .join(F.broadcast(ns), "source")
+         .select("source", "x", F.col("_r").alias("r"), "ns"))
+    g = _ranked(blk, []).select(F.col("x").alias("gx"),
+                                F.col("_r").alias("gr"))
     n = v.agg(F.count("*").alias("ng"))
     mapped = (s.crossJoin(F.broadcast(n))
               .withColumn("k", F.expr("(r * ng + ns - 1) div ns"))

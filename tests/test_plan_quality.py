@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
 
 
@@ -841,3 +841,19 @@ def test_c100_agreement_stage_is_equi_join(spark):
     # one intentional BNLJ: the 3x3 method spine (m1 < m2 over a
     # 3-row aggregate) — anything more means a pair-set nested loop
     assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_no_registry_query_collapses_a_raw_scan(spark):
+    """Registry-wide sweep of the headline scale property: NO query
+    may put a SinglePartition exchange over a raw file scan (only
+    post-aggregate block/bucket tables may collapse — they are tiny
+    by construction).  ~4 min at sf0.001; this is the one test that
+    asserts the 100 TB story for every query at once, so it earns
+    the wall-clock."""
+    bad = {}
+    for name, spec in REGISTRY.items():
+        df = spec.fn(spark, SF_SMALL)
+        b = _single_partition_exchanges_over_raw_scans(df)
+        if b:
+            bad[name] = b[0][:120]
+    assert not bad, f"raw-scan global collapses: {bad}"

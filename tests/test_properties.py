@@ -466,3 +466,50 @@ def test_two_pass_ntile_formula_equals_ntile(spark, vals, n_buckets):
     got = {(r["k"], r["t"]) for r in
            ranked.select("k", tile.alias("t")).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.lists(st.sampled_from(list("abc")), min_size=0, max_size=12),
+    min_size=1, max_size=10))
+def test_duplicated_spans_match_reference(spark, docs):
+    """ExactSubstr span detection vs a pure-Python reference: windows
+    of L tokens occurring >1 time in the corpus mark spans, islands
+    merge, per-doc totals agree — for arbitrary tiny corpora with
+    repeats, overlaps, and sub-L docs."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        duplicated_spans)
+    L = 3
+    texts = [" ".join(toks) for toks in docs]
+
+    # pure-Python reference; Spark split(" +") on "" yields [""]
+    from collections import Counter
+    tok = [t.strip().lower().split(" ") if t else [""] for t in texts]
+    wins = Counter()
+    for ts in tok:
+        for i in range(len(ts) - L + 1):
+            wins[" ".join(ts[i:i + L])] += 1
+    want = {}
+    for d, ts in enumerate(tok):
+        hits = [i for i in range(len(ts) - L + 1)
+                if wins[" ".join(ts[i:i + L])] > 1]
+        if not hits:
+            continue
+        spans = []
+        for i in hits:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + L - 1)
+            else:
+                spans.append([i, i + L - 1])
+        dup = sum(f - s + 1 for s, f in spans)
+        want[d] = (len(ts), len(spans), dup,
+                   dup * 1_000_000 // len(ts))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"],
+                         r["dup_ppm"])
+           for r in duplicated_spans(df, "doc_id", "text",
+                                     window_tokens=L).collect()}
+    assert got == want

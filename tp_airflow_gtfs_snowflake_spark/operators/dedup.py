@@ -516,3 +516,62 @@ def dedup_increment(batch: DataFrame, state: DataFrame | None, *,
                          >= F.col("_mx") - lookback_days)
                  .drop("_mx"))
     return kept, new_state
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str, *,
+                     window_tokens: int = 20) -> DataFrame:
+    """ExactSubstr duplicated spans (Lee et al. ACL'22, relational
+    form): every ``window_tokens``-token window occurring more than
+    once in the corpus marks a duplicated region; overlapping hits
+    merge into maximal per-doc spans (gaps-and-islands with a running
+    max).  Output: (doc_id, n_tokens, n_spans, dup_tokens, dup_ppm),
+    one row per doc that has at least one duplicated span.
+
+    Windows are portable-md5-48 hashed before the frequency aggregate
+    (8-byte shuffle keys; at 100 TB swap the md5-of-concat for the
+    functions/text.py rolling hash to avoid materializing window
+    text); the island windows partition by doc — no global sort.
+    """
+    from pyspark.sql import Window as W
+    from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
+    L = window_tokens
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.trim(F.lower(text_col)), " +").alias("tk"))
+    t = t.withColumn("n_tokens", F.size("tk"))
+    w = (t.filter(F.col("n_tokens") >= L)
+         .select("doc_id",
+                 F.posexplode(F.expr(
+                     f"transform(sequence(1, size(tk) - {L - 1}), "
+                     f"i -> array_join(slice(tk, i, {L}), ' '))"))
+                 .alias("p0", "win"))
+         .select("doc_id", F.expr("p0 + 1").alias("start"),
+                 _kmv.portable_hash48(F.col("win")).alias("h")))
+    dup = (w.groupBy("h")
+           .agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 1)
+           .select("h"))
+    hits = (w.join(dup, "h", "left_semi")
+            .select("doc_id", "start",
+                    (F.col("start") + L - 1).alias("fin")))
+    wd = W.partitionBy("doc_id").orderBy("start")
+    marked = hits.withColumn(
+        "new_island",
+        F.when(F.col("start") > F.coalesce(
+            F.max("fin").over(wd.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(-1)), 1).otherwise(0))
+    islands = marked.withColumn(
+        "isl", F.sum("new_island").over(
+            wd.rowsBetween(W.unboundedPreceding, 0)))
+    spans = (islands.groupBy("doc_id", "isl")
+             .agg(F.min("start").alias("s"), F.max("fin").alias("f")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum(F.col("f") - F.col("s") + 1)
+                    .alias("dup_tokens")))
+    return (per_doc.join(t.select("doc_id", "n_tokens"), "doc_id")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.col("dup_tokens").cast("long").alias("dup_tokens"),
+                    F.expr("dup_tokens * 1000000 div n_tokens")
+                    .cast("long").alias("dup_ppm")))

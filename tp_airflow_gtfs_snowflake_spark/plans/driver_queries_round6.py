@@ -2414,50 +2414,8 @@ def c101_embedding_drift_audit(spark: SparkSession,
 )
 def c102_exact_substring_spans(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-    from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
-    L = 20
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        duplicated_spans)
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.split(F.trim(F.lower("text")), " +").alias("tk"))
-    t = t.withColumn("n_tokens", F.size("tk"))
-    w = (t.filter(F.col("n_tokens") >= L)
-         .select("doc_id",
-                 F.posexplode(F.expr(
-                     f"transform(sequence(1, size(tk) - {L - 1}), "
-                     f"i -> array_join(slice(tk, i, {L}), ' '))"))
-                 .alias("p0", "win"))
-         .select("doc_id", F.expr("p0 + 1").alias("start"),
-                 _kmv.portable_hash48(F.col("win")).alias("h")))
-    dup = (w.groupBy("h")
-           .agg(F.count("*").alias("c"),
-                F.countDistinct("doc_id").alias("cd"))
-           .filter((F.col("c") > 1) | (F.col("cd") > 1))
-           .select("h"))
-    hits = (w.join(dup, "h", "left_semi")
-            .select("doc_id", "start",
-                    (F.col("start") + L - 1).alias("fin")))
-    wd = W.partitionBy("doc_id").orderBy("start")
-    marked = hits.withColumn(
-        "new_island",
-        F.when(F.col("start") > F.coalesce(
-            F.max("fin").over(wd.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(-1)), 1).otherwise(0))
-    islands = marked.withColumn(
-        "isl", F.sum("new_island").over(
-            wd.rowsBetween(W.unboundedPreceding, 0)))
-    spans = (islands.groupBy("doc_id", "isl")
-             .agg(F.min("start").alias("s"), F.max("fin").alias("f")))
-    per_doc = (spans.groupBy("doc_id")
-               .agg(F.count("*").alias("n_spans"),
-                    F.sum(F.col("f") - F.col("s") + 1)
-                    .alias("dup_tokens")))
-    return (per_doc.join(t.select("doc_id", "n_tokens"), "doc_id")
-            .select("doc_id",
-                    F.col("n_tokens").cast("long").alias("n_tokens"),
-                    F.col("n_spans").cast("long").alias("n_spans"),
-                    F.col("dup_tokens").cast("long").alias("dup_tokens"),
-                    F.expr("dup_tokens * 1000000 div n_tokens")
-                    .cast("long").alias("dup_ppm"))
+    return (duplicated_spans(docs, "doc_id", "text", window_tokens=20)
             .orderBy("doc_id"))

@@ -1,0 +1,42 @@
+"""Partition-count invariance: results must not depend on
+spark.sql.shuffle.partitions.
+
+The driver runs queries under ITS session config, the local gate under
+ours — any result that shifts with the shuffle layout (a missing
+tiebreak under LIMIT, per-partition state leaking into output, a
+nondeterministic aggregate order) would pass one and fail the other.
+This gate re-runs the round's new/changed queries in a sibling session
+with a deliberately awkward partition count (7) and value-compares
+against DuckDB again.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMALL
+from tests.oracle_harness import compare, duck_connection
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def spark7(spark):
+    """Sibling session sharing the JVM but with shuffle.partitions=7
+    (session-scoped conf, so the main fixture is untouched)."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    yield s
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in entry._NEW_THIS_ROUND
+             if n in REGISTRY and REGISTRY[n].oracle])
+def test_new_queries_invariant_to_shuffle_partitions(spark7, duck, name):
+    spec = REGISTRY[name]
+    compare(spec.fn(spark7, SF_SMALL), duck.sql(spec.oracle).df(), name)

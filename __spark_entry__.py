@@ -85,6 +85,7 @@ _NEW_THIS_ROUND = [
     "c96_source_score_normalize", "c98_triangle_count",
     "b117_position_attribution", "c100_dedup_method_agreement",
     "c101_embedding_drift_audit", "c102_exact_substring_spans",
+    "b118_nearest_within_radius", "c103_vocab_overlap_matrix",
 ]
 
 

@@ -80,3 +80,34 @@ def radius_pairs(points: DataFrame, *, id_col: str = "id",
             .select(F.col("pid").alias("id_a"),
                     F.col("qid").alias("id_b"),
                     dsq.alias("dist_sq")))
+
+
+def nearest_within_radius(points: DataFrame, *, id_col: str = "id",
+                          x_col: str = "x", y_col: str = "y",
+                          radius: int) -> DataFrame:
+    """For every point, its nearest OTHER point within `radius`
+    (strictly), or no row if none exists.  Output: (id, nn_id,
+    dist_sq) — the spatial as-of join: grid-blocked like radius_pairs
+    (each candidate pair meets in exactly one cell-offset
+    combination), then a per-point integer argmin with a
+    deterministic (dist_sq, nn_id) tiebreak.
+
+    Scale shape: identical to radius_pairs — 3x3 cell-neighborhood
+    equi-join, never all-pairs — plus one min_by aggregate keyed by
+    the point id.  64-bit math throughout (cast up front)."""
+    both = radius_pairs(points, id_col=id_col, x_col=x_col,
+                        y_col=y_col, radius=radius)
+    # radius_pairs emits each unordered pair once (id_a < id_b);
+    # mirror it so EVERY point sees all its neighbors
+    mirrored = (both.select(F.col("id_a").alias("pid"),
+                            F.col("id_b").alias("nn"),
+                            "dist_sq")
+                .unionAll(both.select(F.col("id_b").alias("pid"),
+                                      F.col("id_a").alias("nn"),
+                                      "dist_sq")))
+    return (mirrored.groupBy("pid")
+            .agg(F.min_by(F.struct("dist_sq", "nn"),
+                          F.struct("dist_sq", "nn")).alias("best"))
+            .select(F.col("pid").alias("id"),
+                    F.col("best.nn").alias("nn_id"),
+                    F.col("best.dist_sq").alias("dist_sq")))

@@ -2419,3 +2419,132 @@ def c102_exact_substring_spans(spark: SparkSession,
     docs = _t(spark, sf_dir, "documents")
     return (duplicated_spans(docs, "doc_id", "text", window_tokens=20)
             .orderBy("doc_id"))
+
+
+@_register(
+    "b118_nearest_within_radius",
+    """
+    WITH p AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS id,
+             CAST(floor(s_acctbal * 10) AS BIGINT) % 4000 AS x,
+             CAST(s_suppkey * 37 AS BIGINT) % 4000 AS y
+      FROM supplier
+    ), pairs AS (
+      SELECT a.id AS pid, b.id AS nn,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               AS dsq
+      FROM p a JOIN p b ON a.id <> b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            < 300 * 300
+    ), best AS (
+      SELECT pid, nn, dsq,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY dsq, nn) AS rn
+      FROM pairs
+    )
+    SELECT pid AS id, nn AS nn_id, CAST(dsq AS BIGINT) AS dist_sq
+    FROM best WHERE rn = 1 ORDER BY id
+    """,
+    "nearest-neighbor-within-radius — the spatial as-of join: for "
+    "every point (suppliers embedded on a deterministic integer "
+    "grid), its closest other point within r=300, grid-blocked "
+    "(operators/spatial.py nearest_within_radius reuses "
+    "radius_pairs' 3x3 cell equi-join, never all-pairs) then one "
+    "min_by per point with a (dist, id) tiebreak.  The oracle is "
+    "the O(n^2) spec join.  The record-linkage primitive when each "
+    "entity needs its single best spatial match rather than all "
+    "candidates (b101 returns the pair set; this returns the "
+    "argmin)",
+)
+def b118_nearest_within_radius(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    pts = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        (F.expr("CAST(floor(s_acctbal * 10) AS BIGINT)")
+         % 4000).alias("x"),
+        ((F.col("s_suppkey") * 37) % 4000).cast("long").alias("y"))
+    out = _spatial.nearest_within_radius(pts, radius=300)
+    return (out.select(F.col("id").cast("long").alias("id"),
+                       F.col("nn_id").cast("long").alias("nn_id"),
+                       F.col("dist_sq").cast("long").alias("dist_sq"))
+            .orderBy("id"))
+
+
+@_register(
+    "c103_vocab_overlap_matrix",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), ' +'))
+               AS tok
+      FROM documents
+    ), freq AS (
+      SELECT source, tok, count(*) AS f
+      FROM toks GROUP BY source, tok
+    ), ranked AS (
+      SELECT source, tok,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY f DESC, tok) AS rn
+      FROM freq
+    ), vocab AS (
+      SELECT source, tok FROM ranked WHERE rn <= 500
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM vocab GROUP BY source
+    ), common AS (
+      SELECT a.source AS src1, b.source AS src2, count(*) AS c
+      FROM vocab a JOIN vocab b
+        ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src1, src2,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(c.c, 0) * 1000000
+                // (x.n + y.n - coalesce(c.c, 0)) AS BIGINT)
+             AS vocab_jaccard_ppm
+    FROM sizes x JOIN sizes y ON x.source < y.source
+    LEFT JOIN common c ON c.src1 = x.source AND c.src2 = y.source
+    ORDER BY src1, src2
+    """,
+    "top-500 vocabulary overlap between every source pair: rank each "
+    "source's tokens by (frequency desc, token) — the deterministic "
+    "top-k vocabulary — and Jaccard the SETS.  The lexical-register "
+    "cousin of c64's shingle overlap (c64 finds shared CONTENT, this "
+    "finds shared VOCABULARY — two sources can share register with "
+    "zero copied text, which matters for mixture weighting and "
+    "tokenizer fit).  Per-source windows rank a vocabulary-bounded "
+    "table, never documents; the pairwise stage joins 500-row sets",
+)
+def c103_vocab_overlap_matrix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"))
+    freq = toks.groupBy("source", "tok").agg(F.count("*").alias("f"))
+    vocab = (freq.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))))
+        .filter(F.col("rn") <= 500)
+        .select("source", "tok"))
+    vocab = vocab.localCheckpoint(eager=True)  # reused 2x, tiny
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("source").alias("src1"), "tok")
+    b = vocab.select(F.col("source").alias("src2"), "tok")
+    common = (a.join(b, "tok")
+              .filter(F.col("src1") < F.col("src2"))
+              .groupBy("src1", "src2").agg(F.count("*").alias("c")))
+    x = sizes.select(F.col("source").alias("src1"),
+                     F.col("n").alias("n1"))
+    y = sizes.select(F.col("source").alias("src2"),
+                     F.col("n").alias("n2"))
+    spine = x.join(F.broadcast(y), F.col("src1") < F.col("src2"))
+    return (spine.join(common, ["src1", "src2"], "left")
+            .select("src1", "src2",
+                    F.coalesce("c", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.expr("coalesce(c, 0) * 1000000 "
+                           "div (n1 + n2 - coalesce(c, 0))")
+                    .cast("long").alias("vocab_jaccard_ppm"))
+            .orderBy("src1", "src2"))

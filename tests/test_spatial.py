@@ -87,3 +87,21 @@ def test_radius_join_is_cell_equi_join(spark, random_points):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "gx" in plan  # cell key reached the join
+
+
+def test_nearest_within_radius_equals_brute_force(spark, random_points):
+    pts, df = random_points
+    got = {(r["id"], r["nn_id"], r["dist_sq"]) for r in
+           spatial.nearest_within_radius(df, radius=150).collect()}
+    want = set()
+    for i, x1, y1 in pts:
+        best = None
+        for j, x2, y2 in pts:
+            if i == j:
+                continue
+            d = (x1 - x2) ** 2 + (y1 - y2) ** 2
+            if d < 150 * 150 and (best is None or (d, j) < best):
+                best = (d, j)
+        if best is not None:
+            want.add((i, best[1], best[0]))
+    assert got == want and want

@@ -576,3 +576,48 @@ def test_max_files_per_trigger_bounds_batches(spark, landing, tmp_path):
     assert batches == [1, 1, 1]  # one file per micro-batch
     assert spark.sql("SELECT count(*) c FROM vp_backpressure") \
         .collect()[0]["c"] == 3
+
+
+def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
+    """Per-micro-batch Gopher pass rates: the monitor table must
+    equal the batch recompute of each file's stats, survive a
+    restart, and stay idempotent on epoch replay (dynamic epoch
+    overwrite)."""
+    from tests.conftest import SF_SMALL
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    from tp_airflow_gtfs_snowflake_spark.streaming.quality_gate import (
+        batch_quality_stats, start_quality_monitor)
+
+    docs = _t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, sl in enumerate(slices[:2]):
+        sl.coalesce(1).write.parquet(str(land / f"f{i}.parquet"))
+
+    monitor = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt_q")
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(land) + "/*/"))
+        q = start_quality_monitor(spark, stream, monitor_dir=monitor,
+                                  checkpoint_dir=ckpt,
+                                  available_now=True)
+        q.awaitTermination(120)
+
+    run()
+    slices[2].coalesce(1).write.parquet(str(land / "f2.parquet"))
+    run()  # restart: only the new file is processed
+
+    got = spark.read.parquet(monitor)
+    assert got.count() == 3  # one row per micro-batch, no duplicates
+    totals = got.agg(F.sum("n_docs"), F.sum("n_keep"),
+                     F.sum("n_tokens")).first()
+    want = batch_quality_stats(docs).first()
+    assert (totals[0], totals[1], totals[2]) == \
+        (want["n_docs"], want["n_keep"], want["n_tokens"])
+    # keep_ppm per row is internally consistent
+    for r in got.collect():
+        assert r["keep_ppm"] == r["n_keep"] * 1_000_000 // r["n_docs"]

@@ -2548,3 +2548,64 @@ def c103_vocab_overlap_matrix(spark: SparkSession,
                            "div (n1 + n2 - coalesce(c, 0))")
                     .cast("long").alias("vocab_jaccard_ppm"))
             .orderBy("src1", "src2"))
+
+
+@_register(
+    "b119_seasonal_naive_eval",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), l AS (
+      SELECT event_type, day, y,
+             lag(y, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS y1,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS y7
+      FROM d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(y - y1)) AS BIGINT) AS mae_naive_sum,
+           CAST(sum(abs(y - y7)) AS BIGINT) AS mae_seasonal_sum,
+           CAST(sum(abs(y - y7)) * 1000000
+                // nullif(sum(abs(y - y1)), 0) AS BIGINT)
+             AS mase_ppm
+    FROM l WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "seasonal-naive forecast evaluation (MASE numerator/denominator, "
+    "Hyndman & Koehler 2006): per event type, the absolute error of "
+    "the lag-7 (weekly-seasonal) predictor vs the lag-1 naive "
+    "baseline over the daily count series — mase_ppm < 1e6 means "
+    "weekly seasonality is real and a seasonal model earns its "
+    "keep.  The forecast-EVALUATION primitive (which model family "
+    "to even try) computed entirely in-engine: daily counts are "
+    "integers, so the error sums and their ppm ratio are exact "
+    "cross-engine.  One pre-agg to days, two lags on a "
+    "days-per-type-bounded window, one agg",
+)
+def b119_seasonal_naive_eval(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.count("*").alias("y")))
+    w = W.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type", "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"))
+    return (l.filter(F.col("y1").isNotNull() & F.col("y7").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long")
+                 .alias("mae_naive_sum"),
+                 F.sum(F.abs(F.col("y") - F.col("y7"))).cast("long")
+                 .alias("mae_seasonal_sum"))
+            .withColumn("mase_ppm",
+                        F.expr("mae_seasonal_sum * 1000000 "
+                               "div nullif(mae_naive_sum, 0)")
+                        .cast("long"))
+            .orderBy("event_type"))

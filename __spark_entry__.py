@@ -86,7 +86,7 @@ _NEW_THIS_ROUND = [
     "b117_position_attribution", "c100_dedup_method_agreement",
     "c101_embedding_drift_audit", "c102_exact_substring_spans",
     "b118_nearest_within_radius", "c103_vocab_overlap_matrix",
-    "b119_seasonal_naive_eval",
+    "b119_seasonal_naive_eval", "b120_dow_median_baseline",
 ]
 
 

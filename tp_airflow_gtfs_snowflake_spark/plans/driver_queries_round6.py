@@ -2609,3 +2609,50 @@ def b119_seasonal_naive_eval(spark: SparkSession,
                                "div nullif(mae_naive_sum, 0)")
                         .cast("long"))
             .orderBy("event_type"))
+
+
+@_register(
+    "b120_dow_median_baseline",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), g AS (
+      SELECT event_type, dayofweek(day) AS dow, y FROM d
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(quantile_disc(y, 0.5) AS BIGINT) AS median_y,
+           CAST(max(y) - min(y) AS BIGINT) AS range_y
+    FROM g GROUP BY event_type, dow
+    ORDER BY event_type, dow
+    """,
+    "robust weekly-seasonality profile: per (event type, day-of-week) "
+    "the MEDIAN daily count — the outlier-resistant baseline b119's "
+    "MASE check justifies building (one holiday spike corrupts a "
+    "mean profile; the median shrugs).  Exact discrete median via "
+    "sorted-array element_at((n+1) div 2), the b75/b109-verified "
+    "quantile_disc equivalence — groups hold at most a few hundred "
+    "day rows, so collect_list is bounded (the b77 histogram "
+    "collapse is the unbounded-group form).  DuckDB dayofweek is "
+    "0=Sunday; Spark derives the same convention from date_format",
+)
+def b120_dow_median_baseline(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+         .agg(F.count("*").alias("y")))
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark dayofweek() is
+    # 1=Sunday..7 -> subtract 1
+    g = d.select("event_type",
+                 (F.dayofweek("day") - 1).cast("long").alias("dow"),
+                 "y")
+    return (g.groupBy("event_type", "dow")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.element_at(
+                     F.array_sort(F.collect_list("y")),
+                     F.expr("cast((count(*) + 1) div 2 as int)"))
+                 .cast("long").alias("median_y"),
+                 (F.max("y") - F.min("y")).cast("long")
+                 .alias("range_y"))
+            .orderBy("event_type", "dow"))

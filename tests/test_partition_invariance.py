@@ -27,11 +27,16 @@ def duck():
 
 @pytest.fixture(scope="module")
 def spark7(spark):
-    """Sibling session sharing the JVM but with shuffle.partitions=7
-    (session-scoped conf, so the main fixture is untouched)."""
-    s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "7")
-    yield s
+    """The shared session with shuffle.partitions flipped to 7 for
+    this module and restored afterwards.  (A sibling newSession()
+    leaked as the thread's ACTIVE session and later Spark-internal
+    getActiveSession() paths hit a null-session NPE mid-suite —
+    flipping the session-level conf in place tests the same
+    invariance property without multi-session hazards.)"""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @pytest.mark.parametrize(

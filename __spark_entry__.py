@@ -77,6 +77,8 @@ _DRIVER_VERIFIED = [
 # driver hash rows on brand-new code are worth more than on queries
 # already green in the local mirror for several rounds.
 _NEW_THIS_ROUND = [
+    "c104_pagerank_int", "c105_bigram_lm_score",
+    "b121_ohlc_candles", "c106_link_prediction",
     "c05e_real_image_decode", "c26c_pq_adc_int",
     "c64b_source_overlap_sketched", "c38_heavy_hitters",
     "c06f_minhash_neardup_fast", "b47_equidepth_histogram",

@@ -715,6 +715,57 @@ class TestPagerank:
         assert abs(sum(r.values()) - len(r)) < 1e-6
 
 
+class TestPagerankInt:
+    """pagerank_int must equal a sequential pure-Python reference of
+    the same integer recurrence EXACTLY (that determinism is what buys
+    the c104 value-hash oracle), and preserve the float ranks'
+    centrality order."""
+
+    @staticmethod
+    def _ref(pairs, n_iter=3):
+        from collections import defaultdict
+        outdeg = defaultdict(int)
+        for a, _ in pairs:
+            outdeg[a] += 1
+        nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+        rank = {n: 1_000_000 for n in nodes}
+        for _ in range(n_iter):
+            s = defaultdict(int)
+            for a, b in pairs:
+                s[b] += rank[a] // outdeg[a]
+            rank = {n: 150_000 + 85 * s[n] // 100 for n in nodes}
+        return rank
+
+    def _pr(self, spark, pairs, **kw):
+        from tp_airflow_gtfs_snowflake_spark.operators.components import (
+            pagerank_int)
+        e = spark.createDataFrame(pairs, "a long, b long")
+        return {r["node"]: r["rank"]
+                for r in pagerank_int(e, checkpoint=False, **kw).collect()}
+
+    def test_exact_equality_with_sequential_reference(self, spark):
+        graphs = [
+            [(1, 2), (2, 1)],
+            [(1, 2), (2, 1), (2, 3), (3, 2)],
+            [(1, l) for l in range(2, 7)] + [(l, 1) for l in range(2, 7)],
+            # asymmetric out-degrees exercise the per-edge div split
+            [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 2)],
+        ]
+        for pairs in graphs:
+            assert self._pr(spark, pairs) == self._ref(pairs), pairs
+
+    def test_symmetric_cycle_fixed_point(self, spark):
+        # 2-cycle: 150000 + 85*1000000//100 = 1000000 exactly, every round
+        r = self._pr(spark, [(1, 2), (2, 1)])
+        assert r == {1: 1_000_000, 2: 1_000_000}
+
+    def test_star_center_dominates(self, spark):
+        leaves = list(range(2, 7))
+        edges = [(1, l) for l in leaves] + [(l, 1) for l in leaves]
+        r = self._pr(spark, edges)
+        assert all(r[1] > r[l] for l in leaves)
+
+
 def _make_ppm(width: int, height: int, rgb: bytes, *,
               magic: bytes = b"P6", comment: bool = False) -> bytes:
     hdr = magic + b"\n"

@@ -84,6 +84,50 @@ def dedup_keep_canonical(docs: DataFrame, edges: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
+def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
+                 n_iter: int = 3, checkpoint: bool = True) -> DataFrame:
+    """PageRank in EXACT integer (ppm) arithmetic: rank_0 = 1e6 per
+    node, rank_{k+1} = 150000 + 85 * sum_in(rank_k div outdeg) div 100
+    (damping 0.85 as the 85/100 rational).  Truncating integer
+    division at both the per-edge split and the damping step makes the
+    fixed point a pure function of the input multiset — any engine
+    (Spark `div`, DuckDB `//`) reproduces every rank bit-for-bit,
+    which the float `pagerank` above can never promise (iterated
+    float sums are order-dependent).
+
+    Centrality ORDER converges within a few ppm of the float ranks
+    (each truncation loses < 1 ppm per term); for corpus quality
+    weighting — the consumer here — that is the same signal with a
+    hard cross-engine correctness check attached.  Same scale shape
+    as `pagerank`: per round one edges⋈ranks equi-join plus one
+    groupBy(dst) sum, lineage cut per round.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("a").alias("node"))
+             .unionByName(e.select(F.col("b").alias("node")))
+             .distinct())
+    eo = e.join(e.groupBy("a").agg(F.count("*").alias("outdeg")), "a")
+    if checkpoint:
+        eo = eo.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1000000).cast("long"))
+    for _ in range(n_iter):
+        contrib = (eo.join(ranks.withColumnRenamed("node", "a"), "a")
+                   .select(F.col("b").alias("node"),
+                           F.expr("rank div outdeg").alias("c")))
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(sums, "node", "left")
+                 .select("node",
+                         (F.lit(150000).cast("long")
+                          + F.expr("85 * coalesce(s, 0L) div 100"))
+                         .cast("long").alias("rank")))
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
              damping: float = 0.85, n_iter: int = 10,
              checkpoint: bool = True) -> DataFrame:

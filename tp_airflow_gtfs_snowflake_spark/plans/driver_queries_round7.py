@@ -1,0 +1,261 @@
+"""Round-7 registry additions.
+
+Focus: converting the last oracle-able rows-only FAMILY (iterative
+graph ranking) to value-hash via exact integer arithmetic, plus
+language-model-style corpus scoring, OHLC time-series candles, and
+graph link prediction — each with a full DuckDB value oracle.
+
+Reference scope note: the reference pipeline (dags/gtfs_static.py,
+dags/gtfs_rt_minutely.py) stops at KPI aggregates; these are charter
+extensions in the same spirit as the c-tier curation suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.operators.components import pagerank_int
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+    _register, _t)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+    _duck_toks, _spread)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
+    _EDGES_SQL, _edges)
+
+
+# ---------------------------------------------------------------------
+# c104: integer PageRank — the value-hash twin of c32.
+# ---------------------------------------------------------------------
+
+def _duck_pr_iter(prev: str, out: str) -> str:
+    """One unrolled integer-PageRank round (mirrors
+    operators.components.pagerank_int: per-edge rank//outdeg split,
+    then 150000 + 85*sum//100 damping, all truncating division)."""
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS rank
+      FROM (SELECT a AS node FROM deg) n
+      LEFT JOIN (
+        SELECT s.b AS node, sum(r.rank // d.outdeg) AS s
+        FROM sym s JOIN {prev} r ON r.node = s.a
+                   JOIN deg d ON d.a = s.a
+        GROUP BY s.b) c ON c.node = n.node)"""
+
+
+@_register(
+    "c104_pagerank_int",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    deg AS (SELECT a, count(*) AS outdeg FROM sym GROUP BY a),
+    r0 AS (SELECT a AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    {_duck_pr_iter('r0', 'r1')},
+    {_duck_pr_iter('r1', 'r2')},
+    {_duck_pr_iter('r2', 'r3')}
+    SELECT CAST(node AS BIGINT) AS doc_id, rank AS rank_ppm FROM r3
+    """,
+    "LLM-curation: PageRank centrality in EXACT integer-ppm "
+    "arithmetic over the symmetrized c08 near-dup graph — the "
+    "value-hash twin of the rows-only float c32 (r03 verdict asked "
+    "for oracles on the rows-only family wherever one exists; "
+    "truncating integer division makes every rank a pure function "
+    "of the input multiset, so DuckDB's 3 unrolled rounds reproduce "
+    "Spark's loop bit-for-bit).  Same scale shape as c19/c32: one "
+    "edges-ranks equi-join + one groupBy(dst) sum per round, "
+    "lineage checkpointed; truncation loses <1 ppm per term so the "
+    "centrality ORDER matches the float ranks — the signal corpus "
+    "weighting actually consumes, now with a hard cross-engine check",
+)
+def c104_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+    pr = pagerank_int(sym, src="d1", dst="d2", n_iter=3)
+    return pr.select(F.col("node").cast("long").alias("doc_id"),
+                     F.col("rank").cast("long").alias("rank_ppm"))
+
+
+# ---------------------------------------------------------------------
+# c105: corpus bigram-LM quality score (log-free perplexity sibling).
+# ---------------------------------------------------------------------
+
+@_register(
+    "c105_bigram_lm_score",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {_duck_toks()} AS toks
+               FROM documents),
+    b AS (SELECT doc_id, lang, source,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bgs
+          FROM t WHERE len(toks) >= 2),
+    occ AS (SELECT doc_id, lang, source, unnest(bgs) AS bigram FROM b),
+    db AS (SELECT doc_id, lang, source, bigram, count(*) AS k
+           FROM occ GROUP BY doc_id, lang, source, bigram),
+    pc AS (SELECT bigram, count(*) AS c_xy FROM occ GROUP BY bigram),
+    uc AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c_xy) AS c_x
+           FROM pc GROUP BY string_split(bigram, ' ')[1]),
+    sc AS (SELECT d.doc_id, d.lang, d.source,
+                  sum(d.k * (p.c_xy * 1000000 // u.c_x)) // sum(d.k)
+                    AS score_ppm
+           FROM db d JOIN pc p ON p.bigram = d.bigram
+           JOIN uc u ON u.w1 = string_split(d.bigram, ' ')[1]
+           GROUP BY d.doc_id, d.lang, d.source)
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score_ppm) AS BIGINT) AS sum_score_ppm,
+           CAST(min(score_ppm) AS BIGINT) AS min_score_ppm
+    FROM sc GROUP BY lang, source
+    """,
+    "LLM-curation: language-model-style fluency scoring WITHOUT a "
+    "model — each document's mean conditional bigram probability "
+    "P(w2|w1) under the corpus's own bigram statistics, in integer "
+    "ppm (the log-free sibling of perplexity filtering: natural text "
+    "re-uses the corpus's frequent continuations, gibberish and "
+    "boilerplate-with-rare-tokens score low).  Corpus counts are two "
+    "map-side-combinable aggregates; occurrences collapse to per-doc "
+    "(doc, bigram, k) BEFORE the count join-back, so the join's left "
+    "side is per-doc distinct bigrams, not raw token positions; the "
+    "bigram->count and prefix->count tables are vocabulary-sized "
+    "(broadcastable at 100 TB).  Truncating integer division both "
+    "engines share makes every per-doc score hash-exact",
+)
+def c105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), " +")
+    t = (docs.select("doc_id", "lang", "source", toks.alias("toks"))
+         .filter(F.size("toks") >= 2))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bgs = F.zip_with(F.slice("toks", 1, m), F.slice("toks", 2, m),
+                     lambda x, y: F.concat_ws(" ", x, y))
+    occ = t.select("doc_id", "lang", "source",
+                   F.explode(bgs).alias("bigram"))
+    db = (occ.groupBy("doc_id", "lang", "source", "bigram")
+          .agg(F.count("*").alias("k")))
+    pc = occ.groupBy("bigram").agg(F.count("*").alias("c_xy"))
+    uc = (pc.groupBy(F.split("bigram", " ")[0].alias("w1"))
+          .agg(F.sum("c_xy").alias("c_x")))
+    sc = (db.withColumn("w1", F.split("bigram", " ")[0])
+          .join(pc, "bigram")
+          .join(uc, "w1")
+          .withColumn("p_ppm", F.expr("c_xy * 1000000L div c_x"))
+          .groupBy("doc_id", "lang", "source")
+          .agg(F.expr("sum(k * p_ppm) div sum(k)").alias("score_ppm")))
+    return (sc.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("score_ppm").cast("long").alias("sum_score_ppm"),
+                 F.min("score_ppm").cast("long").alias("min_score_ppm")))
+
+
+# ---------------------------------------------------------------------
+# b121: OHLC candles (time-series bar aggregation).
+# ---------------------------------------------------------------------
+
+@_register(
+    "b121_ohlc_candles",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 10, '0') AS sk
+      FROM events)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           arg_min(value, sk) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           arg_max(value, sk) AS close_v,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM e GROUP BY event_type, day
+    """,
+    "time-series bar aggregation: per (event type, day) OHLC candle "
+    "— open/close are the values at the first/last event in "
+    "(timestamp, event_id) order, high/low are min/max — the "
+    "resample-to-bars primitive every monitoring and market pipeline "
+    "needs.  ONE partially-aggregatable hash agg (min_by/max_by over "
+    "a composite sequence key — the flagship's span idiom), no "
+    "window, no sort; outputs are SELECTED doubles (never float "
+    "sums), so values are exact in any engine.  The zero-padded "
+    "string key exists because DuckDB's arg_min cannot take a "
+    "composite ordering key; lexicographic order on the padding "
+    "equals (epoch_us, event_id) order",
+)
+def b121_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sk = F.concat(F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+                  F.lpad(F.col("event_id").cast("string"), 10, "0"))
+    d = ev.select("event_type", F.col("ts").cast("date").alias("day"),
+                  "value", sk.alias("sk"))
+    return (d.groupBy("event_type", "day")
+            .agg(F.min_by("value", F.col("sk")).alias("open_v"),
+                 F.max("value").alias("high_v"),
+                 F.min("value").alias("low_v"),
+                 F.max_by("value", F.col("sk")).alias("close_v"),
+                 F.count("*").cast("long").alias("volume"))
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "open_v", "high_v", "low_v", "close_v", "volume"))
+
+
+# ---------------------------------------------------------------------
+# c106: neighborhood-overlap link prediction over the dup graph.
+# ---------------------------------------------------------------------
+
+@_register(
+    "c106_link_prediction",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    cn AS (SELECT s1.a AS u, s2.b AS v, count(*) AS n_common
+           FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
+           GROUP BY s1.a, s2.b),
+    nc AS (SELECT u, v, n_common,
+                  CASE WHEN EXISTS (SELECT 1 FROM edges e
+                                    WHERE e.d1 = u AND e.d2 = v)
+                       THEN 1 ELSE 0 END AS is_edge
+           FROM cn)
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(is_edge AS BIGINT) AS is_edge,
+           CAST(n_common * 1000000 // (du.d + dv.d - n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM nc JOIN deg du ON du.a = u JOIN deg dv ON dv.a = v
+    ORDER BY jaccard_ppm DESC, u, v LIMIT 20
+    """,
+    "graph link prediction / neighborhood-overlap audit over the "
+    "near-dup graph: for every node pair sharing at least one "
+    "common neighbor, the Jaccard overlap of their neighbor sets "
+    "(common-neighbors / |union|, ppm) with an is_edge flag — "
+    "non-adjacent high-overlap pairs (is_edge=0) are transitive-"
+    "duplicate candidates the pairwise stage never compared (the "
+    "classic common-neighbors link-prediction signal and the local "
+    "building block of SimRank); adjacent pairs calibrate what "
+    "overlap a VERIFIED near-dup pair has.  Shape is the c98 "
+    "triangle-count wedge join: sym x sym on the shared middle "
+    "node, u<v dedupe orientation, count per pair, then a "
+    "left-join edge flag and two broadcast degree lookups.  At "
+    "100 TB wedge work is sum(deg^2) — bounded by the near-dup "
+    "graph's tiny degrees, never corpus-sized",
+)
+def c106_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    e = e.localCheckpoint(eager=True)  # reused: wedges + anti + degrees
+    sym = e.unionByName(e.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+    s1 = sym.select(F.col("d1").alias("u"), F.col("d2").alias("w"))
+    s2 = sym.select(F.col("d1").alias("w"), F.col("d2").alias("v"))
+    cand = (s1.join(s2, "w").filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v").agg(F.count("*").alias("n_common")))
+    flags = (e.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+             .withColumn("is_edge", F.lit(1)))
+    nc = (cand.join(flags, ["u", "v"], "left")
+          .withColumn("is_edge", F.coalesce("is_edge", F.lit(0))))
+    deg = sym.groupBy("d1").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("d1").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("d1").alias("v"), F.col("d").alias("dv"))
+    return (nc.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+            .select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.col("is_edge").cast("long").alias("is_edge"),
+                    F.expr("n_common * 1000000 div (du + dv - n_common)")
+                    .cast("long").alias("jaccard_ppm"))
+            .orderBy(F.desc("jaccard_ppm"), "u", "v").limit(20))

@@ -124,3 +124,24 @@ def with_intersect_estimate(pairs_df: DataFrame, k: int,
                 f"cast(size(_common) as bigint) * {SPACE} div _th")
                 .cast("long"))
             .drop("_th", "_common"))
+
+
+def with_anotb_estimate(pairs_df: DataFrame, k: int,
+                        sk_a: str = "sketch_a",
+                        sk_b: str = "sketch_b",
+                        out: str = "est_anotb") -> DataFrame:
+    """Add the theta-sketch A-not-B (set difference) estimate: count
+    retained hashes of A below the combined theta that B's retained
+    set does NOT hold, rescale by the sampled fraction.  Completes
+    the sketch set algebra (union = merge, intersect above, minus
+    here) — the Dasgupta et al. a-not-b operation."""
+    th = F.least(theta_col(F.col(sk_a), k), theta_col(F.col(sk_b), k))
+    return (pairs_df
+            .withColumn("_th", th)
+            .withColumn("_only", F.filter(
+                F.array_except(F.col(sk_a), F.col(sk_b)),
+                lambda h: h < F.col("_th")))
+            .withColumn(out, F.expr(
+                f"cast(size(_only) as bigint) * {SPACE} div _th")
+                .cast("long"))
+            .drop("_th", "_only"))

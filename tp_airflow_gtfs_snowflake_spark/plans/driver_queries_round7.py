@@ -15,13 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
 from tp_airflow_gtfs_snowflake_spark.operators.components import pagerank_int
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
     _register, _t)
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
-    _duck_toks, _spread)
+    _duck_shingles, _duck_toks, _spread)
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
     _EDGES_SQL, _edges)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round6 import (
+    _KMV_SPACE, _KMV_VALS_SQL, _kmv_user_day_hashes)
 
 
 # ---------------------------------------------------------------------
@@ -259,3 +262,137 @@ def c106_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("n_common * 1000000 div (du + dv - n_common)")
                     .cast("long").alias("jaccard_ppm"))
             .orderBy(F.desc("jaccard_ppm"), "u", "v").limit(20))
+
+
+# ---------------------------------------------------------------------
+# b122: theta-sketch A-not-B — completes the sketch set algebra.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b122_kmv_difference_estimate",
+    f"""
+    WITH {_KMV_VALS_SQL}, th AS (
+      SELECT g, CASE WHEN count(*) >= 128
+                     THEN max(CASE WHEN rn = 128 THEN h END)
+                     ELSE {_KMV_SPACE} END AS theta
+      FROM r WHERE rn <= 128 GROUP BY g
+    ), ret AS (
+      SELECT r.g, r.h FROM r JOIN th USING (g) WHERE r.h < th.theta
+    ), spine AS (
+      SELECT t1.g AS g1, t2.g AS g2,
+             least(t1.theta, t2.theta) AS cth
+      FROM th t1 JOIN th t2 ON t1.g <> t2.g
+    ), anotb AS (
+      SELECT s.g1, s.g2, count(*) AS c
+      FROM spine s JOIN ret ra ON ra.g = s.g1
+      WHERE ra.h < s.cth
+        AND NOT EXISTS (SELECT 1 FROM ret rb
+                        WHERE rb.g = s.g2 AND rb.h = ra.h)
+      GROUP BY s.g1, s.g2
+    ), exco AS (
+      SELECT a.g AS g1, b.g AS g2, count(*) AS n_common
+      FROM vals a JOIN vals b ON a.v = b.v AND a.g <> b.g
+      GROUP BY a.g, b.g
+    ), exn AS (SELECT g, count(*) AS n FROM vals GROUP BY g)
+    SELECT s.g1 AS g1, s.g2 AS g2,
+           CAST(exn.n - coalesce(exco.n_common, 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(a.c, 0) * {_KMV_SPACE} // s.cth AS BIGINT)
+             AS est_diff
+    FROM spine s
+    JOIN exn ON exn.g = s.g1
+    LEFT JOIN exco ON exco.g1 = s.g1 AND exco.g2 = s.g2
+    LEFT JOIN anotb a ON a.g1 = s.g1 AND a.g2 = s.g2
+    ORDER BY g1, g2
+    """,
+    "theta-sketch SET DIFFERENCE (a-not-b) estimate for every "
+    "ordered event-type pair vs the exact difference — with b102 "
+    "(distinct) and b103 (intersection) this completes the sketch "
+    "set algebra of Dasgupta et al.'s theta framework ('how many "
+    "user-days does type X have that type Y lacks', answered from "
+    "two k=128 sketches without touching raw data).  Retained "
+    "hashes of A below the combined theta minus B's retained set, "
+    "rescaled by the sampled fraction; portable md5-48 hash + "
+    "truncating integer division keep every estimate bit-for-bit "
+    "reproducible in the oracle.  The pairwise stage is array math "
+    "over |groups|^2 tiny sketch rows",
+)
+def b122_kmv_difference_estimate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    vals, hashed = _kmv_user_day_hashes(spark, sf_dir)
+    sk = _kmv.kmv_sketch(hashed, "g", "h", k=128)
+    a = sk.select(F.col("g").alias("g1"), F.col("sketch").alias("sketch_a"))
+    b = sk.select(F.col("g").alias("g2"), F.col("sketch").alias("sketch_b"))
+    spine = a.join(b, F.col("g1") != F.col("g2"))
+    est = (_kmv.with_anotb_estimate(spine, 128)
+           .select("g1", "g2",
+                   F.col("est_anotb").cast("long").alias("est_diff")))
+    va = vals.select(F.col("g").alias("g1"), "v")
+    vb = vals.select(F.col("g").alias("g2"), "v")
+    common = (va.join(vb, ["v"]).filter(F.col("g1") != F.col("g2"))
+              .groupBy("g1", "g2")
+              .agg(F.count("*").alias("n_common")))
+    n = vals.groupBy(F.col("g").alias("g1")).agg(F.count("*").alias("n"))
+    return (est.join(n, "g1")
+            .join(common, ["g1", "g2"], "left")
+            .select("g1", "g2",
+                    (F.col("n") - F.coalesce("n_common", F.lit(0)))
+                    .cast("long").alias("n_exact"),
+                    "est_diff"))
+
+
+# ---------------------------------------------------------------------
+# c108: n-gram novelty — marginal diversity audit per document.
+# ---------------------------------------------------------------------
+
+@_register(
+    "c108_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {_duck_toks()} AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, lang, source,
+                  unnest({_duck_shingles(3)}) AS sh
+           FROM t),
+    first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id, s.lang, s.source, count(*) AS n_sh,
+             sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM sh s JOIN first f ON f.sh = s.sh
+      GROUP BY s.doc_id, s.lang, s.source)
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS novel_shingles,
+           CAST(sum(n_novel) * 1000000 // sum(n_sh) AS BIGINT)
+             AS novelty_ppm
+    FROM per_doc GROUP BY lang, source
+    """,
+    "LLM-curation: corpus NOVELTY audit — per document, the fraction "
+    "of its distinct 3-gram shingles whose FIRST occurrence (by "
+    "doc_id order) is this document, rolled up per (lang, source) in "
+    "ppm.  The marginal-contribution twin of c43's duplicate-n-gram "
+    "rate: sources whose novelty collapses are re-crawls/mirrors "
+    "adding bytes but no new text — the curation signal for 'stop "
+    "ingesting this source'.  min-per-shingle is one map-side-"
+    "combinable agg over the shingle table; the join-back is equi on "
+    "the shingle key (the c29 segment-dedup shape).  Deterministic: "
+    "first-occurrence is a pure min, no order dependence",
+)
+def c108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        token_shingles)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", "lang", "source",
+                     F.explode(token_shingles(F.col("text"), 3))
+                     .alias("sh"))
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(first, "sh")
+               .groupBy("doc_id", "lang", "source")
+               .agg(F.count("*").alias("n_sh"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                                 1).otherwise(0)).alias("n_novel")))
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_sh").cast("long").alias("total_shingles"),
+                 F.sum("n_novel").cast("long").alias("novel_shingles"),
+                 F.expr("sum(n_novel) * 1000000 div sum(n_sh)")
+                 .cast("long").alias("novelty_ppm")))

@@ -73,6 +73,11 @@ HEADLINE = [
     "c101_embedding_drift_audit",  # integer centroid-drift monitor
     "b117_position_attribution",   # U-shaped multi-touch windows
     "c102_exact_substring_spans",  # ExactSubstr duplicated spans
+    "c104_pagerank_int",           # integer-exact iterative PageRank
+    "c105_bigram_lm_score",        # bigram-LM fluency scoring
+    "b121_ohlc_candles",           # single-agg OHLC bars
+    "c108_ngram_novelty",          # first-occurrence novelty audit
+    "b122_kmv_difference_estimate",  # theta-sketch a-not-b
 ]
 
 

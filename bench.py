@@ -78,6 +78,7 @@ HEADLINE = [
     "b121_ohlc_candles",           # single-agg OHLC bars
     "c108_ngram_novelty",          # first-occurrence novelty audit
     "b122_kmv_difference_estimate",  # theta-sketch a-not-b
+    "b123_spearman_corr",          # blocked-rank exact Spearman
 ]
 
 

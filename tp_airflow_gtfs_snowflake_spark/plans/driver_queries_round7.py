@@ -396,3 +396,111 @@ def c108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_novel").cast("long").alias("novel_shingles"),
                  F.expr("sum(n_novel) * 1000000 div sum(n_sh)")
                  .cast("long").alias("novelty_ppm")))
+
+
+# ---------------------------------------------------------------------
+# b123: exact Spearman rank correlation, blocked two-pass ranks.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b123_spearman_corr",
+    """
+    WITH lc AS (
+      SELECT l_orderkey, count(*) AS y FROM lineitem GROUP BY l_orderkey
+    ), base AS (
+      SELECT o.o_orderpriority AS grp, o.o_totalprice AS x, lc.y
+      FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey
+    ), r AS (
+      SELECT grp,
+             2 * rank() OVER (PARTITION BY grp ORDER BY x)
+               + count(*) OVER (PARTITION BY grp, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY grp ORDER BY y)
+               + count(*) OVER (PARTITION BY grp, y) - 1 AS ry
+      FROM base
+    ), m AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(rx) AS HUGEINT) AS sx,
+             CAST(sum(ry) AS HUGEINT) AS sy,
+             CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+             CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+             CAST(sum(ry * ry) AS HUGEINT) AS syy
+      FROM r GROUP BY grp
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS rho_spearman
+    FROM m ORDER BY grp
+    """,
+    "exact tie-aware SPEARMAN rank correlation per order priority "
+    "(order value vs line count) — the rank sibling of b81's exact-"
+    "moment Pearson, robust to the monotone-but-nonlinear relations "
+    "raw-value correlation misses.  Ranks are DOUBLED average ranks "
+    "(2*minrank + ties - 1), kept integer so every moment is exact; "
+    "Spark computes them WITHOUT any per-group sort: distinct-value "
+    "counts cumsum'd per value-range block in parallel, tiny block "
+    "offsets broadcast back (the b47/c94 two-pass pattern), then one "
+    "equi join-back and a single map-side-combinable moment agg.  "
+    "The rho combination runs ONCE per group row over exact decimal "
+    "moments (no accumulation-order float drift), so both engines "
+    "produce the identical double.  At 100 TB: two narrow aggs + "
+    "broadcast joins, the largest sort is a 500-row block table",
+)
+def b123_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (li.groupBy("l_orderkey").agg(F.count("*").alias("y"))
+            .join(o.select(F.col("o_orderkey").alias("l_orderkey"),
+                           F.col("o_orderpriority").alias("grp"),
+                           F.col("o_totalprice").alias("x")),
+                  "l_orderkey")
+            .select("grp", "x", "y"))
+    base = base.localCheckpoint(eager=True)  # reused: 2 ranks + join
+
+    def rank2(col: str, block):
+        """Doubled average rank per distinct (grp, value): 2*cntlt +
+        ties + 1, with the cumulative below-count built block-wise
+        (no group-sized sort in any task)."""
+        dv = (base.groupBy("grp", F.col(col).alias("v"))
+              .agg(F.count("*").alias("c"))
+              .withColumn("_b", block(F.col("v"))))
+        wloc = (W.partitionBy("grp", "_b").orderBy("v")
+                .rowsBetween(W.unboundedPreceding, -1))
+        local = dv.withColumn("_lc",
+                              F.coalesce(F.sum("c").over(wloc), F.lit(0)))
+        bcnt = dv.groupBy("grp", "_b").agg(F.sum("c").alias("_bc"))
+        woff = (W.partitionBy("grp").orderBy("_b")
+                .rowsBetween(W.unboundedPreceding, -1))
+        boff = (bcnt.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(woff), F.lit(0)))
+            .select("grp", "_b", "_off"))
+        return (local.join(F.broadcast(boff), ["grp", "_b"])
+                .select("grp", F.col("v").alias(col),
+                        (2 * (F.col("_off") + F.col("_lc"))
+                         + F.col("c") + 1).cast("long")
+                        .alias(f"r_{col}")))
+
+    rx = rank2("x", lambda v: F.floor(v / 1000).cast("long"))
+    ry = rank2("y", lambda v: v.cast("long"))
+    j = (base.join(rx, ["grp", "x"]).join(F.broadcast(ry), ["grp", "y"]))
+    m = (j.groupBy("grp")
+         .agg(F.count("*").alias("n"),
+              F.sum("r_x").alias("sx"), F.sum("r_y").alias("sy"),
+              F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"),
+              F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+              F.sum(F.col("r_y") * F.col("r_y")).alias("syy")))
+    dec = "decimal(20,0)"
+    num = (F.col("n").cast(dec) * F.col("sxy").cast(dec)
+           - F.col("sx").cast(dec) * F.col("sy").cast(dec))
+    dxx = (F.col("n").cast(dec) * F.col("sxx").cast(dec)
+           - F.col("sx").cast(dec) * F.col("sx").cast(dec))
+    dyy = (F.col("n").cast(dec) * F.col("syy").cast(dec)
+           - F.col("sy").cast(dec) * F.col("sy").cast(dec))
+    return (m.select("grp", F.col("n").cast("long").alias("n"),
+                     F.round(num.cast("double")
+                             / F.sqrt(dxx.cast("double")
+                                      * dyy.cast("double")), 6)
+                     .alias("rho_spearman"))
+            .orderBy("grp"))

@@ -504,3 +504,79 @@ def b123_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       * dyy.cast("double")), 6)
                      .alias("rho_spearman"))
             .orderBy("grp"))
+
+
+# ---------------------------------------------------------------------
+# c109: blocklist gate — the word-filter stage of a curation funnel.
+# ---------------------------------------------------------------------
+
+_BLOCK_DROP = ("slow",)            # severity 2: drop the document
+_BLOCK_FLAG = ("hash", "merge")    # severity 1: keep but flag
+
+_BD_SQL = ", ".join(f"'{w}'" for w in _BLOCK_DROP)
+_BF_SQL = ", ".join(f"'{w}'" for w in _BLOCK_FLAG)
+
+
+@_register(
+    "c109_blocklist_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {_duck_toks()} AS toks FROM documents
+    ), h AS (
+      SELECT doc_id, lang, source, len(toks) AS n_toks,
+             len(list_filter(toks, x -> x IN ({_BD_SQL}))) AS n_drop_hits,
+             len(list_filter(toks, x -> x IN ({_BF_SQL}))) AS n_flag_hits
+      FROM t
+    ), cls AS (
+      SELECT lang, source, n_toks, n_drop_hits, n_flag_hits,
+             CASE WHEN n_drop_hits * 1000000 // n_toks >= 60000
+                  THEN 'drop'
+                  WHEN n_drop_hits > 0 OR n_flag_hits * 1000000
+                       // n_toks >= 120000 THEN 'flag'
+                  ELSE 'keep' END AS verdict
+      FROM h WHERE n_toks > 0
+    )
+    SELECT lang, source, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_drop_hits) AS BIGINT) AS drop_hits,
+           CAST(sum(n_flag_hits) AS BIGINT) AS flag_hits
+    FROM cls GROUP BY lang, source, verdict
+    """,
+    "LLM-curation: word-BLOCKLIST gate (the toxicity/unsafe-content "
+    "filter stage every production corpus pipeline runs before "
+    "model-based scoring): two severity tiers — drop-tier terms "
+    "remove a document when their density crosses 6% of tokens, "
+    "flag-tier terms quarantine it for review at 12% — with "
+    "per-(lang, source, verdict) accounting so the funnel's loss is "
+    "auditable per source (the c16 PII-scrub discipline applied to "
+    "content policy).  Pure narrow map over the token array "
+    "(list-membership against literal term sets, integer-ppm "
+    "densities) + one hash agg: zero joins, zero shuffles beyond "
+    "the final combine — trivially scale-safe at 100 TB",
+)
+def c109_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower("text")), " +")
+    drop_arr = F.array(*[F.lit(w) for w in _BLOCK_DROP])
+    flag_arr = F.array(*[F.lit(w) for w in _BLOCK_FLAG])
+    h = (docs.select(
+        "lang", "source", toks.alias("toks"))
+        .select("lang", "source", F.size("toks").alias("n_toks"),
+                F.size(F.filter("toks",
+                                lambda x: F.array_contains(drop_arr, x)))
+                .alias("n_drop_hits"),
+                F.size(F.filter("toks",
+                                lambda x: F.array_contains(flag_arr, x)))
+                .alias("n_flag_hits"))
+        .filter(F.col("n_toks") > 0))
+    verdict = (F.when(F.expr("n_drop_hits * 1000000 div n_toks") >= 60000,
+                      "drop")
+               .when((F.col("n_drop_hits") > 0)
+                     | (F.expr("n_flag_hits * 1000000 div n_toks")
+                        >= 120000), "flag")
+               .otherwise("keep"))
+    return (h.withColumn("verdict", verdict)
+            .groupBy("lang", "source", "verdict")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_drop_hits").cast("long").alias("drop_hits"),
+                 F.sum("n_flag_hits").cast("long").alias("flag_hits")))

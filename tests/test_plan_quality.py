@@ -861,3 +861,58 @@ def test_no_registry_query_collapses_a_raw_scan(spark):
         if b:
             bad[name] = b[0][:120]
     assert not bad, f"raw-scan global collapses: {bad}"
+
+
+def test_c105_vocab_joinbacks_are_broadcast_equi(spark):
+    """The bigram-count and prefix-count tables are vocabulary-sized;
+    both join-backs onto the per-doc bigram table must be broadcast
+    equi joins — a shuffled or nested-loop plan means the vocab
+    tables stopped being treated as small."""
+    p = _plan(spark, "c105_bigram_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c108_first_occurrence_joinback_is_equi(spark):
+    p = _plan(spark, "c108_ngram_novelty")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c109_blocklist_gate_is_narrow_map_plus_one_agg(spark):
+    """Blocklist scoring is a pure per-row map: any Join in the plan
+    means the literal term sets regressed into a table; more than one
+    hash exchange means the agg lost its map-side combine."""
+    p = _plan(spark, "c109_blocklist_gate")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_b121_ohlc_is_single_agg_no_window(spark):
+    """OHLC bars must stay ONE partially-aggregatable hash agg
+    (min_by/max_by over the sequence key) — a Window or Join here is
+    the classic first/last-per-group regression the flagship's span
+    idiom exists to avoid."""
+    p = _plan(spark, "b121_ohlc_candles")
+    assert "Window" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_b123_spearman_rank_joinbacks_are_broadcast(spark):
+    """Block-offset and rank join-backs ride broadcast; no cartesian
+    anywhere.  (The no-group-sized-sort property is covered by the
+    registry-wide single-partition gate: every Sort in this plan is
+    inside a (grp, block) window partition.)"""
+    p = _plan(spark, "b123_spearman_corr")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_b122_anotb_merges_bounded_partials(spark):
+    """Like b102: the sketch exchange must move k-bounded mapInPandas
+    partials, never the raw distinct stream."""
+    p = _plan(spark, "b122_kmv_difference_estimate")
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p

@@ -580,3 +580,181 @@ def c109_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_drop_hits").cast("long").alias("drop_hits"),
                  F.sum("n_flag_hits").cast("long").alias("flag_hits")))
+
+
+# ---------------------------------------------------------------------
+# b124: two-proportion A/B test from exact counts.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b124_ab_proportion_test",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                            || ':ab'), 1, 15))::BIGINT
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchase,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS n_error
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT arm, count(*) AS n,
+             sum(CASE WHEN n_purchase > n_error THEN 1 ELSE 0 END)
+               AS conv
+      FROM u GROUP BY arm
+    ), w AS (
+      SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      FROM c a JOIN c b ON a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(conv_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           round((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM w
+    """,
+    "experimentation analytics: two-proportion z-test between "
+    "deterministic hash-assigned arms (the c17 portable-md5 split "
+    "applied to experiment bucketing — assignment is reproducible "
+    "across engines and re-runs, the property real experiment "
+    "platforms require).  Conversion = user's purchases exceed "
+    "errors; counts roll up exactly, rates ship as integer ppm, and "
+    "the pooled z statistic is ONE row of double math over exact "
+    "integers (the b123 single-row-combination discipline: no "
+    "accumulation-order drift, both engines produce the identical "
+    "double).  Two map-side-combinable aggs over events — nothing "
+    "here grows with corpus size except the per-user rollup",
+)
+def b124_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        portable_hash64)
+    ev = _t(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("n_purchase"),
+              F.sum(F.when(F.col("event_type") == "error", 1)
+                    .otherwise(0)).alias("n_error"))
+         .withColumn("arm", F.when(
+             F.pmod(portable_hash64(
+                 F.concat(F.col("user_id").cast("string"),
+                          F.lit(":ab"))), F.lit(2)) == 0,
+             "A").otherwise("B")))
+    c = (u.groupBy("arm")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.when(F.col("n_purchase") > F.col("n_error"), 1)
+                    .otherwise(0)).alias("conv")))
+    a = (c.filter(F.col("arm") == "A")
+         .select(F.col("n").alias("n_a"), F.col("conv").alias("conv_a")))
+    b = (c.filter(F.col("arm") == "B")
+         .select(F.col("n").alias("n_b"), F.col("conv").alias("conv_b")))
+    w = a.crossJoin(F.broadcast(b))
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    z = ((F.col("conv_a").cast("double") / F.col("n_a")
+          - F.col("conv_b").cast("double") / F.col("n_b"))
+         / F.sqrt(pool * (F.lit(1.0) - pool)
+                  * (F.lit(1.0) / F.col("n_a")
+                     + F.lit(1.0) / F.col("n_b"))))
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("conv_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.expr("conv_a * 1000000 div n_a").cast("long")
+        .alias("rate_a_ppm"),
+        F.expr("conv_b * 1000000 div n_b").cast("long")
+        .alias("rate_b_ppm"),
+        F.round(z, 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------
+# c110: ranking-metric evaluation of a co-occurrence recommender.
+# ---------------------------------------------------------------------
+
+@_register(
+    "c110_recsys_eval",
+    """
+    WITH pl AS (
+      SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+             o2.o_orderdate AS d, o2.o_orderpriority AS grp
+      FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+    ), train AS (SELECT o, p FROM pl WHERE d <  DATE '1997-01-01'),
+    test  AS (SELECT o, p, grp FROM pl WHERE d >= DATE '1997-01-01'),
+    co AS (
+      SELECT a.p AS p1, b.p AS p2, count(*) AS c
+      FROM train a JOIN train b ON a.o = b.o AND a.p <> b.p
+      GROUP BY a.p, b.p
+    ), top1 AS (
+      SELECT p1, p2 AS rec FROM (
+        SELECT p1, p2, row_number() OVER (
+          PARTITION BY p1 ORDER BY c DESC, p2) AS rn
+        FROM co) WHERE rn = 1
+    ), cases AS (
+      SELECT t.o, t.grp, t.p, top1.rec,
+             CASE WHEN EXISTS (SELECT 1 FROM test t2
+                               WHERE t2.o = t.o AND t2.p = top1.rec)
+                  THEN 1 ELSE 0 END AS hit
+      FROM test t JOIN top1 ON top1.p1 = t.p
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_cases,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_ppm
+    FROM cases GROUP BY grp
+    """,
+    "recommender EVALUATION harness: temporal-split precision@1 of a "
+    "co-purchase recommender — train co-occurrence counts on orders "
+    "before the split date, recommend each part's top-1 partner "
+    "(deterministic tiebreak: count desc then part id, the b42 "
+    "grouped-top-k-over-a-pre-aggregate shape), score on later "
+    "orders by whether the recommended partner appears in the same "
+    "basket, hit rate ppm per order priority.  The leakage-free "
+    "temporal split is the c42 discipline applied to implicit "
+    "feedback.  Scale: pair generation is the c98 per-basket array "
+    "slice (never a corpus self-join), the rank window runs over "
+    "per-part partner counts (degree-bounded), and scoring is one "
+    "equi join + an array membership per case",
+)
+def c110_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pl = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p")).distinct()
+          .join(o.select(F.col("o_orderkey").alias("o"),
+                         F.col("o_orderdate").alias("d"),
+                         F.col("o_orderpriority").alias("grp")), "o"))
+    split = F.lit("1997-01-01").cast("date")
+    train = pl.filter(F.col("d") < split).select("o", "p")
+    test = pl.filter(F.col("d") >= split).select("o", "p", "grp")
+    # basket pairs via per-order sorted arrays (both directions kept:
+    # co-occurrence is symmetric but top-1 is per SOURCE part)
+    arr = train.groupBy("o").agg(F.sort_array(F.collect_set("p"))
+                                 .alias("ps"))
+    pairs = arr.select(F.explode(F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS p1, y AS p2))))"
+    )).alias("e")).select("e.p1", "e.p2")
+    co = pairs.groupBy("p1", "p2").agg(F.count("*").alias("c"))
+    top1 = (co.withColumn("rn", F.row_number().over(
+        W.partitionBy("p1").orderBy(F.desc("c"), F.asc("p2"))))
+        .filter(F.col("rn") == 1)
+        .select("p1", F.col("p2").alias("rec")))
+    # each test order carries its part set once; hit = membership
+    basket = test.groupBy("o").agg(F.collect_set("p").alias("parts"))
+    cases = (test.join(top1, test.p == top1.p1)
+             .join(basket, "o")
+             .withColumn("hit",
+                         F.array_contains("parts", F.col("rec"))
+                         .cast("int")))
+    return (cases.groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n_cases"),
+                 F.sum("hit").cast("long").alias("n_hits"),
+                 F.expr("sum(hit) * 1000000 div count(*)")
+                 .cast("long").alias("hit_ppm")))

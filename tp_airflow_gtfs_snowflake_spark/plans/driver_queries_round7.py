@@ -758,3 +758,83 @@ def c110_recsys_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("hit").cast("long").alias("n_hits"),
                  F.expr("sum(hit) * 1000000 div count(*)")
                  .cast("long").alias("hit_ppm")))
+
+
+# ---------------------------------------------------------------------
+# c111: off-policy (counterfactual) evaluation — IPS and SNIPS.
+# ---------------------------------------------------------------------
+
+# assumed logging-policy propensities in TENTHS (integer rationals so
+# the importance weights 10/p stay exact integers in both engines)
+_IPS_P_TENTHS = {"view": 4, "click": 2, "purchase": 1, "signup": 1,
+                 "error": 2}
+
+_IPS_CASE_SQL = ("CASE event_type " + " ".join(
+    f"WHEN '{a}' THEN {p}" for a, p in _IPS_P_TENTHS.items())
+    + " ELSE 10 END")
+
+
+@_register(
+    "c111_offpolicy_ips_eval",
+    f"""
+    WITH log AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS r_cents,
+             {_IPS_CASE_SQL} AS p_tenths,
+             CASE WHEN user_id % 2 = 1 THEN 'click' ELSE 'view' END
+               AS target_action
+      FROM events
+    ), w AS (
+      SELECT target_action,
+             CASE WHEN event_type = target_action
+                  THEN 10 // p_tenths ELSE 0 END AS wgt,
+             r_cents
+      FROM log
+    )
+    SELECT target_action, CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(sum(CASE WHEN wgt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(wgt * r_cents) // count(*) AS BIGINT)
+             AS ips_value_cents,
+           CAST(sum(wgt * r_cents) // nullif(sum(wgt), 0) AS BIGINT)
+             AS snips_value_cents
+    FROM w GROUP BY target_action
+    """,
+    "counterfactual / off-policy evaluation (Horvitz-Thompson IPS "
+    "and self-normalized SNIPS): estimate what a TARGET policy "
+    "(recommend 'click' to odd users, 'view' to even) would have "
+    "earned from logged interactions collected under a different "
+    "logging policy — the standard bandit-feedback evaluation every "
+    "recommendation/ads pipeline runs before an online test.  "
+    "Propensities are integer TENTHS so importance weights 10/p are "
+    "exact integers; rewards are floor-cents; both estimators reduce "
+    "to integer sums + one truncating division — bit-for-bit "
+    "reproducible (float r/p sums would be accumulation-order-"
+    "dependent at 1000 executors; the integer form cannot drift).  "
+    "One narrow map + one map-side-combinable agg, zero joins",
+)
+def c111_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = F.lit(10)
+    for a, t in _IPS_P_TENTHS.items():
+        p = F.when(F.col("event_type") == a, t).otherwise(p)
+    log = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("r_cents"),
+        p.alias("p_tenths"),
+        F.when(F.col("user_id") % 2 == 1, "click").otherwise("view")
+        .alias("target_action"))
+    w = log.select(
+        "target_action",
+        F.when(F.col("event_type") == F.col("target_action"),
+               F.expr("10 div p_tenths")).otherwise(F.lit(0))
+        .alias("wgt"),
+        "r_cents")
+    return (w.groupBy("target_action")
+            .agg(F.count("*").cast("long").alias("n_logged"),
+                 F.sum(F.when(F.col("wgt") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_matched"),
+                 F.expr("sum(wgt * r_cents) div count(*)")
+                 .cast("long").alias("ips_value_cents"),
+                 F.expr("sum(wgt * r_cents) div nullif(sum(wgt), 0)")
+                 .cast("long").alias("snips_value_cents")))

@@ -838,3 +838,113 @@ def c111_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("ips_value_cents"),
                  F.expr("sum(wgt * r_cents) div nullif(sum(wgt), 0)")
                  .cast("long").alias("snips_value_cents")))
+
+
+# ---------------------------------------------------------------------
+# b125: CUPED variance-reduced experiment readout.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b125_cuped_adjustment",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                            || ':ab'), 1, 15))::BIGINT
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(floor(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM u
+    ), a AS (
+      SELECT arm, count(*) AS n_arm, sum(x) AS sx_arm, sum(y) AS sy_arm
+      FROM u GROUP BY arm
+    )
+    SELECT arm, CAST(n_arm AS BIGINT) AS n_users,
+           CAST(sy_arm AS BIGINT) AS sum_y_cents,
+           round(CAST(sy_arm AS DOUBLE) / n_arm, 6) AS mean_y,
+           round(CAST(sy_arm AS DOUBLE) / n_arm
+                 - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                   * (CAST(sx_arm AS DOUBLE) / n_arm
+                      - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)),
+                 6) AS mean_y_cuped,
+           round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                 * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                 / (CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                    * CAST(g.n * g.syy - g.sy * g.sy AS DOUBLE)), 6)
+             AS rho2
+    FROM a CROSS JOIN g ORDER BY arm
+    """,
+    "experimentation analytics: CUPED variance reduction (Deng et "
+    "al., WSDM 2013) — adjust each arm's experiment-period purchase "
+    "metric by the pre-period covariate (theta = cov(x,y)/var(x)), "
+    "shrinking variance by the squared correlation rho2 so smaller "
+    "effects clear significance with the same traffic.  By linearity "
+    "the adjusted MEAN needs only per-arm integer sums (never a "
+    "per-user adjusted value), so the whole readout is two exact "
+    "integer aggregates + single-row double combinations (the "
+    "b123/b124 discipline: HUGEINT moments on the oracle side, "
+    "decimal(38,0) on Spark's, identical IEEE doubles out).  Hash-"
+    "assigned arms as in b124; at 100 TB this is one per-user rollup "
+    "+ two tiny aggregates",
+)
+def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        portable_hash64)
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(is_p & (F.col("ts") < split), cents)
+                    .otherwise(0)).alias("x"),
+              F.sum(F.when(is_p & (F.col("ts") >= split), cents)
+                    .otherwise(0)).alias("y"))
+         .withColumn("arm", F.when(
+             F.pmod(portable_hash64(
+                 F.concat(F.col("user_id").cast("string"),
+                          F.lit(":ab"))), F.lit(2)) == 0,
+             "A").otherwise("B")))
+    u = u.localCheckpoint(eager=True)  # reused: global moments + arms
+    dec = "decimal(20,0)"
+    g = u.agg(F.count("*").cast(dec).alias("n"),
+              F.sum("x").cast(dec).alias("sx"),
+              F.sum("y").cast(dec).alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"))
+    a = (u.groupBy("arm")
+         .agg(F.count("*").alias("n_arm"),
+              F.sum("x").alias("sx_arm"), F.sum("y").alias("sy_arm")))
+    j = a.crossJoin(F.broadcast(g))
+    cov = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("double")
+    theta = cov / varx
+    mean_y = F.col("sy_arm").cast("double") / F.col("n_arm")
+    dx = (F.col("sx_arm").cast("double") / F.col("n_arm")
+          - F.col("sx").cast("double") / F.col("n").cast("double"))
+    return (j.select("arm",
+                     F.col("n_arm").cast("long").alias("n_users"),
+                     F.col("sy_arm").cast("long").alias("sum_y_cents"),
+                     F.round(mean_y, 6).alias("mean_y"),
+                     F.round(mean_y - theta * dx, 6).alias("mean_y_cuped"),
+                     F.round(cov * cov / (varx * vary), 6).alias("rho2"))
+            .orderBy("arm"))

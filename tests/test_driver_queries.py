@@ -32,6 +32,31 @@ def test_all_queries_return_rows(spark):
         assert spec.fn(spark, SF_SMALL).count() >= 0, name
 
 
+# Queries whose oracle legitimately returns zero rows on this
+# synthetic corpus (semantics preserved from their spec; an oracle
+# pass on them is rows==0 both sides, which IS the correct answer).
+_KNOWN_EMPTY_ORACLES = {
+    # TPC-H Q22: no customer clears the above-average-balance +
+    # seven-year-dormancy double filter on the synthetic orders
+    "q22_dormant_accounts",
+}
+
+
+def test_oracles_are_not_vacuously_empty(duck):
+    """A 0-row oracle makes the value-hash check pass without testing
+    anything (the b36/c62/c106/c25 lesson, four separate times) —
+    every oracle must produce rows at sf0.001 unless it is on the
+    documented-empty allowlist.  DuckDB-only, so the whole registry
+    sweeps in seconds."""
+    empty = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name in _KNOWN_EMPTY_ORACLES:
+            continue
+        if len(duck.sql(spec.oracle).df()) == 0:
+            empty.append(name)
+    assert not empty, f"vacuously-empty oracles: {empty}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)

@@ -239,7 +239,7 @@ def b36_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
     SELECT d1, d2, round(list_cosine_similarity(e1, e2), 6) AS cos_sim
     FROM cand
-    WHERE round(list_cosine_similarity(e1, e2), 6) >= 0.55
+    WHERE round(list_cosine_similarity(e1, e2), 6) >= 0.35
     """,
     "C2 signed-random-projection LSH (Charikar hyperplane hashing): "
     "8 sign-bits against data-derived planes -> 2 banded tables -> "
@@ -290,7 +290,7 @@ def c25_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand
             .withColumn("cos_sim",
                         F.round(cosine(F.col("e1"), F.col("e2")), 6))
-            .filter(F.col("cos_sim") >= 0.55)
+            .filter(F.col("cos_sim") >= 0.35)
             .select("d1", "d2", "cos_sim"))
 
 

@@ -948,3 +948,91 @@ def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(mean_y - theta * dx, 6).alias("mean_y_cuped"),
                      F.round(cov * cov / (varx * vary), 6).alias("rho2"))
             .orderBy("arm"))
+
+
+# ---------------------------------------------------------------------
+# b126: robust (median/MAD) outlier detection, histogram-collapsed.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b126_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS m
+      FROM v GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_type, v.cents, abs(v.cents - med.m) AS d, med.m
+      FROM v JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(any_value(dev.m) AS BIGINT) AS median_cents,
+           CAST(any_value(mad.mad) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS outlier_ppm
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+    "robust anomaly detection: per event type, median and MAD "
+    "(median absolute deviation) in exact integer cents, flagging "
+    "values beyond the standard 3 * 1.4826 * MAD robust-z fence — "
+    "the outlier rule that survives the contamination that corrupts "
+    "b31's mean/stddev fence (one fat-finger spike inflates a "
+    "stddev; the median shrugs).  The 1.4826 consistency constant "
+    "rides as the integer comparison d*10000 > 3*14826*MAD — no "
+    "float thresholds.  Spark computes BOTH medians from value "
+    "HISTOGRAMS (groupBy(type, cents) first — the b77 collapse): "
+    "every window runs over the bounded distinct-value table, never "
+    "the raw rows, so group row-count is irrelevant at 100 TB.  "
+    "Oracle uses quantile_disc over raw rows (the b75-verified "
+    "rank-(n+1)/2 equivalence)",
+)
+def b126_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents"))
+    v = v.localCheckpoint(eager=True)  # histogram + dev join reuse
+
+    def hist_median(df, val_col):
+        """Exact discrete median from a (group, value, count)
+        histogram: cumulative counts over the bounded distinct-value
+        table, pick rank (n+1) div 2."""
+        h = df.groupBy("event_type", val_col).agg(
+            F.count("*").alias("c"))
+        wcum = (W.partitionBy("event_type").orderBy(val_col)
+                .rowsBetween(W.unboundedPreceding, 0))
+        cum = h.withColumn("cum", F.sum("c").over(wcum))
+        n = df.groupBy("event_type").agg(F.count("*").alias("n"))
+        return (cum.join(F.broadcast(n), "event_type")
+                .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+                .groupBy("event_type")
+                .agg(F.min(val_col).alias("m")))
+
+    med = hist_median(v, "cents")
+    dev = (v.join(F.broadcast(med), "event_type")
+           .withColumn("d", F.abs(F.col("cents") - F.col("m"))))
+    mad = (hist_median(dev.select("event_type",
+                                  F.col("d").alias("cents")), "cents")
+           .withColumnRenamed("m", "mad"))
+    out = (F.col("d") * 10000 > 3 * 14826 * F.col("mad")).cast("int")
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.first("m").cast("long").alias("median_cents"),
+                 F.first("mad").cast("long").alias("mad_cents"),
+                 F.sum(out).cast("long").alias("n_outliers"),
+                 F.expr(
+                     "sum(case when d * 10000 > 3 * 14826 * mad "
+                     "then 1 else 0 end) * 1000000 div count(*)")
+                 .cast("long").alias("outlier_ppm"))
+            .orderBy("event_type"))

@@ -143,3 +143,66 @@ def test_csv_failfast_aborts(spark, tmp_path):
           .csv(str(p)))
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         df.collect()
+
+
+def test_export_time_travel_and_vacuum(spark, tmp_path):
+    """Versioned manifests: each commit publishes _MANIFEST.v{N} (old
+    part files untouched), read_export resolves ONE manifest so reads
+    are snapshot-isolated and version=N time-travels; vacuum removes
+    only parts referenced exclusively by expired versions."""
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource as pd_
+
+    pd_.register(spark)
+    out = str(tmp_path / "export")
+    schema = "id long, v string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).repartition(2) \
+            .write.format("gtfs_rt_snapshots").option("path", out) \
+            .mode("append").save()
+
+    write([(i, f"a{i}") for i in range(5)])
+    write([(i, f"b{i}") for i in range(3)])
+    write([(i, f"c{i}") for i in range(7)])
+    assert pd_.latest_export_version(out) == 3
+
+    # latest read sees ONLY v3's files; time travel pins v1/v2
+    assert sorted(r["v"] for r in
+                  pd_.read_export(spark, out, schema).collect()) \
+        == sorted(f"c{i}" for i in range(7))
+    assert sorted(r["v"] for r in
+                  pd_.read_export(spark, out, schema, version=1)
+                  .collect()) == sorted(f"a{i}" for i in range(5))
+    assert pd_.load_export_manifest(out, 2)["n_rows"] == 3
+
+    # vacuum keeping 2 versions: v1's parts + manifest go, v2/v3 stay
+    acct = pd_.vacuum_export(out, keep_versions=2)
+    assert acct["removed_versions"] == [1]
+    assert acct["removed_files"] > 0
+    assert sorted(r["v"] for r in
+                  pd_.read_export(spark, out, schema, version=2)
+                  .collect()) == sorted(f"b{i}" for i in range(3))
+    with pytest.raises(FileNotFoundError):
+        pd_.load_export_manifest(out, 1)
+    # no stray tmp files; latest pointer still v3
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
+    assert pd_.load_export_manifest(out)["version"] == 3
+
+
+def test_export_manifest_back_compat_latest_pointer(spark, tmp_path):
+    """_MANIFEST (the latest pointer) still carries files + n_rows, so
+    pre-versioning consumers keep working."""
+    import json
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource as pd_
+
+    pd_.register(spark)
+    out = str(tmp_path / "export")
+    spark.createDataFrame([(1, "x")], "id long, v string") \
+        .write.format("gtfs_rt_snapshots").option("path", out) \
+        .mode("append").save()
+    m = json.loads(open(os.path.join(out, "_MANIFEST")).read())
+    assert m["n_rows"] == 1 and m["files"] and m["version"] == 1

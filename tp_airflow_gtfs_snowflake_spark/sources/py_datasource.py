@@ -155,14 +155,23 @@ class SnapshotExportWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import json as _json
+        version = latest_export_version(self.path) + 1
         manifest = {
+            "version": version,
             "files": sorted(m.filename for m in messages),
             "n_rows": sum(m.n_rows for m in messages),
         }
-        tmp = os.path.join(self.path, "._MANIFEST.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(_json.dumps(manifest))
-        os.rename(tmp, os.path.join(self.path, "_MANIFEST"))
+        body = _json.dumps(manifest)
+        # two atomic renames: the versioned manifest is the durable
+        # snapshot record, _MANIFEST the latest pointer.  Old part
+        # files are never touched — visibility is defined entirely by
+        # manifests (MVCC-style), which is what makes time travel and
+        # concurrent readers safe under overwrite.
+        for name in (f"_MANIFEST.v{version}", "_MANIFEST"):
+            tmp = os.path.join(self.path, "." + name + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            os.rename(tmp, os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -175,3 +184,81 @@ class SnapshotExportWriter(DataSourceWriter):
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(GtfsRtSnapshotDataSource)
+
+
+# ---------------------------------------------------------------------
+# Time travel + vacuum over the versioned export manifests.
+#
+# The writer never deletes part files; each commit publishes a new
+# _MANIFEST.v{N} naming exactly the parts visible at that version
+# (plus the _MANIFEST latest pointer).  That gives the lakehouse trio
+# for free: snapshot-isolated reads (a reader resolves ONE manifest
+# and only ever opens its files, regardless of concurrent writes),
+# reproducible time travel (version=N pins the training snapshot),
+# and an explicit vacuum with a documented retention contract —
+# the reproducibility story a 100 TB training-data export needs.
+# ---------------------------------------------------------------------
+
+def latest_export_version(path: str) -> int:
+    """Highest committed manifest version (0 = none yet)."""
+    if not os.path.isdir(path):
+        return 0
+    versions = [int(f.rsplit(".v", 1)[1]) for f in os.listdir(path)
+                if f.startswith("_MANIFEST.v")]
+    return max(versions, default=0)
+
+
+def load_export_manifest(path: str, version: int | None = None) -> dict:
+    """Parsed manifest for `version` (default: latest).  Raises
+    FileNotFoundError for a never-committed or vacuumed version."""
+    import json as _json
+    name = ("_MANIFEST" if version is None
+            else f"_MANIFEST.v{version}")
+    with open(os.path.join(path, name), encoding="utf-8") as fh:
+        return _json.loads(fh.read())
+
+
+def read_export(spark, path: str, schema,
+                version: int | None = None):
+    """Snapshot-isolated read of an export directory: resolve ONE
+    manifest, read exactly its part files (explicit schema — house
+    rule, no inference pass).  `version=N` time-travels."""
+    m = load_export_manifest(path, version)
+    files = [os.path.join(path, f) for f in m["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def vacuum_export(path: str, keep_versions: int = 2) -> dict:
+    """Delete part files referenced ONLY by manifests older than the
+    last `keep_versions`, plus those manifests.  Returns accounting
+    {"removed_files": n, "removed_versions": [...]}.  Readers of kept
+    versions are unaffected (their files survive); vacuumed versions
+    raise FileNotFoundError on access — the standard lakehouse
+    retention contract."""
+    latest = latest_export_version(path)
+    if latest == 0:
+        return {"removed_files": 0, "removed_versions": []}
+    keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+    all_versions = [int(f.rsplit(".v", 1)[1]) for f in os.listdir(path)
+                    if f.startswith("_MANIFEST.v")]
+    doomed_versions = sorted(v for v in all_versions if v not in keep)
+    referenced = set()
+    for v in sorted(keep):
+        try:
+            referenced |= set(load_export_manifest(path, v)["files"])
+        except FileNotFoundError:
+            pass
+    removed = 0
+    for v in doomed_versions:
+        for f in load_export_manifest(path, v)["files"]:
+            if f not in referenced:
+                try:
+                    os.remove(os.path.join(path, f))
+                    removed += 1
+                except OSError:
+                    pass
+        os.remove(os.path.join(path, f"_MANIFEST.v{v}"))
+    return {"removed_files": removed,
+            "removed_versions": doomed_versions}

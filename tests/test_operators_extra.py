@@ -1066,3 +1066,32 @@ def test_gif_decode_through_mapinpandas(spark):
                                 payload_col="payload",
                                 fake=False).collect()[0]
     assert (row["width"], row["height"], row["n_channels"]) == (2, 2, 3)
+
+
+class TestKcorePeel:
+    def _peel(self, spark, pairs, **kw):
+        from tp_airflow_gtfs_snowflake_spark.operators.components import (
+            kcore_peel)
+        sym = pairs + [(b, a) for a, b in pairs]
+        e = spark.createDataFrame(sym, "a long, b long")
+        return {r["node"]: r["deg"]
+                for r in kcore_peel(e, checkpoint=False, **kw).collect()}
+
+    def test_clique_is_stable(self, spark):
+        # triangle: every node keeps degree 2 forever at k=2
+        tri = [(1, 2), (2, 3), (1, 3)]
+        assert self._peel(spark, tri, k=2, rounds=3) == {1: 2, 2: 2, 3: 2}
+
+    def test_chain_peels_one_layer_per_round(self, spark):
+        # path 1-2-3-4-5-6-7: ends have degree 1, so each round strips
+        # one vertex from each end; after 3 rounds only node 4 remains
+        # (with no surviving edges -> empty result)
+        path = [(i, i + 1) for i in range(1, 7)]
+        assert self._peel(spark, path, k=2, rounds=1) \
+            == {i: (1 if i in (2, 6) else 2) for i in range(2, 7)}
+        assert self._peel(spark, path, k=2, rounds=3) == {}
+
+    def test_core_plus_pendant(self, spark):
+        # triangle with a pendant: the pendant (and only it) peels
+        g = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        assert self._peel(spark, g, k=2, rounds=2) == {1: 2, 2: 2, 3: 2}

@@ -167,3 +167,35 @@ def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3,
+               src: str = "a", dst: str = "b",
+               checkpoint: bool = True) -> DataFrame:
+    """`rounds` iterations of k-core peeling over an undirected edge
+    list (pass BOTH directions): each round drops every node whose
+    current degree is below k, then every edge touching a dropped
+    node.  Returns (node, deg) for the survivors with their degree in
+    the peeled graph.
+
+    Fixed-round semantics on purpose: the result is a pure function
+    of (edges, k, rounds) — engine- and partitioning-independent, so
+    a SQL oracle can unroll the rounds and match bit-for-bit (the
+    c104 pagerank_int discipline).  On dup graphs (cliques, diameter
+    1-3) the fixpoint lands within 2-3 rounds anyway; pathological
+    chains peel one layer per round, exactly like the distributed
+    algorithm at scale (each round = one degree agg + one semi-join,
+    lineage cut per round)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        e = (e.join(keep, "a", "left_semi")
+             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+             .select("a", "b"))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+    return (e.groupBy("a").agg(F.count("*").alias("deg"))
+            .select(F.col("a").alias("node"), "deg"))

@@ -1036,3 +1036,57 @@ def b126_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "then 1 else 0 end) * 1000000 div count(*)")
                  .cast("long").alias("outlier_ppm"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------
+# c112: k-core peeling over the near-dup graph.
+# ---------------------------------------------------------------------
+
+def _duck_peel(prev: str, out: str, k: int) -> str:
+    """One unrolled peeling round (mirrors components.kcore_peel):
+    drop nodes with degree < k, then edges touching them."""
+    return f"""
+    d_{out} AS (SELECT a, count(*) AS c FROM {prev} GROUP BY a),
+    k_{out} AS (SELECT a FROM d_{out} WHERE c >= {k}),
+    {out} AS (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN k_{out} x ON x.a = e.a
+      JOIN k_{out} y ON y.a = e.b)"""
+
+
+@_register(
+    "c112_kcore_peeling",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    e0 AS (SELECT a, b FROM sym),
+    {_duck_peel('e0', 'e1', 2)},
+    {_duck_peel('e1', 'e2', 2)},
+    {_duck_peel('e2', 'e3', 2)}
+    SELECT CAST(a AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY a
+    """,
+    "graph 2-CORE of the near-dup graph via 3 peeling rounds "
+    "(Matula-Beck / Batagelj-Zaversnik, distributed form): each "
+    "round drops nodes with degree < 2 and their incident edges — "
+    "survivors are the densely-interlinked cluster hearts, the docs "
+    "whose duplication is structural (template farms, mirror rings) "
+    "rather than a single accidental pair; dedup keeps ONE of those "
+    "with high confidence while degree-1 fringe pairs merit review "
+    "(the c93 density audit's actionable sibling).  FIXED-round "
+    "semantics on purpose — the result is a pure function of "
+    "(edges, k, rounds), so the oracle unrolls the rounds and "
+    "matches bit-for-bit (the c104 discipline; clique-y dup graphs "
+    "hit the fixpoint in 1-2 rounds anyway).  Each round is one "
+    "degree agg + two semi-joins, lineage cut per round — the same "
+    "per-round shape the algorithm has at 100 TB",
+)
+def c112_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        kcore_peel)
+    e = _edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("d2").alias("d1"),
+                                 F.col("d1").alias("d2")))
+    out = kcore_peel(sym, k=2, rounds=3, src="d1", dst="d2")
+    return out.select(F.col("node").cast("long").alias("doc_id"),
+                      F.col("deg").cast("long").alias("deg"))

@@ -84,6 +84,7 @@ _NEW_THIS_ROUND = [
     "b124_ab_proportion_test", "c110_recsys_eval",
     "c111_offpolicy_ips_eval", "b125_cuped_adjustment",
     "b126_mad_outliers", "c112_kcore_peeling",
+    "b127_rfm_segmentation", "b128_peak_concurrency",
     "c05e_real_image_decode", "c26c_pq_adc_int",
     "c64b_source_overlap_sketched", "c38_heavy_hitters",
     "c06f_minhash_neardup_fast", "b47_equidepth_histogram",

@@ -1090,3 +1090,139 @@ def c112_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kcore_peel(sym, k=2, rounds=3, src="d1", dst="d2")
     return out.select(F.col("node").cast("long").alias("doc_id"),
                       F.col("deg").cast("long").alias("deg"))
+
+
+# ---------------------------------------------------------------------
+# b127: RFM customer segmentation with literal band edges.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b127_rfm_segmentation",
+    """
+    WITH p AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_day,
+             count(*) AS freq,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), mx AS (SELECT max(CAST(ts AS DATE)) AS asof_day FROM events),
+    s AS (
+      SELECT user_id,
+             CASE WHEN date_diff('day', last_day, asof_day) <= 3 THEN 3
+                  WHEN date_diff('day', last_day, asof_day) <= 7 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN freq >= 20 THEN 3
+                  WHEN freq >= 10 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN cents >= 200000 THEN 3
+                  WHEN cents >= 80000 THEN 2 ELSE 1 END AS m_score
+      FROM p CROSS JOIN mx
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+    "RFM customer segmentation (recency / frequency / monetary), the "
+    "workhorse of CRM analytics: one per-user purchase rollup, "
+    "scored 1-3 per dimension against LITERAL band edges (fixed "
+    "business thresholds — the b86 Benford rule: constants live in "
+    "the query text on both sides, so the segmentation is exact and "
+    "auditable; the data-driven quantile-edge variant is b83's "
+    "machinery).  Recency anchors on the corpus max date via a "
+    "1-row broadcast.  One map-side-combinable rollup + one tiny "
+    "agg — nothing grows with corpus size except the per-user "
+    "aggregate",
+)
+def b127_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id")
+         .agg(F.max(F.col("ts").cast("date")).alias("last_day"),
+              F.count("*").alias("freq"),
+              F.sum(F.floor(F.col("value") * 100).cast("long"))
+              .alias("cents")))
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("asof_day"))
+    s = (p.crossJoin(F.broadcast(mx))
+         .withColumn("rd", F.datediff("asof_day", "last_day"))
+         .select(
+             F.when(F.col("rd") <= 3, 3).when(F.col("rd") <= 7, 2)
+             .otherwise(1).cast("long").alias("r_score"),
+             F.when(F.col("freq") >= 20, 3)
+             .when(F.col("freq") >= 10, 2)
+             .otherwise(1).cast("long").alias("f_score"),
+             F.when(F.col("cents") >= 200000, 3)
+             .when(F.col("cents") >= 80000, 2)
+             .otherwise(1).cast("long").alias("m_score")))
+    return (s.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
+# ---------------------------------------------------------------------
+# b128: peak concurrency per day, blocked sweep-line.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b128_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), d AS (
+      SELECT day, s AS us, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT day, e AS us, -1 AS delta, user_id FROM iv
+    ), sweep AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY us, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY day
+    """,
+    "peak concurrency (occupancy) per day: each user's daily "
+    "activity interval [first event, last event] contributes +1/-1 "
+    "delta events, and the classic sweep-line running sum's maximum "
+    "is the answer (meeting-at-a-point counts as overlap: +1 sorts "
+    "before -1 at equal timestamps — the tiebreak is explicit so "
+    "both engines sweep identically).  Spark runs the sweep WITHOUT "
+    "a day-sized sort in any task: local running sums per (day, "
+    "hour-block) window in parallel + tiny per-day block offsets "
+    "cumsum'd and broadcast back (the b107 two-pass distributed "
+    "prefix-sum, applied to the interval-stabbing problem) — at "
+    "100 TB the widest sort is one hour-block of delta rows.  "
+    "Intervals never cross days by construction, so days shard "
+    "perfectly",
+)
+def b128_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+          .agg(F.min(F.unix_micros("ts")).alias("s"),
+               F.max(F.unix_micros("ts")).alias("e")))
+    d = (iv.select("day", F.col("s").alias("us"),
+                   F.lit(1).alias("delta"), "user_id")
+         .unionByName(iv.select("day", F.col("e").alias("us"),
+                                F.lit(-1).alias("delta"), "user_id"))
+         .withColumn("_b", F.expr("us div 3600000000")))
+    d = d.localCheckpoint(eager=True)  # local sweep + block sums
+    wloc = (W.partitionBy("day", "_b")
+            .orderBy(F.col("us"), F.desc("delta"), F.col("user_id"))
+            .rowsBetween(W.unboundedPreceding, 0))
+    local = d.withColumn("_run", F.sum("delta").over(wloc))
+    bsum = d.groupBy("day", "_b").agg(F.sum("delta").alias("_bs"))
+    woff = (W.partitionBy("day").orderBy("_b")
+            .rowsBetween(W.unboundedPreceding, -1))
+    boff = (bsum.withColumn("_off",
+                            F.coalesce(F.sum("_bs").over(woff), F.lit(0)))
+            .select("day", "_b", "_off"))
+    sweep = (local.join(F.broadcast(boff), ["day", "_b"])
+             .withColumn("conc", F.col("_off") + F.col("_run")))
+    return (sweep.groupBy("day")
+            .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "peak_concurrency"))

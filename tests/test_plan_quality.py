@@ -916,3 +916,18 @@ def test_b122_anotb_merges_bounded_partials(spark):
     p = _plan(spark, "b122_kmv_difference_estimate")
     assert "MapInPandas" in p
     assert "CartesianProduct" not in p
+
+
+def test_b128_sweep_windows_are_block_partitioned(spark):
+    """The concurrency running sum must never run a whole day in one
+    window partition: the delta-table window partitions by (day, _b)
+    hour blocks; only the tiny block-offset window may partition by
+    day alone."""
+    p = _plan(spark, "b128_peak_concurrency")
+    win_lines = [l for l in p.splitlines()
+                 if "windowspecdefinition" in l.lower()]
+    assert win_lines, "no window found"
+    # the sweep window orders by (us, delta, user_id); it must carry
+    # the _b block key in its partition spec
+    sweep = [l for l in win_lines if "us" in l and "delta" in l]
+    assert sweep and all("_b" in l for l in sweep), sweep

@@ -1226,3 +1226,74 @@ def b128_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("conc").cast("long").alias("peak_concurrency"))
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "peak_concurrency"))
+
+
+# ---------------------------------------------------------------------
+# b129: price/volume bridge (revenue variance decomposition).
+# ---------------------------------------------------------------------
+
+@_register(
+    "b129_price_volume_bridge",
+    """
+    WITH y AS (
+      SELECT p.p_brand AS brand, year(l.l_shipdate) AS yr,
+             sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+               AS rev_cents,
+             sum(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+      GROUP BY p.p_brand, year(l.l_shipdate)
+    ), w AS (
+      SELECT a.brand,
+             a.rev_cents AS rev0, b.rev_cents AS rev1,
+             a.qty AS q0, b.qty AS q1,
+             a.rev_cents // a.qty AS px0
+      FROM y a JOIN y b ON a.brand = b.brand
+      WHERE a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT brand,
+           CAST(rev1 - rev0 AS BIGINT) AS delta_cents,
+           CAST((q1 - q0) * px0 AS BIGINT) AS volume_effect_cents,
+           CAST((rev1 - rev0) - (q1 - q0) * px0 AS BIGINT)
+             AS price_mix_effect_cents
+    FROM w ORDER BY brand
+    """,
+    "FP&A price/volume bridge: decompose each brand's year-over-year "
+    "revenue delta into a VOLUME effect ((Q1-Q0) at the base-year "
+    "unit price) and the residual PRICE/MIX effect — the waterfall "
+    "chart every revenue review runs.  Base unit price is truncating "
+    "integer cents-per-unit (the spec'd convention, identical in "
+    "both engines), so the decomposition reconciles EXACTLY: volume "
+    "+ price/mix = delta by construction, in integer cents.  One "
+    "fact scan with a pushed year filter + broadcast part join + "
+    "one (brand, year) rollup; the bridge itself is a self-join on "
+    "the tiny brand-year aggregate",
+)
+def b129_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    y = (li.filter(F.year("l_shipdate").isin(1996, 1997))
+         .join(F.broadcast(pt.select("p_partkey", "p_brand")),
+               li.l_partkey == pt.p_partkey)
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.year("l_shipdate").alias("yr"))
+         .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)
+                    .cast("long")).alias("rev_cents"),
+              F.sum(F.col("l_quantity").cast("long")).alias("qty")))
+    a = (y.filter(F.col("yr") == 1996)
+         .select("brand", F.col("rev_cents").alias("rev0"),
+                 F.col("qty").alias("q0"),
+                 F.expr("rev_cents div qty").alias("px0")))
+    b = (y.filter(F.col("yr") == 1997)
+         .select("brand", F.col("rev_cents").alias("rev1"),
+                 F.col("qty").alias("q1")))
+    return (a.join(b, "brand")
+            .select("brand",
+                    (F.col("rev1") - F.col("rev0")).cast("long")
+                    .alias("delta_cents"),
+                    ((F.col("q1") - F.col("q0")) * F.col("px0"))
+                    .cast("long").alias("volume_effect_cents"),
+                    ((F.col("rev1") - F.col("rev0"))
+                     - (F.col("q1") - F.col("q0")) * F.col("px0"))
+                    .cast("long").alias("price_mix_effect_cents"))
+            .orderBy("brand"))

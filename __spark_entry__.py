@@ -85,7 +85,7 @@ _NEW_THIS_ROUND = [
     "c111_offpolicy_ips_eval", "b125_cuped_adjustment",
     "b126_mad_outliers", "c112_kcore_peeling",
     "b127_rfm_segmentation", "b128_peak_concurrency",
-    "b129_price_volume_bridge",
+    "b129_price_volume_bridge", "b130_cohort_ltv",
     "c05e_real_image_decode", "c26c_pq_adc_int",
     "c64b_source_overlap_sketched", "c38_heavy_hitters",
     "c06f_minhash_neardup_fast", "b47_equidepth_histogram",

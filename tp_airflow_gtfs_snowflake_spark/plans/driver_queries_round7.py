@@ -1297,3 +1297,87 @@ def b129_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - (F.col("q1") - F.col("q0")) * F.col("px0"))
                     .cast("long").alias("price_mix_effect_cents"))
             .orderBy("brand"))
+
+
+# ---------------------------------------------------------------------
+# b130: cohort LTV (cumulative revenue by cohort age).
+# ---------------------------------------------------------------------
+
+@_register(
+    "b130_cohort_ltv",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), wk AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', cohort_day) // 7
+                  AS BIGINT) AS cohort_week
+      FROM first_seen
+    ), rev AS (
+      SELECT e.user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE))
+                  // 7 AS BIGINT) AS week,
+             CAST(floor(e.value * 100) AS BIGINT) AS cents
+      FROM events e WHERE e.event_type = 'purchase'
+    ), per AS (
+      SELECT w.cohort_week, r.week - w.cohort_week AS age_weeks,
+             sum(r.cents) AS cents
+      FROM rev r JOIN wk w ON w.user_id = r.user_id
+      GROUP BY w.cohort_week, r.week - w.cohort_week
+    ), sz AS (
+      SELECT cohort_week, count(*) AS n_users FROM wk GROUP BY cohort_week
+    )
+    SELECT p.cohort_week, p.age_weeks,
+           CAST(sz.n_users AS BIGINT) AS n_users,
+           CAST(sum(p.cents) OVER (PARTITION BY p.cohort_week
+                                   ORDER BY p.age_weeks
+                                   ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cents,
+           CAST(sum(p.cents) OVER (PARTITION BY p.cohort_week
+                                   ORDER BY p.age_weeks
+                                   ROWS UNBOUNDED PRECEDING)
+                // sz.n_users AS BIGINT) AS ltv_per_user_cents
+    FROM per p JOIN sz ON sz.cohort_week = p.cohort_week
+    """,
+    "cohort LTV curves: users cohorted by first-seen week, purchase "
+    "revenue accumulated by cohort AGE, divided by cohort size — the "
+    "lifetime-value companion of b30's retention triangle (retention "
+    "says who comes back; LTV says what they're worth, the number "
+    "acquisition spend is judged against).  The cumulative window "
+    "runs over the (cohort, age) AGGREGATE — a few hundred rows "
+    "regardless of corpus size — never raw purchases; the heavy "
+    "work is one first-seen rollup + one broadcast-joined revenue "
+    "rollup, both map-side combinable.  Integer cents + truncating "
+    "per-user division keep every cell exact",
+)
+def b130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    wk = (ev.groupBy("user_id")
+          .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+          .select("user_id",
+                  F.expr("datediff(cohort_day, date'2024-01-01') div 7")
+                  .cast("long").alias("cohort_week")))
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id",
+                   F.expr("cast(datediff(cast(ts as date), "
+                          "date'2024-01-01') div 7 as bigint)")
+                   .alias("week"),
+                   F.floor(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    per = (rev.join(F.broadcast(wk), "user_id")
+           .groupBy("cohort_week",
+                    (F.col("week") - F.col("cohort_week"))
+                    .alias("age_weeks"))
+           .agg(F.sum("cents").alias("cents")))
+    sz = wk.groupBy("cohort_week").agg(F.count("*").alias("n_users"))
+    wcum = (W.partitionBy("cohort_week").orderBy("age_weeks")
+            .rowsBetween(W.unboundedPreceding, 0))
+    return (per.join(F.broadcast(sz), "cohort_week")
+            .withColumn("cum_cents", F.sum("cents").over(wcum))
+            .select("cohort_week", "age_weeks",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    F.col("cum_cents").cast("long").alias("cum_cents"),
+                    F.expr("cum_cents div n_users").cast("long")
+                    .alias("ltv_per_user_cents")))

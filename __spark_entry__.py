@@ -86,6 +86,7 @@ _NEW_THIS_ROUND = [
     "b126_mad_outliers", "c112_kcore_peeling",
     "b127_rfm_segmentation", "b128_peak_concurrency",
     "b129_price_volume_bridge", "b130_cohort_ltv",
+    "c113_neardup_evidence", "b131_seasonal_index",
     "c05e_real_image_decode", "c26c_pq_adc_int",
     "c64b_source_overlap_sketched", "c38_heavy_hitters",
     "c06f_minhash_neardup_fast", "b47_equidepth_histogram",

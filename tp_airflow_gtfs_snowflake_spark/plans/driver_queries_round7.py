@@ -1381,3 +1381,138 @@ def b130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cum_cents").cast("long").alias("cum_cents"),
                     F.expr("cum_cents div n_users").cast("long")
                     .alias("ltv_per_user_cents")))
+
+
+# ---------------------------------------------------------------------
+# c113: near-dup evidence — rarest shared shingles per verified pair.
+# ---------------------------------------------------------------------
+
+@_register(
+    "c113_neardup_evidence",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.sh
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT d1, d2, count(*) AS n_common FROM shared GROUP BY d1, d2
+    ), pairs AS (
+      SELECT c.d1, c.d2, c.n_common
+      FROM common c
+      JOIN sizes x ON x.doc_id = c.d1
+      JOIN sizes y ON y.doc_id = c.d2
+      WHERE c.n_common * 1.0 / (x.n_sh + y.n_sh - c.n_common) >= 0.5
+    ), ranked AS (
+      SELECT s.d1, s.d2, s.sh, df.df,
+             row_number() OVER (PARTITION BY s.d1, s.d2
+                                ORDER BY df.df, s.sh) AS rn
+      FROM shared s JOIN df ON df.sh = s.sh
+      JOIN pairs p ON p.d1 = s.d1 AND p.d2 = s.d2
+    )
+    SELECT r.d1, r.d2, CAST(p.n_common AS BIGINT) AS n_common,
+           r.sh AS evidence_shingle, CAST(r.df AS BIGINT) AS shingle_df,
+           CAST(r.rn AS BIGINT) AS evidence_rank
+    FROM ranked r JOIN pairs p ON p.d1 = r.d1 AND p.d2 = r.d2
+    WHERE r.rn <= 3
+    """,
+    "dedup EXPLAINABILITY: for every verified near-dup pair (the c08 "
+    "exact-Jaccard edge set), the 3 RAREST shared shingles as "
+    "human-auditable evidence — rare shared phrases are what "
+    "convinces a reviewer two docs genuinely overlap (ubiquitous "
+    "shingles prove nothing), the audit trail a deletion pipeline "
+    "owes its operators before discarding data.  Rarity = corpus "
+    "document frequency (already computed for the prefix-filter "
+    "path); deterministic (df, shingle) tiebreak; top-3 via grouped "
+    "top-k over each pair's shared-shingle list — all joins equi on "
+    "the shingle or pair key, bounded by the verified-pair set",
+)
+def c113_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = D._shingle_rows(docs, "doc_id", "text", 3)
+    sh = sh.localCheckpoint(eager=True)  # shared + df + sizes reuse
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    a = sh.select(F.col("doc_id").alias("d1"), "sh")
+    b = sh.select(F.col("doc_id").alias("d2"), "sh")
+    shared = a.join(b, "sh").filter(F.col("d1") < F.col("d2"))
+    common = shared.groupBy("d1", "d2").agg(
+        F.count("*").alias("n_common"))
+    pairs = (common
+             .join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("n_sh").alias("n1")), "d1")
+             .join(sizes.select(F.col("doc_id").alias("d2"),
+                                F.col("n_sh").alias("n2")), "d2")
+             .filter(F.col("n_common")
+                     / (F.col("n1") + F.col("n2") - F.col("n_common"))
+                     >= 0.5)
+             .select("d1", "d2", "n_common"))
+    ranked = (shared.join(F.broadcast(pairs), ["d1", "d2"])
+              .join(df, "sh")
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("d1", "d2").orderBy("df", "sh")))
+              .filter(F.col("rn") <= 3))
+    return ranked.select(
+        "d1", "d2", F.col("n_common").cast("long").alias("n_common"),
+        F.col("sh").alias("evidence_shingle"),
+        F.col("df").cast("long").alias("shingle_df"),
+        F.col("rn").cast("long").alias("evidence_rank"))
+
+
+# ---------------------------------------------------------------------
+# b131: seasonal indices (ratio-to-moving-average, integer ppm).
+# ---------------------------------------------------------------------
+
+@_register(
+    "b131_seasonal_index",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS y
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), ma AS (
+      SELECT day, y,
+             sum(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS s7,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS n7
+      FROM d
+    ), ratio AS (
+      SELECT dayofweek(day) AS dow,
+             y * 1000000 * n7 // s7 AS r_ppm
+      FROM ma WHERE n7 = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(r_ppm) // count(*) AS BIGINT) AS seasonal_index_ppm
+    FROM ratio GROUP BY dow ORDER BY dow
+    """,
+    "classical seasonal decomposition, step 1: ratio-to-moving-"
+    "average day-of-week indices — each full-window day's count "
+    "divided by its centered 7-day moving average (both integers: "
+    "y*1e6*n // sum), averaged per weekday.  Index > 1e6 = that "
+    "weekday runs above trend; the multiplicative seasonality b119's "
+    "seasonal-naive forecast implicitly assumes, now measured.  All "
+    "windows run over the DAILY aggregate (bounded rows/partition "
+    "at any corpus size); the daily rollup is the only corpus-scale "
+    "work.  DuckDB dayofweek 0=Sunday mirrored via Spark dayofweek-1",
+)
+def b131_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+         .agg(F.count("*").alias("y")))
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    ma = (d.withColumn("s7", F.sum("y").over(w7))
+          .withColumn("n7", F.count("*").over(w7))
+          .filter(F.col("n7") == 7))
+    ratio = ma.select((F.dayofweek("day") - 1).cast("long").alias("dow"),
+                      F.expr("y * 1000000 * n7 div s7").alias("r_ppm"))
+    return (ratio.groupBy("dow")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.expr("sum(r_ppm) div count(*)").cast("long")
+                 .alias("seasonal_index_ppm"))
+            .orderBy("dow"))

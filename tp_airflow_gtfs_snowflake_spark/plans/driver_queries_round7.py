@@ -1,9 +1,21 @@
-"""Round-7 registry additions.
+"""Round-7 registry additions (all value-hash oracled).
 
-Focus: converting the last oracle-able rows-only FAMILY (iterative
-graph ranking) to value-hash via exact integer arithmetic, plus
-language-model-style corpus scoring, OHLC time-series candles, and
-graph link prediction — each with a full DuckDB value oracle.
+Graph: c104 integer PageRank (flips the iterative-rank family to
+value-hash), c106 neighborhood-overlap link prediction, c112 k-core
+peeling.  Curation: c105 bigram-LM fluency, c108 n-gram novelty,
+c109 blocklist gate, c113 near-dup evidence shingles.  Evaluation:
+c110 recommender precision@1, c111 IPS/SNIPS off-policy value.
+Experimentation: b124 two-proportion z-test, b125 CUPED.  Analytics:
+b121 OHLC candles, b122 theta a-not-b, b123 Spearman, b126 MAD
+outliers, b127 RFM, b128 peak concurrency (blocked sweep-line),
+b129 price/volume bridge, b130 cohort LTV, b131 seasonal indices.
+
+Recurring disciplines: truncating integer arithmetic for anything
+iterated or divided; single-row decimal->double combination for
+statistics (no accumulation-order float drift); fixed-round
+semantics for iterative graph ops so oracles can unroll; blocked
+two-pass prefix sums wherever a window would otherwise sort an
+unbounded partition.
 
 Reference scope note: the reference pipeline (dags/gtfs_static.py,
 dags/gtfs_rt_minutely.py) stops at KPI aggregates; these are charter

@@ -39,8 +39,17 @@ def spark7(spark):
     spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# Queries registered after the driver-window priority list filled
+# (kept out of _NEW_THIS_ROUND so the 10 high-value never-verified
+# names stay inside the 50-slot window) — still invariance-gated.
+_EXTRA_INVARIANCE = [
+    "b132_interval_union_utilization", "c114_dedup_mixture_shift",
+    "b133_neyman_allocation",
+]
+
+
 @pytest.mark.parametrize(
-    "name", [n for n in entry._NEW_THIS_ROUND
+    "name", [n for n in list(entry._NEW_THIS_ROUND) + _EXTRA_INVARIANCE
              if n in REGISTRY and REGISTRY[n].oracle])
 def test_new_queries_invariant_to_shuffle_partitions(spark7, duck, name):
     spec = REGISTRY[name]

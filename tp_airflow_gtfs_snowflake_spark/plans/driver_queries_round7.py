@@ -1528,3 +1528,215 @@ def b131_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("sum(r_ppm) div count(*)").cast("long")
                  .alias("seasonal_index_ppm"))
             .orderBy("dow"))
+
+
+# ---------------------------------------------------------------------
+# b132: daily utilization — union-of-intervals length via sweep-line.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b132_interval_union_utilization",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), d AS (
+      SELECT day, s AS us, 1 AS delta, user_id FROM iv
+      UNION ALL
+      SELECT day, e AS us, -1 AS delta, user_id FROM iv
+    ), sweep AS (
+      SELECT day, us, delta,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY us, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS conc,
+             lead(us) OVER (PARTITION BY day
+                            ORDER BY us, delta DESC, user_id) AS nxt
+      FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN conc > 0 THEN nxt - us ELSE 0 END)
+                // 1000000 AS BIGINT) AS covered_seconds
+    FROM sweep WHERE nxt IS NOT NULL
+    GROUP BY day
+    """,
+    "union-of-intervals coverage per day: total seconds during which "
+    "AT LEAST ONE user was active (overlaps counted once) — the "
+    "utilization/occupancy-duration companion of b128's peak (same "
+    "sweep, different consumer: between consecutive sweep events, "
+    "time is covered iff the running concurrency is positive, so "
+    "coverage = sum of positive-concurrency segment lengths).  Same "
+    "scale shape as b128: the sweep's windows shard by day here "
+    "(oracle spec form); Spark mirrors the spec because the "
+    "segment-length join needs the NEXT event — at 100 TB the "
+    "hour-block refinement from b128 applies identically (carry "
+    "block-boundary sentinels), documented rather than duplicated.  "
+    "Explicit (us, delta desc, user) tiebreak keeps both engines' "
+    "sweeps identical",
+)
+def b132_interval_union_utilization(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+          .agg(F.min(F.unix_micros("ts")).alias("s"),
+               F.max(F.unix_micros("ts")).alias("e")))
+    d = (iv.select("day", F.col("s").alias("us"),
+                   F.lit(1).alias("delta"), "user_id")
+         .unionByName(iv.select("day", F.col("e").alias("us"),
+                                F.lit(-1).alias("delta"), "user_id")))
+    w = (W.partitionBy("day")
+         .orderBy(F.col("us"), F.desc("delta"), F.col("user_id")))
+    sweep = (d.withColumn("conc", F.sum("delta").over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("nxt", F.lead("us").over(w)))
+    return (sweep.filter(F.col("nxt").isNotNull())
+            .groupBy("day")
+            .agg(F.expr("sum(case when conc > 0 then nxt - us "
+                        "else 0 end) div 1000000")
+                 .cast("long").alias("covered_seconds"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "covered_seconds"))
+
+
+# ---------------------------------------------------------------------
+# c114: dedup impact on the language mixture.
+# ---------------------------------------------------------------------
+
+@_register(
+    "c114_dedup_mixture_shift",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> component_id),
+    pre AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    post AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM losers)
+      GROUP BY lang
+    ), tot AS (
+      SELECT (SELECT sum(n) FROM pre) AS np,
+             (SELECT sum(n) FROM post) AS nq
+    )
+    SELECT pre.lang,
+           CAST(pre.n AS BIGINT) AS n_before,
+           CAST(post.n AS BIGINT) AS n_after,
+           CAST(pre.n * 1000000 // tot.np AS BIGINT) AS share_before_ppm,
+           CAST(post.n * 1000000 // tot.nq AS BIGINT) AS share_after_ppm,
+           CAST(post.n * 1000000 // tot.nq
+                - pre.n * 1000000 // tot.np AS BIGINT) AS shift_ppm
+    FROM pre JOIN post USING (lang) CROSS JOIN tot
+    """,
+    "LLM-curation: does dedup SKEW the language mixture?  Per "
+    "language, corpus share (ppm) before and after component-level "
+    "near-dup removal and the shift — duplication is never uniform "
+    "across languages/sources, so naive dedup silently re-weights "
+    "the training mixture (the bias c75's inverse-dup weighting "
+    "corrects; this table MEASURES it first).  Reuses the c19 "
+    "component labelling; both mixture profiles are one aggregate "
+    "each; the loser set stays a broadcast anti join",
+)
+def c114_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        dedup_keep_canonical)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = docs.localCheckpoint(eager=True)  # pre + post + edges reuse
+    pre = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    kept = dedup_keep_canonical(docs, _edges(spark, sf_dir))
+    post = kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+    np_ = pre.agg(F.sum("n_before").alias("np"))
+    nq = post.agg(F.sum("n_after").alias("nq"))
+    return (pre.join(post, "lang")
+            .crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nq))
+            .select("lang",
+                    F.col("n_before").cast("long").alias("n_before"),
+                    F.col("n_after").cast("long").alias("n_after"),
+                    F.expr("n_before * 1000000 div np").cast("long")
+                    .alias("share_before_ppm"),
+                    F.expr("n_after * 1000000 div nq").cast("long")
+                    .alias("share_after_ppm"),
+                    F.expr("n_after * 1000000 div nq "
+                           "- n_before * 1000000 div np").cast("long")
+                    .alias("shift_ppm")))
+
+
+# ---------------------------------------------------------------------
+# b133: Neyman allocation for stratified sampling.
+# ---------------------------------------------------------------------
+
+@_register(
+    "b133_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS sx,
+             sum(CAST(floor(value * 100) AS BIGINT)
+                 * CAST(floor(value * 100) AS BIGINT)) AS sxx
+      FROM events GROUP BY event_type
+    ), w AS (
+      SELECT event_type, n,
+             CAST(floor(sqrt(CAST(
+               (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+               // (CAST(n AS HUGEINT) * n) AS DOUBLE))) AS BIGINT)
+               AS sd_cents
+      FROM s
+    ), t AS (
+      SELECT sum(n * sd_cents) AS denom FROM w
+    ), alloc AS (
+      SELECT w.event_type, w.n, w.sd_cents,
+             1000 * w.n * w.sd_cents // t.denom AS base,
+             (1000 * w.n * w.sd_cents) % t.denom AS rem
+      FROM w CROSS JOIN t
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rk,
+             (SELECT 1000 - sum(base) FROM alloc) AS leftover
+      FROM alloc
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_stratum,
+           CAST(sd_cents AS BIGINT) AS sd_cents,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS sample_size
+    FROM ranked ORDER BY event_type
+    """,
+    "survey-sampling design: NEYMAN ALLOCATION of a 1000-row eval "
+    "sample across event-type strata — each stratum gets budget "
+    "proportional to N_h * S_h (big AND variable strata deserve more "
+    "samples; the minimum-variance allocation for a fixed budget).  "
+    "S_h = floor(sqrt(exact integer variance in cents)) — sqrt is "
+    "IEEE-correctly-rounded in both engines so the floor is "
+    "portable; variance comes from exact HUGEINT/decimal moments "
+    "(the b123 discipline).  Fractional seats settle by largest "
+    "remainder (the c45/b91 apportionment idiom) so the total "
+    "reconciles to exactly 1000.  One map-side-combinable moment agg "
+    "+ arithmetic over a 5-row table",
+)
+def b133_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    s = (ev.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum(cents).alias("sx"),
+              F.sum(cents * cents).alias("sxx")))
+    dec = "decimal(20,0)"
+    var = F.expr(
+        f"cast((cast(n as {dec}) * sxx - cast(sx as {dec}) * sx) "
+        f"div (cast(n as {dec}) * n) as double)")
+    w = s.select("event_type", "n",
+                 F.floor(F.sqrt(var)).cast("long").alias("sd_cents"))
+    t = w.agg(F.sum(F.col("n") * F.col("sd_cents")).alias("denom"))
+    alloc = (w.crossJoin(F.broadcast(t))
+             .withColumn("base",
+                         F.expr("1000 * n * sd_cents div denom"))
+             .withColumn("rem", F.expr("(1000 * n * sd_cents) % denom")))
+    tot = alloc.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    ranked = (alloc.crossJoin(F.broadcast(tot))
+              .withColumn("rk", F.row_number().over(
+                  W.orderBy(F.desc("rem"), F.col("event_type")))))
+    return (ranked.select(
+        "event_type", F.col("n").cast("long").alias("n_stratum"),
+        F.col("sd_cents").cast("long").alias("sd_cents"),
+        (F.col("base")
+         + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long").alias("sample_size"))
+        .orderBy("event_type"))

@@ -144,6 +144,7 @@ def c105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda x, y: F.concat_ws(" ", x, y))
     occ = t.select("doc_id", "lang", "source",
                    F.explode(bgs).alias("bigram"))
+    occ = occ.localCheckpoint(eager=True)  # db + pc derive from it
     db = (occ.groupBy("doc_id", "lang", "source", "bigram")
           .agg(F.count("*").alias("k")))
     pc = occ.groupBy("bigram").agg(F.count("*").alias("c_xy"))
@@ -171,7 +172,7 @@ def c105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_type, CAST(ts AS DATE) AS day, value,
              lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-             lpad(CAST(event_id AS VARCHAR), 10, '0') AS sk
+             lpad(CAST(event_id AS VARCHAR), 19, '0') AS sk
       FROM events)
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
            arg_min(value, sk) AS open_v,
@@ -196,7 +197,7 @@ def c105_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b121_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = F.concat(F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-                  F.lpad(F.col("event_id").cast("string"), 10, "0"))
+                  F.lpad(F.col("event_id").cast("string"), 19, "0"))
     d = ev.select("event_type", F.col("ts").cast("date").alias("day"),
                   "value", sk.alias("sk"))
     return (d.groupBy("event_type", "day")
@@ -396,6 +397,7 @@ def c108_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", "lang", "source",
                      F.explode(token_shingles(F.col("text"), 3))
                      .alias("sh"))
+    sh = sh.localCheckpoint(eager=True)  # first-occurrence + join-back
     first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (sh.join(first, "sh")
                .groupBy("doc_id", "lang", "source")
@@ -497,24 +499,32 @@ def b123_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = rank2("x", lambda v: F.floor(v / 1000).cast("long"))
     ry = rank2("y", lambda v: v.cast("long"))
     j = (base.join(rx, ["grp", "x"]).join(F.broadcast(ry), ["grp", "y"]))
+    # moment ADDENDS cast to decimal BEFORE the sum: sum(rx*ry) is
+    # bounded by 4n^3, which overflows BIGINT near n ~ 1.3M rows per
+    # group under ANSI mode, while the oracle's HUGEINT sums would
+    # keep going — the decimal accumulator keeps both sides exact at
+    # any group size.
+    dec = "decimal(20,0)"
     m = (j.groupBy("grp")
          .agg(F.count("*").alias("n"),
-              F.sum("r_x").alias("sx"), F.sum("r_y").alias("sy"),
-              F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"),
-              F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
-              F.sum(F.col("r_y") * F.col("r_y")).alias("syy")))
-    dec = "decimal(20,0)"
-    num = (F.col("n").cast(dec) * F.col("sxy").cast(dec)
-           - F.col("sx").cast(dec) * F.col("sy").cast(dec))
-    dxx = (F.col("n").cast(dec) * F.col("sxx").cast(dec)
-           - F.col("sx").cast(dec) * F.col("sx").cast(dec))
-    dyy = (F.col("n").cast(dec) * F.col("syy").cast(dec)
-           - F.col("sy").cast(dec) * F.col("sy").cast(dec))
+              F.sum(F.col("r_x").cast(dec)).alias("sx"),
+              F.sum(F.col("r_y").cast(dec)).alias("sy"),
+              F.sum((F.col("r_x") * F.col("r_y")).cast(dec)).alias("sxy"),
+              F.sum((F.col("r_x") * F.col("r_x")).cast(dec)).alias("sxx"),
+              F.sum((F.col("r_y") * F.col("r_y")).cast(dec)).alias("syy")))
+    num = (F.col("n").cast(dec) * F.col("sxy")
+           - F.col("sx") * F.col("sy"))
+    dxx = (F.col("n").cast(dec) * F.col("sxx")
+           - F.col("sx") * F.col("sx"))
+    dyy = (F.col("n").cast(dec) * F.col("syy")
+           - F.col("sy") * F.col("sy"))
+    # all-tied degenerate group -> zero variance -> DuckDB float
+    # division yields NULL; mirror with an explicit guard (Spark
+    # would emit Infinity/NaN otherwise).
+    den = F.sqrt(dxx.cast("double") * dyy.cast("double"))
+    rho = F.when(den != 0, num.cast("double") / den)
     return (m.select("grp", F.col("n").cast("long").alias("n"),
-                     F.round(num.cast("double")
-                             / F.sqrt(dxx.cast("double")
-                                      * dyy.cast("double")), 6)
-                     .alias("rho_spearman"))
+                     F.round(rho, 6).alias("rho_spearman"))
             .orderBy("grp"))
 
 
@@ -669,11 +679,15 @@ def b124_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = a.crossJoin(F.broadcast(b))
     pool = (F.col("conv_a") + F.col("conv_b")).cast("double") \
         / (F.col("n_a") + F.col("n_b")).cast("double")
-    z = ((F.col("conv_a").cast("double") / F.col("n_a")
-          - F.col("conv_b").cast("double") / F.col("n_b"))
-         / F.sqrt(pool * (F.lit(1.0) - pool)
+    # degenerate pooled rate (0 or 1 conversions everywhere) zeroes
+    # the denominator: DuckDB float division emits NULL, Spark would
+    # emit Infinity — guard so both agree.
+    zden = F.sqrt(pool * (F.lit(1.0) - pool)
                   * (F.lit(1.0) / F.col("n_a")
-                     + F.lit(1.0) / F.col("n_b"))))
+                     + F.lit(1.0) / F.col("n_b")))
+    z = F.when(zden != 0,
+               (F.col("conv_a").cast("double") / F.col("n_a")
+                - F.col("conv_b").cast("double") / F.col("n_b")) / zden)
     return w.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("conv_a").cast("long").alias("conv_a"),
@@ -932,13 +946,16 @@ def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(":ab"))), F.lit(2)) == 0,
              "A").otherwise("B")))
     u = u.localCheckpoint(eager=True)  # reused: global moments + arms
+    # addends cast to decimal BEFORE summing: sum(x*y) over per-user
+    # cents products overflows a BIGINT accumulator near ~10M users
+    # under ANSI mode while the oracle's HUGEINT sums sail on.
     dec = "decimal(20,0)"
     g = u.agg(F.count("*").cast(dec).alias("n"),
-              F.sum("x").cast(dec).alias("sx"),
-              F.sum("y").cast(dec).alias("sy"),
-              F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
-              F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"))
+              F.sum(F.col("x").cast(dec)).alias("sx"),
+              F.sum(F.col("y").cast(dec)).alias("sy"),
+              F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+              F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+              F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"))
     a = (u.groupBy("arm")
          .agg(F.count("*").alias("n_arm"),
               F.sum("x").alias("sx_arm"), F.sum("y").alias("sy_arm")))
@@ -949,7 +966,10 @@ def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sx") * F.col("sx")).cast("double")
     vary = (F.col("n") * F.col("syy")
             - F.col("sy") * F.col("sy")).cast("double")
-    theta = cov / varx
+    # zero pre-period variance -> DuckDB float division emits NULL;
+    # mirror explicitly (Spark would emit Infinity/NaN).
+    theta = F.when(varx != 0, cov / varx)
+    rho2 = F.when(varx * vary != 0, cov * cov / (varx * vary))
     mean_y = F.col("sy_arm").cast("double") / F.col("n_arm")
     dx = (F.col("sx_arm").cast("double") / F.col("n_arm")
           - F.col("sx").cast("double") / F.col("n").cast("double"))
@@ -958,7 +978,7 @@ def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("sy_arm").cast("long").alias("sum_y_cents"),
                      F.round(mean_y, 6).alias("mean_y"),
                      F.round(mean_y - theta * dx, 6).alias("mean_y_cuped"),
-                     F.round(cov * cov / (varx * vary), 6).alias("rho2"))
+                     F.round(rho2, 6).alias("rho2"))
             .orderBy("arm"))
 
 
@@ -989,7 +1009,7 @@ def b125_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(sum(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad
                          THEN 1 ELSE 0 END) * 1000000 // count(*)
-                AS BIGINT) AS outlier_ppm
+                AS BIGINT) AS outlier_ppm  -- = n_outliers*1e6//n
     FROM dev JOIN mad USING (event_type)
     GROUP BY dev.event_type ORDER BY dev.event_type
     """,
@@ -1042,11 +1062,10 @@ def b126_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n"),
                  F.first("m").cast("long").alias("median_cents"),
                  F.first("mad").cast("long").alias("mad_cents"),
-                 F.sum(out).cast("long").alias("n_outliers"),
-                 F.expr(
-                     "sum(case when d * 10000 > 3 * 14826 * mad "
-                     "then 1 else 0 end) * 1000000 div count(*)")
-                 .cast("long").alias("outlier_ppm"))
+                 F.sum(out).cast("long").alias("n_outliers"))
+            .withColumn("outlier_ppm",
+                        F.expr("n_outliers * 1000000 div n")
+                        .cast("long"))
             .orderBy("event_type"))
 
 
@@ -1378,7 +1397,7 @@ def b130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("week"),
                    F.floor(F.col("value") * 100).cast("long")
                    .alias("cents")))
-    per = (rev.join(F.broadcast(wk), "user_id")
+    per = (rev.join(wk, "user_id")
            .groupBy("cohort_week",
                     (F.col("week") - F.col("cohort_week"))
                     .alias("age_weeks"))
@@ -1424,7 +1443,8 @@ def b130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM shared s JOIN df ON df.sh = s.sh
       JOIN pairs p ON p.d1 = s.d1 AND p.d2 = s.d2
     )
-    SELECT r.d1, r.d2, CAST(p.n_common AS BIGINT) AS n_common,
+    SELECT CAST(r.d1 AS BIGINT) AS d1, CAST(r.d2 AS BIGINT) AS d2,
+           CAST(p.n_common AS BIGINT) AS n_common,
            r.sh AS evidence_shingle, CAST(r.df AS BIGINT) AS shingle_df,
            CAST(r.rn AS BIGINT) AS evidence_rank
     FROM ranked r JOIN pairs p ON p.d1 = r.d1 AND p.d2 = r.d2
@@ -1469,7 +1489,9 @@ def c113_neardup_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
                   W.partitionBy("d1", "d2").orderBy("df", "sh")))
               .filter(F.col("rn") <= 3))
     return ranked.select(
-        "d1", "d2", F.col("n_common").cast("long").alias("n_common"),
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        F.col("n_common").cast("long").alias("n_common"),
         F.col("sh").alias("evidence_shingle"),
         F.col("df").cast("long").alias("shingle_df"),
         F.col("rn").cast("long").alias("evidence_rank"))
@@ -1684,8 +1706,8 @@ def c114_dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sum(n * sd_cents) AS denom FROM w
     ), alloc AS (
       SELECT w.event_type, w.n, w.sd_cents,
-             1000 * w.n * w.sd_cents // t.denom AS base,
-             (1000 * w.n * w.sd_cents) % t.denom AS rem
+             1000 * w.n * w.sd_cents // nullif(t.denom, 0) AS base,
+             (1000 * w.n * w.sd_cents) % nullif(t.denom, 0) AS rem
       FROM w CROSS JOIN t
     ), ranked AS (
       SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rk,
@@ -1727,8 +1749,8 @@ def b133_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = w.agg(F.sum(F.col("n") * F.col("sd_cents")).alias("denom"))
     alloc = (w.crossJoin(F.broadcast(t))
              .withColumn("base",
-                         F.expr("1000 * n * sd_cents div denom"))
-             .withColumn("rem", F.expr("(1000 * n * sd_cents) % denom")))
+                         F.expr("1000 * n * sd_cents div nullif(denom, 0)"))
+             .withColumn("rem", F.expr("(1000 * n * sd_cents) % nullif(denom, 0)")))
     tot = alloc.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
     ranked = (alloc.crossJoin(F.broadcast(tot))
               .withColumn("rk", F.row_number().over(

@@ -35,6 +35,18 @@ def get_spark(app_name: str = "tp_airflow_gtfs_snowflake_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Local-mode liveness hardening: one long driver stall (GC or
+        # host hiccup) past the default timeouts marks the in-process
+        # executor's BlockManager dead, and local mode cannot
+        # re-register it (the CoarseGrainedScheduler RPC endpoint only
+        # exists on a real cluster) — every later heartbeat fails
+        # until the 60th kills the whole JVM mid-run (observed twice
+        # in full-suite pytest).  In a single JVM the executor cannot
+        # die independently of the driver, so heartbeat liveness buys
+        # nothing: stretch the windows far past any plausible pause.
+        # Cluster deployments override these per their own SLOs.
+        .config("spark.network.timeout", "800s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

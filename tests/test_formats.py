@@ -159,9 +159,11 @@ def test_export_time_travel_and_vacuum(spark, tmp_path):
     schema = "id long, v string"
 
     def write(rows):
+        # overwrite = snapshot REPLACEMENT (each version stands alone;
+        # append-mode accumulation is covered separately below)
         spark.createDataFrame(rows, schema).repartition(2) \
             .write.format("gtfs_rt_snapshots").option("path", out) \
-            .mode("append").save()
+            .mode("overwrite").save()
 
     write([(i, f"a{i}") for i in range(5)])
     write([(i, f"b{i}") for i in range(3)])
@@ -206,3 +208,107 @@ def test_export_manifest_back_compat_latest_pointer(spark, tmp_path):
         .mode("append").save()
     m = json.loads(open(os.path.join(out, "_MANIFEST")).read())
     assert m["n_rows"] == 1 and m["files"] and m["version"] == 1
+
+
+def test_export_append_mode_accumulates(spark, tmp_path):
+    """mode('append') must ADD to the previous snapshot's visibility
+    (manifest = prior files + new parts), not silently replace it."""
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource as pd_
+
+    pd_.register(spark)
+    out = str(tmp_path / "export")
+    schema = "id long, v string"
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema) \
+            .write.format("gtfs_rt_snapshots").option("path", out) \
+            .mode(mode).save()
+
+    write([(1, "a")], "overwrite")
+    write([(2, "b")], "append")
+    write([(3, "c")], "overwrite")
+    got2 = sorted(r["v"] for r in
+                  pd_.read_export(spark, out, schema, version=2)
+                  .collect())
+    assert got2 == ["a", "b"]            # append kept v1's rows
+    got3 = sorted(r["v"] for r in
+                  pd_.read_export(spark, out, schema).collect())
+    assert got3 == ["c"]                 # overwrite replaced them
+    assert pd_.load_export_manifest(out, 2)["n_rows"] == 2
+
+
+def test_export_abort_tolerates_none_messages(spark, tmp_path):
+    """Spark passes None commit-message slots for failed tasks; abort
+    must skip them and still clean the committed parts."""
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources.py_datasource import (
+        SnapshotExportWriter, _ExportCommit)
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    part = "part-00000-deadbeef.jsonl"
+    open(os.path.join(out, part), "w").write("{}\n")
+    w = SnapshotExportWriter({"path": out})
+    w.abort([_ExportCommit(part, 1), None])
+    assert not os.path.exists(os.path.join(out, part))
+
+
+def test_vacuum_rejects_zero_keep_versions(spark, tmp_path):
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource as pd_
+
+    with pytest.raises(ValueError):
+        pd_.vacuum_export(str(tmp_path), keep_versions=0)
+
+
+def test_stream_offsets_survive_deletion_of_emitted_files(
+        spark, tmp_path):
+    """Name-based offsets: deleting already-emitted snapshots must not
+    re-emit or skip anything (a positional index would shift)."""
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources.py_datasource import (
+        GtfsRtSnapshotStreamReader)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for n in ("vp_202401010001.json", "vp_202401010002.json"):
+        (land / n).write_text("{}")
+    r = GtfsRtSnapshotStreamReader({"path": str(land)})
+    o0, o1 = r.initialOffset(), r.latestOffset()
+    batch1 = [os.path.basename(p.filepath)
+              for p in r.partitions(o0, o1)]
+    assert batch1 == ["vp_202401010001.json", "vp_202401010002.json"]
+    r.commit(o1)
+    # retention deletes the oldest emitted file; two new files land
+    os.remove(land / "vp_202401010001.json")
+    for n in ("vp_202401010003.json", "vp_202401010004.json"):
+        (land / n).write_text("{}")
+    o2 = r.latestOffset()
+    batch2 = [os.path.basename(p.filepath)
+              for p in r.partitions(o1, o2)]
+    assert batch2 == ["vp_202401010003.json", "vp_202401010004.json"]
+
+
+def test_stream_max_files_per_batch_caps_progress(spark, tmp_path):
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources.py_datasource import (
+        GtfsRtSnapshotStreamReader)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i in range(5):
+        (land / f"vp_20240101000{i}.json").write_text("{}")
+    r = GtfsRtSnapshotStreamReader({"path": str(land),
+                                    "maxFilesPerBatch": "2"})
+    o0 = r.initialOffset()
+    o1 = r.latestOffset()          # first call: uncapped (no floor)
+    r.partitions(o0, o1)           # plan it -> floor = o1
+    for n in ("vp_202401010005.json", "vp_202401010006.json",
+              "vp_202401010007.json"):
+        (land / n).write_text("{}")
+    o2 = r.latestOffset()          # capped: 2 of the 3 pending
+    batch = [os.path.basename(p.filepath)
+             for p in r.partitions(o1, o2)]
+    assert batch == ["vp_202401010005.json", "vp_202401010006.json"]

@@ -169,3 +169,25 @@ def test_anotb_disjoint_equals_distinct_estimate(spark):
     # retained-count differs by 1 from the (k-1) estimator convention;
     # allow that single-hash quantum
     assert abs(got["est_anotb"] - est_a) * 255 <= est_a
+
+
+def test_partials_with_bigint_group_and_null_hashes(spark):
+    """The partial schema derives from the input group type (a bigint
+    key must not hit an Arrow string cast), and NULL hashes are
+    dropped before pandas (NaN breaks sorted()'s k-slot window)."""
+    rows = [(1, 5), (1, None), (1, 7), (2, None), (2, 3)]
+    df = spark.createDataFrame(rows, "g long, h long")
+    sk = {r["g"]: list(r["sketch"])
+          for r in kmv.kmv_sketch(df, "g", "h", k=4).collect()}
+    assert sk == {1: [5, 7], 2: [3]}
+
+
+def test_partials_keep_null_group(spark):
+    """A NULL group key is a group (SQL GROUP BY semantics): its rows
+    must not silently vanish from the sketch."""
+    rows = [("a", 1), (None, 2), (None, 9)]
+    df = spark.createDataFrame(rows, "g string, h long")
+    sk = {r["g"]: list(r["sketch"])
+          for r in kmv.kmv_sketch(df, "g", "h", k=4).collect()}
+    assert sk["a"] == [1]
+    assert sk[None] == [2, 9]

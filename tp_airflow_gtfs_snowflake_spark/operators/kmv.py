@@ -52,13 +52,24 @@ def portable_hash48(col: Column) -> Column:
 def kmv_partials(df: DataFrame, group_col: str, hash_col: str,
                  k: int = 128) -> DataFrame:
     """Per-partition partial sketches: <= k smallest distinct hashes
-    per group per partition, one (group, h) row each."""
+    per group per partition, one (group, h) row each.
+
+    The output group type mirrors the input (schema is derived, not
+    hardcoded — a bigint group key must not hit an Arrow string
+    cast), and NULL hashes are dropped up front: a NULL element
+    contributes nothing to a distinct sketch, and once inside pandas
+    it becomes NaN, which breaks sorted()'s ordering and could evict
+    a genuine small hash from the k-slot window."""
     import pandas as pd
+
+    g_type = df.schema[group_col].dataType.simpleString()
 
     def part(batches):
         mins: dict[object, object] = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("g", sort=False):
+            # dropna=False: a NULL group is a group (matches Spark /
+            # SQL GROUP BY semantics, which keep the NULL bucket)
+            for g, sub in pdf.groupby("g", sort=False, dropna=False):
                 hs = set(sub["h"])
                 prev = mins.get(g)
                 if prev is not None:
@@ -70,7 +81,8 @@ def kmv_partials(df: DataFrame, group_col: str, hash_col: str,
 
     return (df.select(F.col(group_col).alias("g"),
                       F.col(hash_col).alias("h"))
-            .mapInPandas(part, "g string, h long"))
+            .filter(F.col("h").isNotNull())
+            .mapInPandas(part, f"g {g_type}, h long"))
 
 
 def kmv_sketch(df: DataFrame, group_col: str, hash_col: str,

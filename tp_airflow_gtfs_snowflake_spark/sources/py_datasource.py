@@ -68,30 +68,59 @@ class GtfsRtSnapshotReader(DataSourceReader):
 
 class GtfsRtSnapshotStreamReader(DataSourceStreamReader):
     """Micro-batch tail of the landing dir.  Offsets are
-    {"index": n} = number of files (in sorted order) already emitted;
-    a landing producer must write new files with later-sorting names
-    (true for timestamped names), matching the reference's cadence."""
+    {"last": basename} = the last file (in name order) already
+    emitted; a landing producer must write new files with
+    later-sorting names (true for timestamped names), matching the
+    reference's cadence.
+
+    NAME-based offsets on purpose: a positional index into a
+    re-computed listing silently re-emits or skips files as soon as
+    a retention job deletes old snapshots (the listing shifts under
+    the checkpoint).  A name high-watermark is immune — deleting
+    already-emitted files cannot move it.
+
+    ``maxFilesPerBatch`` caps how far latestOffset advances past the
+    last planned batch (the maxFilesPerTrigger analogue).  The first
+    batch after a restart is uncapped — the reader instance cannot
+    see the checkpointed start before latestOffset is called — so a
+    long-idle stream's catch-up lands in one batch; documented
+    trade-off of the simple reader (Spark's own file source pays a
+    per-file commit log for finer resume)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.suffix = options.get("suffix", ".json")
+        cap = options.get("maxFilesPerBatch")
+        self.max_files = int(cap) if cap is not None else None
+        self._floor: str | None = None  # last name planned/committed
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"index": len(_list_snapshots(self.path, self.suffix))}
+        names = [os.path.basename(f)
+                 for f in _list_snapshots(self.path, self.suffix)]
+        if not names:
+            return {"last": self._floor or ""}
+        if self.max_files is not None and self._floor is not None:
+            pending = [n for n in names if n > self._floor]
+            if pending:
+                return {"last": pending[:self.max_files][-1]}
+            return {"last": self._floor}
+        return {"last": names[-1]}
 
     def partitions(self, start: dict, end: dict):
+        lo, hi = start["last"], end["last"]
+        self._floor = max(self._floor or "", hi)
         files = _list_snapshots(self.path, self.suffix)
-        return [_SnapshotPartition(f)
-                for f in files[start["index"]:end["index"]]]
+        return [_SnapshotPartition(f) for f in files
+                if lo < os.path.basename(f) <= hi]
 
     def read(self, partition: _SnapshotPartition):
         yield from _read_file(partition.filepath)
 
     def commit(self, end: dict) -> None:
-        pass  # listing-position offsets need no source-side cleanup
+        self._floor = max(self._floor or "", end["last"])
 
 
 class GtfsRtSnapshotDataSource(DataSource):
@@ -112,7 +141,7 @@ class GtfsRtSnapshotDataSource(DataSource):
         return GtfsRtSnapshotStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "SnapshotExportWriter":
-        return SnapshotExportWriter(self.options)
+        return SnapshotExportWriter(self.options, overwrite=overwrite)
 
 
 class _ExportCommit(WriterCommitMessage):
@@ -132,8 +161,9 @@ class SnapshotExportWriter(DataSourceWriter):
     abort() removes orphans — the two-phase protocol that makes the
     export idempotent under task retries."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = True):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _ExportCommit:
         import json as _json
@@ -155,18 +185,31 @@ class SnapshotExportWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import json as _json
-        version = latest_export_version(self.path) + 1
-        manifest = {
-            "version": version,
-            "files": sorted(m.filename for m in messages),
-            "n_rows": sum(m.n_rows for m in messages),
-        }
+        # Spark passes None slots for tasks that failed before their
+        # commit message reached the driver (and then calls abort
+        # instead; the guard also protects abort-after-partial-commit
+        # interleavings).
+        msgs = [m for m in messages if m is not None]
+        prev_version = latest_export_version(self.path)
+        files = sorted(m.filename for m in msgs)
+        n_rows = sum(m.n_rows for m in msgs)
+        if not self.overwrite and prev_version > 0:
+            # true append: the new snapshot's visibility = previous
+            # snapshot's files plus this job's parts
+            prev = load_export_manifest(self.path, prev_version)
+            files = sorted(set(prev["files"]) | set(files))
+            n_rows += prev["n_rows"]
+        version = prev_version + 1
+        manifest = {"version": version, "files": files, "n_rows": n_rows}
         body = _json.dumps(manifest)
         # two atomic renames: the versioned manifest is the durable
-        # snapshot record, _MANIFEST the latest pointer.  Old part
-        # files are never touched — visibility is defined entirely by
-        # manifests (MVCC-style), which is what makes time travel and
-        # concurrent readers safe under overwrite.
+        # snapshot record, _MANIFEST a best-effort latest pointer for
+        # pre-versioning consumers (readers and vacuum resolve
+        # 'latest' from the versioned files, so a crash between the
+        # renames cannot strand the pointer on vacuumed files).  Old
+        # part files are never touched — visibility is defined
+        # entirely by manifests (MVCC-style), which is what makes
+        # time travel and concurrent readers safe under overwrite.
         for name in (f"_MANIFEST.v{version}", "_MANIFEST"):
             tmp = os.path.join(self.path, "." + name + ".tmp")
             with open(tmp, "w", encoding="utf-8") as fh:
@@ -175,6 +218,8 @@ class SnapshotExportWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
+            if m is None:  # failed task -> no part file to clean
+                continue
             try:
                 os.remove(os.path.join(self.path, m.filename))
             except OSError:
@@ -210,10 +255,19 @@ def latest_export_version(path: str) -> int:
 
 def load_export_manifest(path: str, version: int | None = None) -> dict:
     """Parsed manifest for `version` (default: latest).  Raises
-    FileNotFoundError for a never-committed or vacuumed version."""
+    FileNotFoundError for a never-committed or vacuumed version.
+
+    'Latest' resolves through the VERSIONED manifests (the durable
+    record), not the _MANIFEST pointer — a crash between commit's two
+    renames can leave the pointer one version stale, and vacuum
+    decisions must never hang off it.  The pointer remains only as a
+    fallback for pre-versioning directories."""
     import json as _json
-    name = ("_MANIFEST" if version is None
-            else f"_MANIFEST.v{version}")
+    if version is None:
+        latest = latest_export_version(path)
+        name = f"_MANIFEST.v{latest}" if latest > 0 else "_MANIFEST"
+    else:
+        name = f"_MANIFEST.v{version}"
     with open(os.path.join(path, name), encoding="utf-8") as fh:
         return _json.loads(fh.read())
 
@@ -236,7 +290,20 @@ def vacuum_export(path: str, keep_versions: int = 2) -> dict:
     {"removed_files": n, "removed_versions": [...]}.  Readers of kept
     versions are unaffected (their files survive); vacuumed versions
     raise FileNotFoundError on access — the standard lakehouse
-    retention contract."""
+    retention contract.
+
+    keep_versions must be >= 1: allowing 0 would delete every
+    snapshot including the current one (total data loss from a
+    single bad argument).  Known limitation, as in real lakehouses:
+    a part file renamed into place by a task whose commit message
+    never reached the driver (speculative/retried task) belongs to
+    NO manifest and is not removed here — manifests define
+    visibility, so such orphans cost disk but never correctness;
+    remove them with any unreferenced-file sweep run while no write
+    is in flight."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1 "
+                         "(0 would delete the current snapshot)")
     latest = latest_export_version(path)
     if latest == 0:
         return {"removed_files": 0, "removed_versions": []}

@@ -1095,3 +1095,101 @@ class TestKcorePeel:
         # triangle with a pendant: the pendant (and only it) peels
         g = [(1, 2), (2, 3), (1, 3), (3, 4)]
         assert self._peel(spark, g, k=2, rounds=2) == {1: 2, 2: 2, 3: 2}
+
+
+# --- round-4 review-fix regressions ----------------------------------
+
+def test_dedup_increment_empty_batch_keeps_state(spark):
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        dedup_increment, dedup_with_lookback)
+    b1 = spark.createDataFrame([(1, 10)], "key long, day long")
+    empty = spark.createDataFrame([], "key long, day long")
+    b3 = spark.createDataFrame([(1, 12)], "key long, day long")
+    _, st = dedup_increment(b1, None, lookback_days=7)
+    _, st = dedup_increment(empty, st, lookback_days=7)
+    assert st.count() == 1, "empty slice wiped the carried state"
+    kept, _ = dedup_increment(b3, st, lookback_days=7)
+    whole = dedup_with_lookback(
+        spark.createDataFrame([(1, 10), (1, 12)], "key long, day long"),
+        key_col="key", day_col="day", lookback_days=7)
+    assert kept.count() == 0  # day 12 is within day 10's lookback
+    assert whole.filter("day = 12").count() == 0
+
+
+def test_simhash_single_table_radius_zero(spark):
+    """n_tables=1 (the radius=0 default) must work: the single block
+    spans all 64 bits and lit(2^64-1) would overflow long."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string")
+    out = D.simhash_near_duplicates(df, "doc_id", "text", radius=0,
+                                    shingle_n=2,
+                                    hash_fn=D.portable_hash64).collect()
+    assert {(r["d1"], r["d2"]) for r in out} == {(1, 2)}
+
+
+def test_prefix_filter_exact_threshold_boundary(spark):
+    """threshold * n_sh products that float-round UP (e.g. 29 shingles
+    at t where t*29 lands epsilon above an integer) must not shorten
+    the prefix and lose threshold-exact pairs: prefix output == naive
+    inverted-index output."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.29, 0.3, 0.58):
+        naive = {(r["d1"], r["d2"]) for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=t).collect()}
+        pref = {(r["d1"], r["d2"]) for r in
+                D.prefix_filtered_jaccard_pairs(
+                    df, "doc_id", "text", n=2, threshold=t).collect()}
+        assert pref == naive, f"recall loss at t={t}"
+
+
+def test_exact_dedup_null_text_passes_through(spark):
+    """Rows with NULL text are failed extractions, not copies of each
+    other: dedup must keep them all."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        dedup_exact, exact_duplicates)
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_exact(df, "doc_id", "text")
+            .collect()}
+    assert kept == {1, 3, 4}
+    groups = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2
+
+
+def test_brute_force_topk_ignores_zero_norm_vectors(spark):
+    """A zero vector's cosine is NaN, and NaN sorts ABOVE every number
+    in desc order — it must not crowd out genuine neighbors."""
+    from tp_airflow_gtfs_snowflake_spark.operators.similarity import (
+        brute_force_topk)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([([1.0, 0.0],)], "qemb array<double>")
+    got = [r["vec_id"] for r in
+           brute_force_topk(emb, q, k=2).collect()]
+    assert got == [1, 3]
+
+
+def test_pq_encode_impls_agree_on_non_dense_codebook(spark):
+    """Both encode impls emit positions in the id-SORTED codebook, so
+    gapped/non-zero-based codeword ids cannot diverge them."""
+    from tp_airflow_gtfs_snowflake_spark.operators.similarity import (
+        pq_encode)
+    books = [[(5, [1.0, 1.0]), (9, [0.0, 0.0])],
+             [(3, [0.5, 0.5]), (7, [2.0, 2.0])]]
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.4, 0.4]), (2, [0.1, 0.1, 1.9, 2.1])],
+        "vec_id long, embedding array<double>")
+    nat = {r["vec_id"]: list(r["codes"]) for r in
+           pq_encode(emb, books, impl="native").collect()}
+    arr = {r["vec_id"]: list(r["codes"]) for r in
+           pq_encode(emb, books, impl="arrow").collect()}
+    assert nat == arr == {1: [0, 0], 2: [1, 1]}

@@ -35,4 +35,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL for zero-norm inputs: under ANSI mode the bare division
+    THROWS on the first all-zero embedding (padding/missing vectors)
+    and with ANSI off it yields NaN — which sorts ABOVE every number
+    in a descending top-k.  A zero vector has no direction, so NULL
+    (which desc-sorts last and fails >= filters) is the only value
+    that is both crash-free and ranking-safe."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))

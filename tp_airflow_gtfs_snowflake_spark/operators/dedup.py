@@ -85,19 +85,28 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str,
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: one row per distinct
-    content with the deterministic keeper (min id) and copy count."""
+    content with the deterministic keeper (min id) and copy count.
+
+    NULL-text rows are excluded: md5(NULL) is NULL and groupBy would
+    collapse every failed-extraction row into one "duplicate" group,
+    deleting distinct records that merely share missing text."""
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.md5(F.col(text_col)).alias("fingerprint"))
+            .filter(F.col("fingerprint").isNotNull())
             .groupBy("fingerprint")
             .agg(F.min("doc_id").alias("keep_doc_id"),
                  F.count("*").alias("n_copies")))
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Return df with only the keeper row per distinct content."""
+    """Return df with only the keeper row per distinct content;
+    NULL-text rows pass through untouched (not duplicates of each
+    other)."""
     keep = exact_duplicates(df, id_col, text_col).select(
         F.col("keep_doc_id").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    return (df.filter(F.col(text_col).isNull())
+            .unionByName(df.filter(F.col(text_col).isNotNull())
+                         .join(keep, id_col, "left_semi")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -333,12 +342,14 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
     sizes = [64 // n_tables + (1 if i < 64 % n_tables else 0)
              for i in range(n_tables)]
     offs = [sum(sizes[:i]) for i in range(n_tables)]
+    def _blk(i: int) -> Column:
+        shifted = F.shiftrightunsigned("sig", offs[i])
+        if sizes[i] >= 64:  # single table: the block IS the signature
+            return shifted  # (lit(2^64-1) would overflow long)
+        return shifted.bitwiseAND(F.lit((1 << sizes[i]) - 1).cast("long"))
+
     blocks = F.array(*[
-        F.struct(
-            F.lit(i).alias("tbl"),
-            F.shiftrightunsigned("sig", offs[i])
-             .bitwiseAND(F.lit((1 << sizes[i]) - 1).cast("long"))
-             .alias("blk"))
+        F.struct(F.lit(i).alias("tbl"), _blk(i).alias("blk"))
         for i in range(n_tables)])
     ex = (sig.select("doc_id", "sig", F.explode(blocks).alias("b"))
           .select("doc_id", "sig", "b.tbl", "b.blk"))
@@ -380,8 +391,13 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str,
                   Window.partitionBy("doc_id").orderBy("gf", "sh")))
               .withColumn("n_sh", F.count("*").over(
                   Window.partitionBy("doc_id"))))
+    # epsilon before ceil: binary float products round UP at exact
+    # boundaries (100 * 0.29 = 29.000000000000004 -> ceil 30), which
+    # would shorten the prefix below the safe length and silently
+    # lose threshold-exact pairs.
     prefix = ranked.filter(
-        F.col("rnk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold)
+        F.col("rnk") <= F.col("n_sh")
+        - F.ceil(F.col("n_sh") * threshold - 1e-9)
         + 1).select("doc_id", "sh")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
@@ -511,9 +527,14 @@ def dedup_increment(batch: DataFrame, state: DataFrame | None, *,
                 .agg(F.max(day_col).alias("last_day"))
                 .unionByName(state)
                 .groupBy(key_col).agg(F.max("last_day").alias("last_day")))
+    # an EMPTY batch has a NULL frontier; `last_day >= NULL - l`
+    # evaluates NULL and would silently wipe the whole carried state
+    # (re-admitting duplicates after any quiet slice) — keep state
+    # unchanged instead.
     new_state = (new_last.crossJoin(F.broadcast(frontier))
-                 .filter(F.col("last_day")
-                         >= F.col("_mx") - lookback_days)
+                 .filter(F.col("_mx").isNull()
+                         | (F.col("last_day")
+                            >= F.col("_mx") - lookback_days))
                  .drop("_mx"))
     return kept, new_state
 
@@ -536,7 +557,7 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, *,
     from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
     L = window_tokens
     t = df.select(F.col(id_col).alias("doc_id"),
-                  F.split(F.trim(F.lower(text_col)), " +").alias("tk"))
+                  _tokens(F.col(text_col)).alias("tk"))
     t = t.withColumn("n_tokens", F.size("tk"))
     w = (t.filter(F.col("n_tokens") >= L)
          .select("doc_id",

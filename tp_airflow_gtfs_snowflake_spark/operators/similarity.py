@@ -37,6 +37,11 @@ def brute_force_topk(vectors: DataFrame, query: DataFrame, *,
             .select(*payload,
                     F.round(cosine(F.col(vec_col), F.col("qemb")), 6)
                     .alias("cos_sim"))
+            # zero-norm vectors (padding/missing embeddings) have no
+            # defined direction: cosine() yields NULL for them (see
+            # functions/vectors.py) — drop them from the candidate
+            # ranking explicitly.
+            .filter(F.col("cos_sim").isNotNull())
             .orderBy(F.desc("cos_sim"), *payload[:1])
             .limit(k))
 
@@ -253,8 +258,12 @@ def pq_encode(emb: DataFrame,
               vec_col: str = "embedding",
               impl: str = "arrow") -> DataFrame:
     """Add `codes` (array<long>, one code per subspace): each subvector
-    is replaced by its nearest codeword's id — 8x-32x compression of
-    the corpus for ANN scans.  A narrow per-row map either way: ZERO
+    is replaced by the POSITION of its nearest codeword in the
+    id-sorted codebook (equal to the codeword id for the dense
+    0..k-1 books every producer here emits) — 8x-32x compression of
+    the corpus for ANN scans.  Positional codes keep the encode, the
+    ADC lookup table, and both impls in exact agreement for ANY
+    codebook id scheme.  A narrow per-row map either way: ZERO
     exchanges at any corpus size (the point of PQ — the compressed
     codes fit in memory where raw vectors do not).  Squared-L2 is
     rounded to 6dp before the argmin so assignments are reproducible
@@ -279,8 +288,8 @@ def pq_encode(emb: DataFrame,
             F.struct(
                 F.round(_sq_l2(sub, F.array(*[F.lit(float(x)) for x in cw])
                                .cast("array<double>")), 6).alias("dist"),
-                F.lit(int(code)).cast("long").alias("code"))
-            for code, cw in book])
+                F.lit(int(pos)).cast("long").alias("code"))
+            for pos, (_, cw) in enumerate(sorted(book))])
         best = F.aggregate(
             scored,
             F.struct(F.lit(float("inf")).alias("dist"),
@@ -357,9 +366,11 @@ def pq_topk(emb: DataFrame, query: DataFrame, *, id_col: str = "vec_id",
     q = query.select(F.col("qemb").cast("array<double>")).first()[0]
     d = len(codebooks[0][0][1])
     # driver-side LUT: lut[j][code] = ||q_sub_j - codeword||^2, 6dp
+    # positional rows over the id-SORTED book — the same order both
+    # encode impls emit their codes in
     lut = [[round(sum((float(q[j * d + i]) - cw[i]) ** 2
                       for i in range(d)), 6)
-            for _, cw in book] for j, book in enumerate(codebooks)]
+            for _, cw in sorted(book)] for j, book in enumerate(codebooks)]
     lut_lit = F.array(*[
         F.array(*[F.lit(float(x)) for x in row]).cast("array<double>")
         for row in lut])
@@ -399,6 +410,10 @@ def cell_blocked_neardup(emb: DataFrame, *, id_col: str = "vec_id",
     plain per-cell join, no extra plan nodes)."""
     asg = ivf_assign(emb, id_col=id_col, vec_col=vec_col, n_cents=n_cents)
     if sub_blocks is None:
+        # the histogram .first() is an eager action: persist the
+        # assignment so the join below reuses it instead of running
+        # the whole Arrow encode a second time
+        asg = asg.localCheckpoint(eager=True)
         mx = (asg.groupBy("cent_id").agg(F.count("*").alias("n"))
               .agg(F.max("n").alias("m")).first()["m"]) or 0
         sub_blocks = max(1, -(-int(mx) // hot_cell_cap))

@@ -233,3 +233,90 @@ def test_merge_replace_rejects_null_update_keys(spark, tmp_path):
     got = {(r["user"], r["v"]) for r in
            spark.read.parquet(root).collect()}
     assert got == {(1, "a2"), (None, "anon")}
+
+
+def test_erase_keys_reaches_null_partition(spark, tmp_path):
+    """Doomed rows living in the NULL partition must actually be
+    erased: isin([None]) matches nothing, and the vacated-dir delete
+    must target __HIVE_DEFAULT_PARTITION__, not 'day=None'."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import erase_keys
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "d1", 10), (2, None, 20), (3, None, 30)],
+        "user long, day string, v long")
+    df.write.partitionBy("day").parquet(root)
+    out = erase_keys(spark, root, key_col="user", keys=[2],
+                     partition_col="day")
+    assert out["rows_erased"] == 1
+    got = {(r["user"], r["day"]) for r in
+           spark.read.parquet(root).collect()}
+    assert got == {(1, "d1"), (3, None)}
+    # erase the LAST null-partition row: the hive-default dir itself
+    # must be removed (a raw 'day=None' path would silently miss it)
+    erase_keys(spark, root, key_col="user", keys=[3],
+               partition_col="day")
+    import os
+    assert not os.path.isdir(
+        os.path.join(root, "day=__HIVE_DEFAULT_PARTITION__"))
+    assert {r["user"] for r in spark.read.parquet(root).collect()} \
+        == {1}
+
+
+def test_erase_keys_escaped_partition_value(spark, tmp_path):
+    """Partition values with hive-escaped characters ('a b:c' is
+    stored as 'a b%3Ac') must still be fully vacated on disk."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import erase_keys
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a b:c", 10), (2, "plain", 20)],
+                          "user long, day string, v long") \
+        .write.partitionBy("day").parquet(root)
+    erase_keys(spark, root, key_col="user", keys=[1],
+               partition_col="day")
+    import glob
+    import os
+    leftovers = [p for p in glob.glob(os.path.join(root, "day=*"))
+                 if "a b" in p]
+    assert leftovers == [], f"escaped partition dir survived: {leftovers}"
+    assert {r["user"] for r in spark.read.parquet(root).collect()} \
+        == {2}
+
+
+def test_merge_replace_handles_null_partition_move(spark, tmp_path):
+    """A matched key currently in the NULL partition moving to a real
+    partition: no TypeError from sorting None against str, the stale
+    copy is vacated, and the new row lands."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import merge_replace
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(5, None, 1), (6, "d1", 2)],
+                          "user long, day string, v long") \
+        .write.partitionBy("day").parquet(root)
+    updates = spark.createDataFrame([(5, "d2", 9)],
+                                    "user long, day string, v long")
+    out = merge_replace(spark, root, updates, key_col="user",
+                        partition_col="day")
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 0
+    got = {(r["user"], r["day"], r["v"]) for r in
+           spark.read.parquet(root).collect()}
+    assert got == {(5, "d2", 9), (6, "d1", 2)}
+
+
+def test_append_epoch_replay_across_dates_is_idempotent(spark, tmp_path):
+    """A crash-replay of the same epoch landing on a DIFFERENT
+    event_date (the Paris-midnight hole) must not duplicate the
+    epoch: the stale date's epoch directory is vacated first."""
+    from tp_airflow_gtfs_snowflake_spark.catalog import Warehouse
+    import datetime as dt
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [("t1", "r1", 0)]
+    base = spark.createDataFrame(rows,
+                                 "trip_id string, route_id string, "
+                                 "direction_id int")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    wh.append_epoch("bronze", "trip_updates_raw",
+                    base.withColumn("event_date", F.lit(d1)), 7)
+    # replay of epoch 7 after midnight: same rows, next event_date
+    wh.append_epoch("bronze", "trip_updates_raw",
+                    base.withColumn("event_date", F.lit(d2)), 7)
+    got = wh.table("bronze", "trip_updates_raw") \
+        .filter("ingest_epoch = 7").collect()
+    assert len(got) == 1 and got[0]["event_date"] == d2

@@ -148,10 +148,28 @@ class Warehouse:
         out = self._aligned(layer, name,
                             df.withColumn("ingest_epoch",
                                           F.lit(int(epoch_id)).cast("long")))
+        # Midnight-replay hole: event_date defaults to wall-clock
+        # paris_now(), so a crash-replay of epoch N after midnight
+        # writes under a DIFFERENT event_date — dynamic overwrite
+        # would then leave the first attempt's files alive and the
+        # epoch duplicated.  Drop any existing directory of THIS
+        # epoch under another event_date before writing (a bounded
+        # directory listing: dates x one subdir check).
+        table_path = self.path(layer, name)
+        if parts == ["event_date", "ingest_epoch"] \
+                and os.path.isdir(table_path):
+            for d in os.listdir(table_path):
+                if not d.startswith("event_date="):
+                    continue
+                stale = os.path.join(table_path, d,
+                                     f"ingest_epoch={int(epoch_id)}")
+                if os.path.isdir(stale):
+                    import shutil
+                    shutil.rmtree(stale)
         (out.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*parts)
-         .parquet(self.path(layer, name)))
+         .parquet(table_path))
 
     def register_views(self, prefix: str = "") -> None:
         """Register every existing table as a temp view so the SQL API
@@ -278,6 +296,45 @@ def write_zorder_layout(df: DataFrame, path: str, *,
     out.write.mode("overwrite").parquet(path)
 
 
+def _part_member(col: Column, values) -> Column:
+    """NULL-safe partition membership: `col.isin([...])` evaluates to
+    NULL (never true) for rows whose partition value is NULL, so the
+    NULL partition would silently escape every rewrite."""
+    non_null = [v for v in values if v is not None]
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        cond = cond | col.isNull()
+    return cond
+
+
+def _part_dir(spark: SparkSession, table_path: str,
+              partition_col: str, value) -> "object":
+    """Hadoop Path of a partition directory with HIVE-STYLE escaping:
+    Spark percent-encodes special characters in partition dir names
+    ('a:b' -> 'a%3Ab') and stores NULL as __HIVE_DEFAULT_PARTITION__ —
+    a raw f-string of the value targets a directory that does not
+    exist and the delete silently no-ops."""
+    jvm = spark._jvm
+    if value is None:
+        name = "__HIVE_DEFAULT_PARTITION__"
+    else:
+        name = jvm.org.apache.spark.sql.catalyst.catalog \
+            .ExternalCatalogUtils.escapePathName(str(value))
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/{partition_col}={name}")
+
+
+def _delete_vacated_partitions(spark: SparkSession, table_path: str,
+                               partition_col: str, vacated) -> None:
+    """Remove partition directories whose every row moved or was
+    erased (dynamic overwrite only rewrites partitions present in the
+    output frame)."""
+    for v in vacated:
+        path = _part_dir(spark, table_path, partition_col, v)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+
+
 def erase_keys(spark: SparkSession, table_path: str, *, key_col: str,
                keys: list, partition_col: str) -> dict:
     """Right-to-erasure (GDPR art. 17) as a SURGICAL partition
@@ -298,7 +355,7 @@ def erase_keys(spark: SparkSession, table_path: str, *, key_col: str,
                   .select(partition_col).distinct().collect())]
     if not hit_parts:
         return {"partitions_rewritten": 0, "rows_erased": 0}
-    affected = df.filter(F.col(partition_col).isin(hit_parts))
+    affected = df.filter(_part_member(F.col(partition_col), hit_parts))
     # NULL keys: `key IN (...)` is NULL for NULL keys, so a bare
     # negation would silently DROP null-keyed rows from the rewritten
     # partitions (round-3 advice).  Keep them explicitly — only rows
@@ -316,12 +373,8 @@ def erase_keys(spark: SparkSession, table_path: str, *, key_col: str,
     # or the doomed files would survive.
     still = {r[partition_col] for r in
              kept.select(partition_col).distinct().collect()}
-    jvm = spark._jvm
-    for p in set(hit_parts) - still:
-        path = jvm.org.apache.hadoop.fs.Path(
-            f"{table_path}/{partition_col}={p}")
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(path, True)
+    _delete_vacated_partitions(spark, table_path, partition_col,
+                               set(hit_parts) - still)
     return {"partitions_rewritten": len(hit_parts),
             "rows_erased": int(erased)}
 
@@ -357,20 +410,29 @@ def merge_replace(spark: SparkSession, table_path: str,
         raise ValueError(f"merge_replace: NULL {key_col!r} in updates")
     up_keys = [r[key_col] for r in
                up.select(key_col).distinct().collect()]
-    matched = {r[key_col] for r in
-               (df.filter(F.col(key_col).isin(up_keys))
-                .select(key_col).distinct().collect())}
     # touched = partitions where a matched key currently lives (the
     # delete side) + partitions the update rows land in (the write
-    # side).  One pruned scan each; both lists are batch-sized.
-    old_parts = {r[partition_col] for r in
-                 (df.filter(F.col(key_col).isin(up_keys))
-                  .select(partition_col).distinct().collect())}
+    # side).  Matched keys, their partitions, and the update count
+    # come from ONE filtered aggregation (three separate actions
+    # re-planned and re-ran the pruned scan each time); collect_set
+    # drops NULLs, so NULL-partition residency is counted explicitly.
+    m = (df.filter(F.col(key_col).isin(up_keys))
+         .agg(F.collect_set(key_col).alias("mk"),
+              F.collect_set(partition_col).alias("op"),
+              F.sum(F.when(F.col(partition_col).isNull(), 1)
+                    .otherwise(0)).alias("null_part"),
+              F.count("*").alias("nu")).first())
+    matched = set(m["mk"] or [])
+    old_parts = set(m["op"] or [])
+    if (m["null_part"] or 0) > 0:
+        old_parts.add(None)
     new_parts = {r[partition_col] for r in
                  up.select(partition_col).distinct().collect()}
-    touched = sorted(old_parts | new_parts)
-    n_updated = df.filter(F.col(key_col).isin(up_keys)).count()
-    kept = (df.filter(F.col(partition_col).isin(touched))
+    # None is not orderable against strings/dates — sort NULL first
+    touched = sorted(old_parts | new_parts,
+                     key=lambda v: (v is not None, str(v)))
+    n_updated = int(m["nu"] or 0)
+    kept = (df.filter(_part_member(F.col(partition_col), touched))
             .filter((~F.col(key_col).isin(up_keys))
                     | F.col(key_col).isNull()))
     out = kept.unionByName(up.select(*df.columns))
@@ -384,12 +446,8 @@ def merge_replace(spark: SparkSession, table_path: str,
     # present in `out`)
     still = {r[partition_col] for r in
              out.select(partition_col).distinct().collect()}
-    jvm = spark._jvm
-    for p in set(touched) - still:
-        path = jvm.org.apache.hadoop.fs.Path(
-            f"{table_path}/{partition_col}={p}")
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(path, True)
+    _delete_vacated_partitions(spark, table_path, partition_col,
+                               set(touched) - still)
     n_inserted = (up.count() if not matched
                   else up.filter(~F.col(key_col)
                                  .isin(list(matched))).count())

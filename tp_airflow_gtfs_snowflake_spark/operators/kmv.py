@@ -85,14 +85,21 @@ def kmv_partials(df: DataFrame, group_col: str, hash_col: str,
             .mapInPandas(part, f"g {g_type}, h long"))
 
 
+def kmin_merge_agg(hash_col: str, k: int) -> Column:
+    """THE canonical k-min merge aggregation (k smallest distinct
+    hashes, ascending) — shared by the batch sketch below and the
+    streaming accumulator (streaming/sketch_state.py) so the merge
+    idiom cannot drift between the two."""
+    return F.slice(F.array_sort(F.array_distinct(
+        F.collect_list(hash_col))), 1, k).alias("sketch")
+
+
 def kmv_sketch(df: DataFrame, group_col: str, hash_col: str,
                k: int = 128) -> DataFrame:
     """Merged sketch per group: ``(g, sketch array<long>)`` with the
     k smallest distinct hashes, ascending."""
     partials = kmv_partials(df, group_col, hash_col, k)
-    return (partials.groupBy("g")
-            .agg(F.slice(F.array_sort(F.array_distinct(
-                F.collect_list("h"))), 1, k).alias("sketch")))
+    return partials.groupBy("g").agg(kmin_merge_agg("h", k))
 
 
 def theta_col(sketch: Column, k: int) -> Column:

@@ -73,7 +73,11 @@ def start_bronze_ingest(spark: SparkSession, landing_dir: str, wh: Warehouse,
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
-        feed = parse_feed_json(batch_df)
+        # materialize the parsed feed ONCE: the emptiness probe plus
+        # three table writes would otherwise re-read and re-JSON-parse
+        # every snapshot file per write (4x I/O on the hot 2-minute
+        # cadence path)
+        feed = parse_feed_json(batch_df).localCheckpoint(eager=True)
         headers, stops = flatten_trip_updates(feed)
         wh.append_epoch("bronze", "trip_updates_raw", headers, epoch_id)
         wh.append_epoch("bronze", "trip_stop_times", stops, epoch_id)

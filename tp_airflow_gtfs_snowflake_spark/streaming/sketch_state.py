@@ -32,11 +32,12 @@ def merge_sketch_tables(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     """Merge two ``(g, sketch)`` tables: per group, the k smallest
     distinct hashes of the union — exactly the sketch of the unioned
     inputs (k-min of a union == k-min of the k-mins)."""
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import (
+        kmin_merge_agg)
     return (a.unionByName(b)
             .select("g", F.explode("sketch").alias("h"))
             .groupBy("g")
-            .agg(F.slice(F.array_sort(F.array_distinct(
-                F.collect_list("h"))), 1, k).alias("sketch")))
+            .agg(kmin_merge_agg("h", k)))
 
 
 def _fs(spark: SparkSession, path: str):

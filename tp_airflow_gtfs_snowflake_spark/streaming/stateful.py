@@ -97,6 +97,15 @@ def vehicle_odometer(feed_stream: DataFrame, *,
     slot: state = (n, dist, last position), updated in event order
     within each batch.  Distance is in coordinate degrees — swap in a
     haversine for meters; the state machinery is the point here.
+
+    Known limit of the one-pass state design (all pairwise-delta
+    streaming accumulators share it): a late event arriving in a
+    LATER batch — legal under the watermark — folds against the
+    already-advanced last position, so its delta is measured from
+    the newer point rather than its true neighbors.  Within a batch,
+    rows are sorted by event time first; exact late-data reordering
+    needs a buffer-until-watermark design (the session_window /
+    watermarked-aggregation route) rather than per-row folding.
     """
 
     def update(key: tuple[str], pdfs: Iterator[pd.DataFrame],
@@ -200,6 +209,16 @@ def timed_out_sessions(feed_stream: DataFrame, *,
     transformWithState timers (streaming/tws.py) are the Spark-4
     successor of this shape; this form executes without the protobuf
     runtime dependency.
+
+    Known limit (shared by every eager-emission GroupState
+    sessionizer): a session closed by an IN-BATCH gap is emitted
+    immediately, so a late event that would have bridged that gap —
+    arriving in a later batch but inside the watermark — starts a
+    new session instead of extending the emitted one (a split pair
+    where ground truth is one session).  Emission is still
+    exactly-once per detected session; if bridged-gap exactness
+    matters more than eager output, use the built-in session_window
+    aggregation, which buffers until the watermark before emitting.
     """
 
     def fn(key: tuple[str], pdfs: Iterator[pd.DataFrame],

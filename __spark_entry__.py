@@ -70,43 +70,59 @@ _DRIVER_VERIFIED = [
     # rows-only (no_oracle) in r03 -- already driver-exercised, rotate back
     "b23_approx_sketches", "c06f_minhash_neardup_fast",
     "c07f_simhash_neardup_fast", "c18_kmeans_ivf_ann",
+    # --- r04 greens (CORRECTNESS_r04.json: 49 hash_match; c32 rows-only) ---
+    "c104_pagerank_int", "c105_bigram_lm_score", "b121_ohlc_candles",
+    "c106_link_prediction", "b122_kmv_difference_estimate",
+    "c108_ngram_novelty", "b123_spearman_corr", "c109_blocklist_gate",
+    "b124_ab_proportion_test", "c110_recsys_eval",
+    "c111_offpolicy_ips_eval", "b125_cuped_adjustment",
+    "b126_mad_outliers", "c112_kcore_peeling", "b127_rfm_segmentation",
+    "b128_peak_concurrency", "b129_price_volume_bridge",
+    "b130_cohort_ltv", "c113_neardup_evidence", "b131_seasonal_index",
+    "c05e_real_image_decode", "c26c_pq_adc_int",
+    "c64b_source_overlap_sketched", "c38_heavy_hitters",
+    "b47_equidepth_histogram", "b106_skyline_docs",
+    "b107_pps_systematic_sample", "b111_lateral_topk_orders",
+    "c95_contamination_13gram", "c96_source_score_normalize",
+    "c98_triangle_count", "b117_position_attribution",
+    "c100_dedup_method_agreement", "c101_embedding_drift_audit",
+    "c102_exact_substring_spans", "b118_nearest_within_radius",
+    "c103_vocab_overlap_matrix", "b119_seasonal_naive_eval",
+    "b120_dow_median_baseline", "q11_important_stock",
+    "q16_supplier_cnt", "q20_excess_inventory", "c19_dup_components",
+    "c19b_component_dedup", "c37_dup_cluster_sizes",
+    "c42_leakage_free_split", "c49_quality_canonical_dedup",
+    "c93_component_density_audit", "c32_pagerank_centrality",
 ]
 
 
 # Queries ADDED this round go first inside the unverified window:
 # driver hash rows on brand-new code are worth more than on queries
-# already green in the local mirror for several rounds.
+# already green in the local mirror for several rounds.  Also holds
+# previously-green names whose implementation changed after their
+# last driver row (r05: b102/b103/b122 — the r04 kmv hardening).
 _NEW_THIS_ROUND = [
-    "c104_pagerank_int", "c105_bigram_lm_score",
-    "b121_ohlc_candles", "c106_link_prediction",
-    "b122_kmv_difference_estimate", "c108_ngram_novelty",
-    "b123_spearman_corr", "c109_blocklist_gate",
-    "b124_ab_proportion_test", "c110_recsys_eval",
-    "c111_offpolicy_ips_eval", "b125_cuped_adjustment",
-    "b126_mad_outliers", "c112_kcore_peeling",
-    "b127_rfm_segmentation", "b128_peak_concurrency",
-    "b129_price_volume_bridge", "b130_cohort_ltv",
-    "c113_neardup_evidence", "b131_seasonal_index",
-    "c05e_real_image_decode", "c26c_pq_adc_int",
-    "c64b_source_overlap_sketched", "c38_heavy_hitters",
-    "c06f_minhash_neardup_fast", "b47_equidepth_histogram",
-    "b106_skyline_docs", "b107_pps_systematic_sample",
-    "b111_lateral_topk_orders", "c95_contamination_13gram",
-    "c96_source_score_normalize", "c98_triangle_count",
-    "b117_position_attribution", "c100_dedup_method_agreement",
-    "c101_embedding_drift_audit", "c102_exact_substring_spans",
-    "b118_nearest_within_radius", "c103_vocab_overlap_matrix",
-    "b119_seasonal_naive_eval", "b120_dow_median_baseline",
+    "b102_kmv_distinct_estimate", "b103_kmv_intersection_estimate",
+    "b122_kmv_difference_estimate",
 ]
 
 
 def _rotated(d: dict) -> dict:
+    """Order the registry so the driver's ~50-slot correctness window
+    lands on maximal hard signal: new/changed code first, then
+    never-driver-checked names in registry order, then rows-only
+    (no-oracle) names — which can never produce a green hash row and
+    must not burn window slots — and finally already-verified names.
+    """
+    oracled = set(_dq.oracle_sql())
     seen = set(_DRIVER_VERIFIED)
-    prio = {k: d[k] for k in _NEW_THIS_ROUND if k in d}
+    prio = {k: d[k] for k in _NEW_THIS_ROUND if k in d and k in oracled}
     front = {k: v for k, v in d.items()
-             if k not in seen and k not in prio}
+             if k not in seen and k not in prio and k in oracled}
+    rows_only = {k: v for k, v in d.items()
+                 if k not in seen and k not in prio and k not in oracled}
     back = {k: v for k, v in d.items() if k in seen and k not in prio}
-    return {**prio, **front, **back}
+    return {**prio, **front, **rows_only, **back}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -312,3 +312,83 @@ def test_stream_max_files_per_batch_caps_progress(spark, tmp_path):
     batch = [os.path.basename(p.filepath)
              for p in r.partitions(o1, o2)]
     assert batch == ["vp_202401010005.json", "vp_202401010006.json"]
+
+
+def test_stream_offset_never_regresses_below_committed(spark, tmp_path):
+    """ADVICE r04: after a restart (fresh reader, _floor=None) an
+    emptied or retention-pruned landing dir must not make latestOffset
+    report an offset BELOW the checkpointed watermark — Spark would
+    commit the lower offset and still-present older files would be
+    re-emitted as duplicates on later triggers."""
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources.py_datasource import (
+        GtfsRtSnapshotStreamReader)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "vp_202401010005.json").write_text("{}")
+    committed = {"last": "vp_202401010005.json"}
+
+    # restart: fresh reader; retention deleted the newest file so the
+    # listing's max is now BELOW the committed watermark
+    r = GtfsRtSnapshotStreamReader({"path": str(land)})
+    # Spark replans the restart batch first: partitions(committed, ...)
+    # must seed the floor from the checkpointed start
+    r.partitions(committed, committed)
+    os.remove(land / "vp_202401010005.json")
+    (land / "vp_202401010001.json").write_text("{}")  # older name
+    o = r.latestOffset()
+    assert o["last"] >= committed["last"]
+    # and the older still-present file is never re-admitted
+    assert r.partitions(committed, o) == []
+
+    # same with an EMPTY dir
+    os.remove(land / "vp_202401010001.json")
+    assert r.latestOffset()["last"] == committed["last"]
+
+
+def test_export_commit_collision_retries_next_version(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r04: two concurrent jobs committing to the same export
+    dir must not both allocate _MANIFEST.v{N} (the loser's snapshot —
+    and in append mode its rows — silently vanished from the lineage).
+    The exclusive-link claim makes the loser retry with N+1 and
+    re-merge the winner's manifest."""
+    import json
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.sources import py_datasource as pd_
+    from tp_airflow_gtfs_snowflake_spark.sources.py_datasource import (
+        SnapshotExportWriter, _ExportCommit)
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    # v1: the base snapshot
+    w1 = SnapshotExportWriter({"path": out})
+    open(os.path.join(out, "part-a.jsonl"), "w").write("{}\n")
+    w1.commit([_ExportCommit("part-a.jsonl", 1)])
+    assert pd_.latest_export_version(out) == 1
+
+    # appender B reads latest=1, then a concurrent writer lands v2
+    # before B links its manifest.  Simulate the race by pinning B's
+    # view of latest_export_version to the stale value.
+    open(os.path.join(out, "part-c.jsonl"), "w").write("{}\n")
+    json.dump({"version": 2, "files": ["part-a.jsonl", "part-c.jsonl"],
+               "n_rows": 2},
+              open(os.path.join(out, "_MANIFEST.v2"), "w"))
+    monkeypatch.setattr(pd_, "latest_export_version", lambda p: 1)
+
+    open(os.path.join(out, "part-b.jsonl"), "w").write("{}\n{}\n")
+    wb = SnapshotExportWriter({"path": out}, overwrite=False)
+    wb.commit([_ExportCommit("part-b.jsonl", 2)])
+
+    monkeypatch.undo()
+    assert pd_.latest_export_version(out) == 3
+    m3 = pd_.load_export_manifest(out, 3)
+    # the loser re-merged the winner's v2 file list: nothing lost
+    assert m3["files"] == ["part-a.jsonl", "part-b.jsonl", "part-c.jsonl"]
+    assert m3["n_rows"] == 4
+    # the concurrent winner's snapshot is untouched
+    assert pd_.load_export_manifest(out, 2)["files"] == [
+        "part-a.jsonl", "part-c.jsonl"]

@@ -621,3 +621,23 @@ def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
     # keep_ppm per row is internally consistent
     for r in got.collect():
         assert r["keep_ppm"] == r["n_keep"] * 1_000_000 // r["n_docs"]
+
+
+def test_quality_monitor_skips_empty_batches(spark, tmp_path):
+    """ADVICE r04: an empty micro-batch must not write an
+    n_docs=0 / keep_ppm=NULL row into the monitor table."""
+    import os
+
+    from tp_airflow_gtfs_snowflake_spark.streaming.quality_gate import (
+        write_quality_stats_epoch)
+
+    monitor = str(tmp_path / "monitor")
+    docs = spark.createDataFrame(
+        [("the quick brown fox " * 20,)], "text string")
+    write_quality_stats_epoch(docs, 0, monitor)
+    write_quality_stats_epoch(docs.limit(0), 1, monitor)  # empty batch
+    got = spark.read.parquet(monitor)
+    assert got.count() == 1
+    row = got.collect()[0]
+    assert row["ingest_epoch"] == 0
+    assert row["keep_ppm"] is not None and row["n_tokens"] is not None

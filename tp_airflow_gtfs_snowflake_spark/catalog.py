@@ -154,18 +154,25 @@ class Warehouse:
         # would then leave the first attempt's files alive and the
         # epoch duplicated.  Drop any existing directory of THIS
         # epoch under another event_date before writing (a bounded
-        # directory listing: dates x one subdir check).
+        # directory listing: dates x one subdir check).  Goes through
+        # the Hadoop FileSystem API (like _delete_vacated_partitions)
+        # so the replay guarantee holds on any table path scheme, not
+        # just the local filesystem.
         table_path = self.path(layer, name)
-        if parts == ["event_date", "ingest_epoch"] \
-                and os.path.isdir(table_path):
-            for d in os.listdir(table_path):
-                if not d.startswith("event_date="):
-                    continue
-                stale = os.path.join(table_path, d,
-                                     f"ingest_epoch={int(epoch_id)}")
-                if os.path.isdir(stale):
-                    import shutil
-                    shutil.rmtree(stale)
+        if parts == ["event_date", "ingest_epoch"]:
+            spark = out.sparkSession
+            jvm = spark._jvm
+            root = jvm.org.apache.hadoop.fs.Path(table_path)
+            fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(root):
+                for st in fs.listStatus(root):
+                    if not st.isDirectory() or not \
+                            st.getPath().getName().startswith("event_date="):
+                        continue
+                    stale = jvm.org.apache.hadoop.fs.Path(
+                        st.getPath(), f"ingest_epoch={int(epoch_id)}")
+                    if fs.exists(stale):
+                        fs.delete(stale, True)
         (out.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*parts)

@@ -98,20 +98,29 @@ class GtfsRtSnapshotStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def latestOffset(self) -> dict:
+        # Never report an offset below the highest name already
+        # planned/committed: after a restart a retention-pruned (or
+        # emptied) landing dir would otherwise regress the offset
+        # below the checkpoint, and Spark committing that lower
+        # offset re-admits still-present older files as duplicates.
+        floor = self._floor or ""
         names = [os.path.basename(f)
                  for f in _list_snapshots(self.path, self.suffix)]
         if not names:
-            return {"last": self._floor or ""}
+            return {"last": floor}
         if self.max_files is not None and self._floor is not None:
-            pending = [n for n in names if n > self._floor]
+            pending = [n for n in names if n > floor]
             if pending:
                 return {"last": pending[:self.max_files][-1]}
-            return {"last": self._floor}
-        return {"last": names[-1]}
+            return {"last": floor}
+        return {"last": max(names[-1], floor)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["last"], end["last"]
-        self._floor = max(self._floor or "", hi)
+        # seed the floor from the checkpointed start too: on restart
+        # this is the first place the reader sees the committed
+        # watermark, and it must cap every later latestOffset().
+        self._floor = max(self._floor or "", lo, hi)
         files = _list_snapshots(self.path, self.suffix)
         return [_SnapshotPartition(f) for f in files
                 if lo < os.path.basename(f) <= hi]
@@ -190,31 +199,50 @@ class SnapshotExportWriter(DataSourceWriter):
         # instead; the guard also protects abort-after-partial-commit
         # interleavings).
         msgs = [m for m in messages if m is not None]
-        prev_version = latest_export_version(self.path)
-        files = sorted(m.filename for m in msgs)
-        n_rows = sum(m.n_rows for m in msgs)
-        if not self.overwrite and prev_version > 0:
-            # true append: the new snapshot's visibility = previous
-            # snapshot's files plus this job's parts
-            prev = load_export_manifest(self.path, prev_version)
-            files = sorted(set(prev["files"]) | set(files))
-            n_rows += prev["n_rows"]
-        version = prev_version + 1
-        manifest = {"version": version, "files": files, "n_rows": n_rows}
-        body = _json.dumps(manifest)
-        # two atomic renames: the versioned manifest is the durable
-        # snapshot record, _MANIFEST a best-effort latest pointer for
-        # pre-versioning consumers (readers and vacuum resolve
-        # 'latest' from the versioned files, so a crash between the
-        # renames cannot strand the pointer on vacuumed files).  Old
-        # part files are never touched — visibility is defined
-        # entirely by manifests (MVCC-style), which is what makes
-        # time travel and concurrent readers safe under overwrite.
-        for name in (f"_MANIFEST.v{version}", "_MANIFEST"):
-            tmp = os.path.join(self.path, "." + name + ".tmp")
+        own_files = sorted(m.filename for m in msgs)
+        own_rows = sum(m.n_rows for m in msgs)
+
+        def _snapshot(version: int) -> str:
+            files, n_rows = own_files, own_rows
+            if not self.overwrite and version > 1:
+                # true append: the new snapshot's visibility = previous
+                # snapshot's files plus this job's parts
+                prev = load_export_manifest(self.path, version - 1)
+                files = sorted(set(prev["files"]) | set(files))
+                n_rows += prev["n_rows"]
+            return _json.dumps(
+                {"version": version, "files": files, "n_rows": n_rows})
+
+        # The versioned manifest is the durable snapshot record.  It
+        # is claimed with an EXCLUSIVE link (os.link fails with EEXIST
+        # if the version exists) of a fully-written tmp file, so two
+        # concurrent writers to the same export dir can never both
+        # land on _MANIFEST.v{N}: the loser re-reads the winner's
+        # manifest (re-merging it in append mode, so its rows are not
+        # lost from the lineage) and retries with N+1.  Old part files
+        # are never touched — visibility is defined entirely by
+        # manifests (MVCC-style), which is what makes time travel and
+        # concurrent readers safe under overwrite.
+        version = latest_export_version(self.path) + 1
+        tmp = os.path.join(self.path, f".manifest-commit-{os.getpid()}.tmp")
+        while True:
             with open(tmp, "w", encoding="utf-8") as fh:
-                fh.write(body)
-            os.rename(tmp, os.path.join(self.path, name))
+                fh.write(_snapshot(version))
+            target = os.path.join(self.path, f"_MANIFEST.v{version}")
+            try:
+                os.link(tmp, target)
+                break
+            except FileExistsError:
+                version += 1
+        os.remove(tmp)
+        # _MANIFEST is a best-effort latest pointer for pre-versioning
+        # consumers (readers and vacuum resolve 'latest' from the
+        # versioned files, so a crash before this rename cannot strand
+        # the pointer on vacuumed files).
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(_snapshot(version))
+        os.rename(tmp, os.path.join(self.path, "_MANIFEST"))
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -57,6 +57,23 @@ def batch_quality_stats(batch: DataFrame) -> DataFrame:
         F.sum("n_words").cast("long").alias("n_tokens"))
 
 
+def write_quality_stats_epoch(batch: DataFrame, batch_id: int,
+                              monitor_dir: str) -> None:
+    """One micro-batch of the quality monitor: append the stats row
+    under its epoch partition (idempotent replay).  Empty micro-batches
+    are skipped — they would write n_docs=0 rows whose
+    keep_ppm/n_keep/n_tokens aggregates are NULL, noise for every
+    downstream trend consumer of the monitor table."""
+    if not batch.head(1):
+        return
+    row = batch_quality_stats(batch).withColumn(
+        "ingest_epoch", F.lit(int(batch_id)).cast("long"))
+    (row.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_epoch")
+     .parquet(monitor_dir))
+
+
 def start_quality_monitor(spark: SparkSession, doc_stream: DataFrame, *,
                           monitor_dir: str, checkpoint_dir: str,
                           available_now: bool = False) -> StreamingQuery:
@@ -65,12 +82,7 @@ def start_quality_monitor(spark: SparkSession, doc_stream: DataFrame, *,
     batch epoch for idempotent replay."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        row = batch_quality_stats(batch).withColumn(
-            "ingest_epoch", F.lit(int(batch_id)).cast("long"))
-        (row.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("ingest_epoch")
-         .parquet(monitor_dir))
+        write_quality_stats_epoch(batch, batch_id, monitor_dir)
 
     writer = doc_stream.writeStream.foreachBatch(write) \
         .option("checkpointLocation", checkpoint_dir)

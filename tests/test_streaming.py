@@ -641,3 +641,20 @@ def test_quality_monitor_skips_empty_batches(spark, tmp_path):
     row = got.collect()[0]
     assert row["ingest_epoch"] == 0
     assert row["keep_ppm"] is not None and row["n_tokens"] is not None
+
+
+def test_merge_gap_intervals_shared_helper():
+    """The extracted gap-merge used by both timeout sessionizers:
+    adjacency at exactly the gap merges, one past it splits; counts
+    accumulate; input order does not matter."""
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        _merge_gap_intervals)
+
+    iv = [[100, 110, 2], [110 + 30, 110 + 30, 1],  # == gap: merge
+          [200, 200, 1], [171, 171, 1]]            # 171 -> 140+30+1: split
+    got = _merge_gap_intervals(iv, 30)
+    assert got == [[100, 140, 3], [171, 200, 2]]
+    # order-insensitive and input not mutated
+    assert _merge_gap_intervals(list(reversed(iv)), 30) == got
+    assert iv[0] == [100, 110, 2]
+    assert _merge_gap_intervals([], 30) == []

@@ -1,7 +1,7 @@
 """Round-8 registry additions: hard driver signal for the streaming
 path (r04 verdict item 4).
 
-Both queries here actually RUN Structured Streaming micro-batches
+The queries here actually RUN Structured Streaming micro-batches
 inside the driver's correctness gate and oracle the *final
 materialized state* — so the green row depends on checkpoint-correct
 ingestion, not just on batch plan parity:
@@ -20,6 +20,11 @@ ingestion, not just on batch plan parity:
   state must equal the batch sketch of ALL data seen — merge loss,
   version-publish bugs, or replay drift all change the k-th smallest
   hash and flip the hash row.
+- b136 drives the applyInPandasWithState + EventTimeTimeout session
+  operator (streaming/stateful.py:timed_out_user_sessions) across a
+  checkpoint restart and sentinel-advanced watermark, oracled against
+  the batch gaps-and-islands spec — the stateful operator and its
+  timer semantics get a hash row, not just pytest.
 
 Reference parity: the reference ingests GTFS-RT micro-batches on a
 2-minute cadence into Snowflake tables (dags/gtfs_rt_minutely.py) and
@@ -184,3 +189,100 @@ def b135_streaming_kmv_state(spark: SparkSession,
             .select("g", "n_exact",
                     F.col("est").cast("long").alias("est"), "err_ppm")
             .orderBy("g"))
+
+
+@_register(
+    "b136_streaming_session_close",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, session_id
+    """,
+    "STATEFUL streaming sessionization (applyInPandasWithState + "
+    "EventTimeTimeout timers, streaming/stateful.py:"
+    "timed_out_user_sessions) driven to completion inside the driver "
+    "slot and value-oracled against the batch gaps-and-islands spec "
+    "(b29's oracle verbatim).  events lands in two event-time-ordered "
+    "phases; the second run RESTARTS from the first's checkpoint "
+    "(state-store recovery), then two sentinel batches advance the "
+    "watermark so every trailing open session is closed by its timer "
+    "(timers fire one batch after the watermark passes).  In-order "
+    "batches make eager emission exactly equal the batch spec, so any "
+    "state-carry loss, timer miss, or double emission flips the hash. "
+    "Exercises the exactly-once streaming file sink (_spark_metadata "
+    "commit log) as the output path.",
+)
+def b136_streaming_session_close(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        timed_out_user_sessions)
+
+    GAP_US = 1_800_000_000  # 30 min, matches the b29 batch spec
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    mid = (lo + hi) // 2
+    base = tempfile.mkdtemp(prefix="b136_sessions_")
+    landing = f"{base}/landing"
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+    us = F.unix_micros("ts")
+    (ev.filter(us < mid).repartition(2).write.parquet(landing))
+
+    def start():
+        stream = (spark.readStream.schema(ev.schema).parquet(landing))
+        sessions = timed_out_user_sessions(
+            stream, gap_seconds=1800, watermark="1 second")
+        return (sessions.writeStream.outputMode("append")
+                .format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt))
+
+    # run 1: phase-1 batch under availableNow, then stop (checkpoint
+    # holds the per-user open-session state)
+    q = start().trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # run 2: restart from the checkpoint; each drop is one in-order
+    # micro-batch.  The two sentinel batches (a lone user -1 far past
+    # max+gap) advance the watermark and then fire the timers; the
+    # sentinel's own session stays open and is never emitted.
+    q = start().start()
+    (ev.filter(us >= mid).repartition(2)
+     .write.mode("append").parquet(landing))
+    q.processAllAvailable()
+    for off in (GAP_US + 100_000_000, GAP_US + 110_000_000):
+        (spark.range(1)
+         .select(F.lit(-1).cast("long").alias("user_id"),
+                 F.timestamp_micros(F.lit(hi + off)).alias("ts"))
+         .write.mode("append").parquet(landing))
+        q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+    sid = F.row_number().over(
+        W.partitionBy("user_id").orderBy("session_start_us"))
+    return out.select("user_id",
+                      sid.cast("long").alias("session_id"),
+                      "session_start_us", "session_end_us",
+                      "n_events")

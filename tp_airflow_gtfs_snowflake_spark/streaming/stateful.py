@@ -175,6 +175,23 @@ def trip_position_attribution(feed_stream: DataFrame, *,
                     .alias("l1_move")))
 
 
+def _merge_gap_intervals(intervals: list[list[int]],
+                         gap: int) -> list[list[int]]:
+    """Merge ``[start, end, count]`` intervals whose gap to the
+    previous merged interval is <= ``gap`` (all in one time unit).
+    Shared by the vehicle- and user-keyed timeout sessionizers so the
+    gap semantics cannot drift between them."""
+    intervals = sorted(intervals, key=lambda iv: iv[0])
+    merged: list[list[int]] = []
+    for iv in intervals:
+        if merged and iv[0] - merged[-1][1] <= gap:
+            merged[-1][1] = max(merged[-1][1], iv[1])
+            merged[-1][2] += iv[2]
+        else:
+            merged.append(list(iv))
+    return merged
+
+
 _TIMEOUT_SESSION_STATE = StructType([
     StructField("start_epoch", LongType()),
     StructField("end_epoch", LongType()),
@@ -248,14 +265,7 @@ def timed_out_sessions(feed_stream: DataFrame, *,
             if len(pdf):
                 epochs.extend(int(x) for x in pdf["timestamp_epoch"])
         intervals.extend([e, e, 1] for e in sorted(epochs))
-        intervals.sort(key=lambda iv: iv[0])
-        merged: list[list[int]] = []
-        for iv in intervals:
-            if merged and iv[0] - merged[-1][1] <= gap_seconds:
-                merged[-1][1] = max(merged[-1][1], iv[1])
-                merged[-1][2] += iv[2]
-            else:
-                merged.append(iv)
+        merged = _merge_gap_intervals(intervals, gap_seconds)
         if not merged:
             return
         *closed, (start, end, n) = merged
@@ -274,4 +284,81 @@ def timed_out_sessions(feed_stream: DataFrame, *,
             .groupBy("vehicle_id")
             .applyInPandasWithState(
                 fn, TIMEOUT_SESSION_SCHEMA, _TIMEOUT_SESSION_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+USER_SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_us", LongType()),
+    StructField("session_end_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+_USER_SESSION_STATE = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def timed_out_user_sessions(events_stream: DataFrame, *,
+                            gap_seconds: int = 1800,
+                            watermark: str = "1 second") -> DataFrame:
+    """The user-keyed twin of :func:`timed_out_sessions` over a
+    generic ``(user_id long, ts timestamp)`` event stream — timer-
+    driven gap sessionization via applyInPandasWithState with
+    EventTimeTimeout, microsecond precision (so its output is
+    comparable against the batch gaps-and-islands spec, b29).
+
+    Same contract and the same known limit as the vehicle variant:
+    sessions closed by in-batch data are emitted eagerly and exactly
+    once; the trailing open session per key is emitted when the
+    watermark passes ``end + gap`` (which needs a later batch to
+    advance the watermark, then one more batch to run the timers).
+    When batches arrive in event-time order the emitted session set
+    equals the batch gaps-and-islands sessionization exactly.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: tuple[int], pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": key[0],
+                                 "session_start_us": start,
+                                 "session_end_us": end,
+                                 "n_events": n}])
+            return
+        intervals: list[list[int]] = []
+        if state.exists:
+            s0, e0, n0 = state.get
+            intervals.append([s0, e0, n0])
+        epochs: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                epochs.extend(int(x) for x in pdf["ts_us"])
+        intervals.extend([e, e, 1] for e in sorted(epochs))
+        merged = _merge_gap_intervals(intervals, gap_us)
+        if not merged:
+            return
+        *closed, (start, end, n) = merged
+        if closed:
+            yield pd.DataFrame(
+                [{"user_id": key[0], "session_start_us": s,
+                  "session_end_us": e, "n_events": c}
+                 for s, e, c in closed])
+        state.update((start, end, n))
+        # timers are millisecond-granular; round the expiry UP so it
+        # never fires a microsecond-fraction early
+        state.setTimeoutTimestamp(-(-(end + gap_us) // 1000))
+
+    rows = events_stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"))
+    return (rows.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, USER_SESSION_SCHEMA, _USER_SESSION_STATE,
                 "append", GroupStateTimeout.EventTimeTimeout))

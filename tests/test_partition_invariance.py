@@ -45,6 +45,11 @@ def spark7(spark):
 _EXTRA_INVARIANCE = [
     "b132_interval_union_utilization", "c114_dedup_mixture_shift",
     "b133_neyman_allocation",
+    # r05 batch additions (window slots reserved for the never-checked
+    # backlog; these wait their registry-order turn)
+    "c115_bm25_retrieval", "c116_markov_stationary_int",
+    "c118_pass_at_k", "b137_theil_sen_slope", "b138_l_diversity",
+    "c119_modularity_int",
 ]
 
 

@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 from tp_airflow_gtfs_snowflake_spark.operators import kmv as _kmv
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
     _register, _t)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
+    _EDGES_SQL)
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round6 import (
     _KMV_SPACE, _KMV_VALS_SQL, _kmv_user_day_hashes)
 from tp_airflow_gtfs_snowflake_spark.streaming.sketch_state import (
@@ -286,3 +288,427 @@ def b136_streaming_session_close(spark: SparkSession,
                       sid.cast("long").alias("session_id"),
                       "session_start_us", "session_end_us",
                       "n_events")
+
+
+# ---------------------------------------------------------------------
+# Batch additions beyond the streaming tier: retrieval, graph quality,
+# robust statistics, privacy, and LLM-eval metrics.
+# ---------------------------------------------------------------------
+
+_BM25_TERMS = ("query", "merge", "vector", "hash")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_register(
+    "c115_bm25_retrieval",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS tk
+      FROM documents
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(tk)) AS BIGINT) * 1000 // count(*) AS avgdl_m
+      FROM tk
+    ), tf AS (
+      SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+      WHERE t IN ({_BM25_IN})
+      GROUP BY doc_id, t
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             (2 * (st.n_docs - df) + 1) * 1000000 // (2 * df + 1)
+               AS idf_ppm
+      FROM dfq, st
+    ), dl AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) * 1000 AS dl_m FROM tk
+    )
+    SELECT doc_id,
+           CAST(sum(idf_ppm * (44 * avgdl_m * tf)
+                    // (20 * avgdl_m * tf + 6 * avgdl_m + 18 * dl_m))
+                AS BIGINT) AS score_ppm,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st
+    GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id LIMIT 20
+    """,
+    "LLM-retrieval: BM25 top-20 over the documents table in EXACT "
+    "integer arithmetic — k1=1.2, b=0.75 cleared of floats by "
+    "multiplying the per-term weight through by 20*avgdl (milli-"
+    "scaled lengths), and a log-free odds IDF "
+    "((N-df+0.5)/(df+0.5) as integer ppm; rank-equivalent to the "
+    "Robertson log form since log is monotone).  Tokenize once, one "
+    "explode restricted to the query terms, corpus stats as a 1-row "
+    "broadcast, df/idf as a |terms|-row broadcast, TakeOrdered "
+    "top-k — at 100 TB the only wide op is the (doc,term) count "
+    "over rows that actually contain a query term.",
+)
+def c115_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", T.tokens(F.col("text")).alias("tk"))
+    st = tk.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(size(tk)) AS BIGINT) * 1000 div count(*)")
+        .alias("avgdl_m"))
+    base = tk.select(
+        "doc_id",
+        (F.size("tk").cast("long") * 1000).alias("dl_m"),
+        F.explode("tk").alias("term"))
+    tf = (base.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "dl_m", "term")
+          .agg(F.count("*").cast("long").alias("tf")))
+    idf = (tf.groupBy("term")
+           .agg(F.count("*").cast("long").alias("df"))
+           .crossJoin(F.broadcast(st))
+           .select("term",
+                   F.expr("(2 * (n_docs - df) + 1) * 1000000 "
+                          "div (2 * df + 1)").alias("idf_ppm")))
+    scored = (tf.join(F.broadcast(idf), "term")
+              .crossJoin(F.broadcast(st))
+              .withColumn(
+                  "w",
+                  F.expr("idf_ppm * (44 * avgdl_m * tf) "
+                         "div (20 * avgdl_m * tf + 6 * avgdl_m "
+                         "+ 18 * dl_m)")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("w").cast("long").alias("score_ppm"),
+                 F.count("*").cast("long").alias("n_terms"))
+            .orderBy(F.desc("score_ppm"), "doc_id").limit(20))
+
+
+_MKV_TRANS_SQL = """
+    s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), tr AS (
+      SELECT event_type AS f, next_type AS t, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), outd AS (SELECT f, sum(n) AS outn FROM tr GROUP BY f),
+    states AS (SELECT DISTINCT event_type AS st FROM events),
+    p0 AS (
+      SELECT st, 1000000000000 // (SELECT count(*) FROM states) AS pi
+      FROM states)"""
+
+
+def _mkv_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT s.st, CAST(coalesce(x.s, 0) AS BIGINT) AS pi
+      FROM states s LEFT JOIN (
+        SELECT tr.t AS st, sum(p.pi * tr.n // o.outn) AS s
+        FROM tr JOIN {prev} p ON p.st = tr.f
+                JOIN outd o ON o.f = tr.f
+        GROUP BY tr.t) x ON x.st = s.st)"""
+
+
+@_register(
+    "c116_markov_stationary_int",
+    f"""
+    WITH {_MKV_TRANS_SQL},
+    {_mkv_iter('p0', 'p1')},
+    {_mkv_iter('p1', 'p2')},
+    {_mkv_iter('p2', 'p3')}
+    SELECT st AS event_type, CAST(pi AS BIGINT) AS pi_ppt
+    FROM p3 ORDER BY st
+    """,
+    "Markov-chain stationary distribution by integer power iteration "
+    "over the b45 transition matrix: pi_{{t+1}}(j) = sum_i pi_t(i) * "
+    "n(i,j) div out(i), three rounds from uniform, parts-per-trillion "
+    "scale so three truncating divisions keep 6+ significant digits.  "
+    "Same fixed-round value-hash discipline as c104 integer PageRank "
+    "(the oracle unrolls the rounds as chained CTEs); the full-data "
+    "work is ONE user-ordered sequence window + one (from,to) "
+    "aggregate — iteration runs on the |states|^2 matrix, which is "
+    "broadcast-sized at any corpus scale.",
+)
+def c116_markov_stationary_int(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lead("event_type").over(w).alias("next_type"))
+    tr = (s.filter(F.col("next_type").isNotNull())
+          .groupBy(F.col("event_type").alias("f"),
+                   F.col("next_type").alias("t"))
+          .agg(F.count("*").cast("long").alias("n"))
+          .localCheckpoint(eager=True))
+    outd = tr.groupBy("f").agg(F.sum("n").alias("outn"))
+    states = ev.select(F.col("event_type").alias("st")).distinct() \
+        .localCheckpoint(eager=True)
+    n_states = states.count()
+    pi = states.select(
+        "st", F.lit(1_000_000_000_000 // n_states).alias("pi"))
+    edges = tr.join(outd, "f")
+    for _ in range(3):
+        flow = (edges.join(pi.withColumnRenamed("st", "f"), "f")
+                .select(F.col("t").alias("st"),
+                        F.expr("pi * n div outn").alias("contrib"))
+                .groupBy("st").agg(F.sum("contrib").alias("s")))
+        pi = (states.join(flow, "st", "left")
+              .select("st", F.coalesce("s", F.lit(0)).cast("long")
+                      .alias("pi")))
+    return pi.select(F.col("st").alias("event_type"),
+                     F.col("pi").cast("long").alias("pi_ppt")) \
+        .orderBy("event_type")
+
+
+@_register(
+    "c118_pass_at_k",
+    """
+    WITH t AS (
+      SELECT l_partkey AS task,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ), p AS (
+      SELECT task, n, c,
+             c * 1000000 // n AS pass1_ppm,
+             CASE WHEN n - c < 5 THEN 1000000
+                  ELSE 1000000
+                    - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
+                       * 1000000)
+                      // (n * (n-1) * (n-2) * (n-3) * (n-4))
+             END AS pass5_ppm
+      FROM t WHERE n >= 5
+    )
+    SELECT pt.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(sum(p.pass1_ppm) // count(*) AS BIGINT)
+             AS mean_pass1_ppm,
+           CAST(sum(p.pass5_ppm) // count(*) AS BIGINT)
+             AS mean_pass5_ppm
+    FROM p JOIN part pt ON pt.p_partkey = p.task
+    GROUP BY pt.p_brand ORDER BY brand
+    """,
+    "LLM-eval: the unbiased pass@k estimator (Chen et al. HumanEval: "
+    "pass@k = 1 - C(n-c,k)/C(n,k)) in EXACT integer arithmetic — for "
+    "fixed k=5 the binomial ratio telescopes to a 5-term falling-"
+    "factorial product, so no floats and no log-gamma.  Tasks are "
+    "parts, samples their lineitems, 'correct' = returned; per-task "
+    "one aggregate row, per-brand means by integer division, dim "
+    "join broadcast.  The per-task (n, c) aggregate is the only "
+    "full-data pass at 100 TB.",
+)
+def c118_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    t = (li.groupBy(F.col("l_partkey").alias("task"))
+         .agg(F.count("*").cast("long").alias("n"),
+              F.sum(F.when(F.col("l_returnflag") == "R", 1)
+                    .otherwise(0)).cast("long").alias("c"))
+         .filter(F.col("n") >= 5))
+    p = t.select(
+        "task", "n", "c",
+        F.expr("c * 1000000 div n").alias("pass1_ppm"),
+        F.expr("""
+          CASE WHEN n - c < 5 THEN 1000000
+               ELSE 1000000
+                 - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
+                    * 1000000)
+                   div (n * (n-1) * (n-2) * (n-3) * (n-4))
+          END""").alias("pass5_ppm"))
+    return (p.join(F.broadcast(pt),
+                   p["task"] == pt["p_partkey"])
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").cast("long").alias("n_tasks"),
+                 F.expr("sum(pass1_ppm) div count(*)").cast("long")
+                 .alias("mean_pass1_ppm"),
+                 F.expr("sum(pass5_ppm) div count(*)").cast("long")
+                 .alias("mean_pass5_ppm"))
+            .orderBy("brand"))
+
+
+@_register(
+    "b137_theil_sen_slope",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, x
+    ), pr AS (
+      SELECT a.event_type,
+             (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_ppm
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND b.x > a.x
+    ), r AS (
+      SELECT event_type, slope_ppm,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_ppm) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pr
+    )
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(slope_ppm AS BIGINT) AS slope_med_ppm
+    FROM r WHERE rn = (cnt + 1) // 2 ORDER BY event_type
+    """,
+    "Theil-Sen robust trend: the median of all pairwise slopes of "
+    "the daily revenue series per event type — the estimator that "
+    "shrugs off 29% outliers where least squares (b67/b90) folds.  "
+    "Slopes in integer ppm by truncating division; the lower median "
+    "picked by row_number (b75 quantile_disc discipline) so both "
+    "engines choose the identical element.  The pair join runs on "
+    "the per-(type, day) AGGREGATE — at 100 TB that is |days|^2 per "
+    "group, bounded by the calendar, never corpus-sized.",
+)
+def b137_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("x"))
+         .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+              .cast("long").alias("y")))
+    a = d.select("event_type", F.col("x").alias("x1"),
+                 F.col("y").alias("y1"))
+    b = d.select(F.col("event_type").alias("et2"),
+                 F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pr = (a.join(b, (a["event_type"] == b["et2"])
+                 & (b["x2"] > a["x1"]))
+          .select("event_type",
+                  F.expr("(y2 - y1) * 1000000 div (x2 - x1)")
+                  .alias("slope_ppm")))
+    w = W.partitionBy("event_type").orderBy("slope_ppm")
+    r = pr.select(
+        "event_type", "slope_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("cnt"))
+    return (r.filter(F.col("rn") == (F.col("cnt") + 1) / 2)
+            .select("event_type", F.col("cnt").cast("long")
+                    .alias("n_pairs"),
+                    F.col("slope_ppm").cast("long")
+                    .alias("slope_med_ppm"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "b138_l_diversity",
+    """
+    WITH b AS (
+      SELECT lang, source, n_chars // 500 AS band FROM documents
+    ), g AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT band) AS BIGINT) AS l_distinct,
+             CAST(max(bn) * 1000000 // count(*) AS BIGINT)
+               AS top_band_ppm
+      FROM (SELECT lang, source, band,
+                   count(*) OVER (PARTITION BY lang, source, band)
+                     AS bn
+            FROM b)
+      GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, l_distinct, top_band_ppm,
+           CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS is_diverse
+    FROM g ORDER BY lang, source
+    """,
+    "Privacy audit beyond k-anonymity (b80): l-diversity — per "
+    "quasi-identifier group (lang, source), the number of DISTINCT "
+    "sensitive values (length band) and the dominance share of the "
+    "most common one.  A group can be k-anonymous yet reveal its "
+    "sensitive attribute when every member shares it; l>=3 is the "
+    "standard floor.  One grouped aggregate plus a band-count "
+    "window over the grouped relation — scales as the QI "
+    "cardinality, not the corpus.",
+)
+def b138_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select("lang", "source",
+                    F.expr("n_chars div 500").alias("band"))
+    bn = b.select("lang", "source", "band",
+                  F.count("*").over(
+                      W.partitionBy("lang", "source", "band"))
+                  .alias("bn"))
+    g = (bn.groupBy("lang", "source")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.countDistinct("band").cast("long").alias("l_distinct"),
+              F.expr("max(bn) * 1000000 div count(*)").cast("long")
+              .alias("top_band_ppm")))
+    return (g.withColumn("is_diverse",
+                         F.when(F.col("l_distinct") >= 3, 1)
+                         .otherwise(0).cast("int"))
+            .orderBy("lang", "source"))
+
+
+@_register(
+    "c119_modularity_int",
+    f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    comp AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY a),
+    per AS (
+      SELECT ca.c,
+             CAST(count(DISTINCT ca.node) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+      FROM comp ca JOIN deg ON deg.node = ca.node
+      GROUP BY ca.c
+    ), inn AS (
+      SELECT ca.c, CAST(count(*) AS BIGINT) AS in_edges
+      FROM edges e JOIN comp ca ON ca.node = e.d1
+      GROUP BY ca.c
+    )
+    SELECT CAST(p.c AS BIGINT) AS community, p.n_nodes,
+           CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+           p.deg_sum,
+           CAST(4 * m.m * coalesce(i.in_edges, 0)
+                - p.deg_sum * p.deg_sum AS BIGINT) AS q_contrib
+    FROM per p LEFT JOIN inn i ON i.c = p.c, m
+    ORDER BY community
+    """,
+    "Graph-partition quality: Newman modularity of the near-dup "
+    "component clustering, exact-integer per-community contributions "
+    "— Q = sum_c (in_c/m - (deg_c/2m)^2) published as the integer "
+    "numerator 4*m*in_c - deg_c^2 over the common denominator 4m^2, "
+    "so no floats anywhere.  Communities are the c19 connected "
+    "components (min-label propagation; oracle re-derives them with "
+    "the recursive CTE); in-community edges count each undirected "
+    "edge once via its canonical d1 endpoint (both endpoints share a "
+    "component by construction).  Everything past the shared edge "
+    "derivation runs on |nodes| + |edges| rows — the standard "
+    "community-quality audit attached to any clustering at scale.",
+)
+def c119_modularity_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.components import (
+        connected_components)
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
+        _edges)
+
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    comp = connected_components(edges)
+    m = edges.agg(F.count("*").cast("long").alias("m"))
+    sym = (edges.select(F.col("d1").alias("node"))
+           .unionAll(edges.select(F.col("d2").alias("node"))))
+    deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    per = (comp.join(deg, "node")
+           .groupBy(F.col("component").alias("c"))
+           .agg(F.countDistinct("node").cast("long").alias("n_nodes"),
+                F.sum("deg").cast("long").alias("deg_sum")))
+    inn = (edges.join(comp.withColumnRenamed("node", "d1"), "d1")
+           .groupBy(F.col("component").alias("c"))
+           .agg(F.count("*").cast("long").alias("in_edges")))
+    return (per.join(inn, "c", "left")
+            .withColumn("in_edges",
+                        F.coalesce("in_edges", F.lit(0)).cast("long"))
+            .crossJoin(F.broadcast(m))
+            .select(F.col("c").cast("long").alias("community"),
+                    "n_nodes", "in_edges", "deg_sum",
+                    (F.lit(4) * F.col("m") * F.col("in_edges")
+                     - F.col("deg_sum") * F.col("deg_sum"))
+                    .cast("long").alias("q_contrib"))
+            .orderBy("community"))

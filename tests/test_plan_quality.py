@@ -931,3 +931,42 @@ def test_b128_sweep_windows_are_block_partitioned(spark):
     # the _b block key in its partition spec
     sweep = [l for l in win_lines if "us" in l and "delta" in l]
     assert sweep and all("_b" in l for l in sweep), sweep
+
+
+def test_c115_bm25_is_broadcast_stats_plus_take_ordered(spark):
+    """BM25: corpus stats (1 row) and idf (|terms| rows) must reach
+    the scoring join as broadcasts, and top-k must compile to
+    TakeOrderedAndProject — no global sort, no shuffled dim."""
+    p = _plan(spark, "c115_bm25_retrieval")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_c118_pass_at_k_dim_join_is_broadcast(spark):
+    p = _plan(spark, "c118_pass_at_k")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_b137_pair_join_runs_on_daily_aggregate(spark):
+    """Theil-Sen's O(days^2) pair join must consume the per-(type,day)
+    AGGREGATE, not the raw fact: exactly two event scans (one per join
+    side), each reduced by a hash aggregate before the join."""
+    p = _plan(spark, "b137_theil_sen_slope")
+    assert p.count("events.parquet") == 2
+    # both sides aggregate below the join: partial+final per side
+    assert p.count("HashAggregate") >= 4
+
+
+def test_c116_iteration_runs_on_transition_aggregate(spark):
+    """Markov power iteration must iterate over the |states|^2 matrix
+    (localCheckpointed), not rescan events per round: one scan for
+    transitions, one for states."""
+    p = _plan(spark, "c116_markov_stationary_int")
+    assert p.count("Scan parquet") == 0  # inputs are checkpointed RDDs
+    assert "Scan ExistingRDD" in p
+
+
+def test_b138_l_diversity_is_single_scan(spark):
+    p = _plan(spark, "b138_l_diversity")
+    assert p.count("documents.parquet") == 1

@@ -49,7 +49,8 @@ _EXTRA_INVARIANCE = [
     # backlog; these wait their registry-order turn)
     "c115_bm25_retrieval", "c116_markov_stationary_int",
     "c118_pass_at_k", "b137_theil_sen_slope", "b138_l_diversity",
-    "c119_modularity_int",
+    "c119_modularity_int", "c120_matryoshka_audit",
+    "b139_holt_linear_forecast",
 ]
 
 

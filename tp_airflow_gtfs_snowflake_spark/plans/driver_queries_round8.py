@@ -712,3 +712,185 @@ def c119_modularity_int(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.col("deg_sum") * F.col("deg_sum"))
                     .cast("long").alias("q_contrib"))
             .orderBy("community"))
+
+
+@_register(
+    "c120_matryoshka_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb, embedding[1:8]::DOUBLE[] AS pre
+      FROM embeddings
+      WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+        AND list_sum(list_transform(embedding[1:8]::DOUBLE[],
+                                    x -> x * x)) > 0
+    ), c AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, emb, pre, cent_id FROM (
+              SELECT e.vec_id, e.emb, e.pre, c.cent_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.emb, c.cemb),
+                                      6) DESC, c.cent_id) AS rn
+              FROM e CROSS JOIN c) WHERE rn = 1),
+    p AS (
+      SELECT a.cent_id,
+             CAST(round(round(list_cosine_similarity(a.emb, b.emb), 6)
+                        * 1000000) AS BIGINT) AS full_u,
+             CAST(round(round(list_cosine_similarity(a.pre, b.pre), 6)
+                        * 1000000) AS BIGINT) AS pre_u
+      FROM asg a JOIN asg b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    )
+    SELECT cent_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN full_u >= 350000 AND pre_u >= 350000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN full_u >= 350000 AND pre_u < 350000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_only,
+           CAST(sum(CASE WHEN full_u < 350000 AND pre_u >= 350000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_only,
+           CAST(sum(abs(full_u - pre_u)) // count(*) AS BIGINT)
+             AS mean_abs_gap_ppm
+    FROM p GROUP BY cent_id ORDER BY cent_id
+    """,
+    "Embedding ops: MATRYOSHKA truncation audit — how much near-dup "
+    "signal survives keeping only the first 8 dimensions (the MRL "
+    "deployment question: how far can you truncate before ANN "
+    "decisions flip).  Within-cell candidate pairs (the c10 IVF "
+    "blocking, O(sum cell^2) never O(n^2)) scored by full-dim and "
+    "prefix-dim cosine; per cell: threshold-agreement confusion "
+    "counts and the mean absolute gap.  Cosines are 6dp-rounded then "
+    "scaled to exact integer micro-units, so all aggregation is "
+    "integer and order-independent (the float-sum-order discipline); "
+    "zero-norm full OR prefix vectors are excluded up front — a "
+    "truncated slice can be all-zero even when the full vector is "
+    "not, and its cosine is undefined.",
+)
+def c120_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions.vectors import (
+        cosine, dot)
+    from tp_airflow_gtfs_snowflake_spark.operators import (
+        similarity as SIM)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = (emb.withColumn("pre", F.slice("embedding", 1, 8))
+         .filter((dot(F.col("embedding"), F.col("embedding")) > 0)
+                 & (dot(F.col("pre"), F.col("pre")) > 0)))
+    asg = SIM.ivf_assign(e, n_cents=8)
+    u = F.round(F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+                * 1_000_000).cast("long")
+    up = F.round(F.round(cosine(F.col("a_pre"), F.col("b_pre")), 6)
+                 * 1_000_000).cast("long")
+    a = asg.select("cent_id", F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("a_emb"),
+                   F.col("pre").alias("a_pre"))
+    b = asg.select(F.col("cent_id").alias("c2"),
+                   F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("b_emb"),
+                   F.col("pre").alias("b_pre"))
+    p = (a.join(b, (a["cent_id"] == b["c2"]) & (a["d1"] < b["d2"]))
+         .select("cent_id", u.alias("full_u"), up.alias("pre_u")))
+    thr = 350_000
+    return (p.groupBy("cent_id")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(F.when((F.col("full_u") >= thr)
+                              & (F.col("pre_u") >= thr), 1)
+                       .otherwise(0)).cast("long").alias("n_both"),
+                 F.sum(F.when((F.col("full_u") >= thr)
+                              & (F.col("pre_u") < thr), 1)
+                       .otherwise(0)).cast("long").alias("n_full_only"),
+                 F.sum(F.when((F.col("full_u") < thr)
+                              & (F.col("pre_u") >= thr), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_prefix_only"),
+                 F.expr("sum(abs(full_u - pre_u)) div count(*)")
+                 .cast("long").alias("mean_abs_gap_ppm"))
+            .orderBy("cent_id"))
+
+
+@_register(
+    "b139_holt_linear_forecast",
+    """
+    WITH RECURSIVE d0 AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day
+    ), d AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d0
+    ), rec AS (
+      -- init consumes y_1 AND y_2 (l_0 = y_1, b_0 = y_2 - y_1), so
+      -- the base row sits at idx 2 and the first smoothing step
+      -- folds y_3 — mirroring the Spark fold over slice(ys, 3, ...)
+      SELECT d1.event_type, 2 AS idx, d1.y AS l, d2.y - d1.y AS b
+      FROM d d1 JOIN d d2
+        ON d2.event_type = d1.event_type AND d2.idx = 2
+      WHERE d1.idx = 1
+      UNION ALL
+      SELECT r.event_type, r.idx + 1,
+             (d.y + r.l + r.b) // 2,
+             (r.b + ((d.y + r.l + r.b) // 2) - r.l) // 2
+      FROM rec r JOIN d ON d.event_type = r.event_type
+                       AND d.idx = r.idx + 1
+    )
+    SELECT r.event_type, CAST(d.n AS BIGINT) AS n_days,
+           CAST(r.l AS BIGINT) AS level_cents,
+           CAST(r.b AS BIGINT) AS trend_cents,
+           CAST(r.l + r.b AS BIGINT) AS forecast_1,
+           CAST(r.l + 7 * r.b AS BIGINT) AS forecast_7
+    FROM rec r JOIN d ON d.event_type = r.event_type AND d.idx = r.idx
+    WHERE r.idx = d.n
+    ORDER BY r.event_type
+    """,
+    "Holt double-exponential smoothing (level + trend) over the "
+    "daily revenue series per event type, alpha = beta = 1/2 in "
+    "truncating-integer arithmetic: l_t = (y_t + l + b) div 2, "
+    "b_t = (b + l_t - l) div 2 — the forecasting sibling of the b79 "
+    "single EWMA, now with a trend component and 1/7-day-ahead "
+    "forecasts.  Sequential recurrences are value-hashable because "
+    "truncating div is a pure function of the input sequence: Spark "
+    "folds the per-type SORTED daily array (one aggregate, the fold "
+    "runs on |days| elements per group), the oracle replays it as a "
+    "recursive CTE.  Both sides truncate toward zero (Spark div == "
+    "DuckDB //), which matters on negative trends.",
+)
+def b139_holt_linear_forecast(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"),
+                       F.lit("2024-01-01").cast("date")).alias("day"))
+         .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+              .cast("long").alias("y")))
+    arr = (d.groupBy("event_type")
+           .agg(F.expr("transform(array_sort(collect_list("
+                       "struct(day, y))), s -> s.y)").alias("ys")))
+    # the new level l_t appears inside b_t's expression; Spark struct
+    # lambdas bind acc fields at entry (unlike DuckDB list_reduce's
+    # sequential binding, the b95 lesson), so repeating the l_t
+    # expression inside b_t is safe here — both read the OLD acc.
+    holt = F.expr("""
+      aggregate(
+        slice(ys, 3, greatest(size(ys) - 2, 0)),
+        struct(CAST(element_at(ys, 1) AS BIGINT) AS l,
+               CAST(element_at(ys, 2) - element_at(ys, 1) AS BIGINT) AS b),
+        (acc, y) -> struct(
+          CAST((y + acc.l + acc.b) div 2 AS BIGINT) AS l,
+          CAST((acc.b + ((y + acc.l + acc.b) div 2) - acc.l) div 2
+               AS BIGINT) AS b))
+    """)
+    out = (arr.filter(F.size("ys") >= 2)
+           .withColumn("h", holt)
+           .select("event_type",
+                   F.size("ys").cast("long").alias("n_days"),
+                   F.col("h.l").alias("level_cents"),
+                   F.col("h.b").alias("trend_cents"),
+                   (F.col("h.l") + F.col("h.b")).cast("long")
+                   .alias("forecast_1"),
+                   (F.col("h.l") + 7 * F.col("h.b")).cast("long")
+                   .alias("forecast_7"))
+           .orderBy("event_type"))
+    return out

@@ -79,6 +79,10 @@ HEADLINE = [
     "c108_ngram_novelty",          # first-occurrence novelty audit
     "b122_kmv_difference_estimate",  # theta-sketch a-not-b
     "b123_spearman_corr",          # blocked-rank exact Spearman
+    "c115_bm25_retrieval",         # integer BM25 top-k retrieval
+    "b137_theil_sen_slope",        # pairwise-slope robust trend
+    "c119_modularity_int",         # community-quality integer audit
+    "c120_matryoshka_audit",       # prefix-dim vs full-dim ANN audit
 ]
 
 

@@ -101,6 +101,9 @@ def c19b_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LLM-curation: PageRank centrality over the near-dup/similarity "
     "graph (symmetrized c08 edges) as a corpus quality-weighting "
     "signal (web-scale curation weights documents by link centrality). "
+    "RETIRED from the driver window: superseded as a checkable "
+    "surface by c104_pagerank_int (value-hash integer-ppm twin on the "
+    "same graph, driver-green r04); kept as the float reference.  "
     "Fixed 10 iterations, two shuffles per round, lineage checkpointed "
     "— same iterative discipline as c19.  rows-only check (iterated "
     "float sums can't hash-match a SQL oracle); invariants — rank-sum "

@@ -50,7 +50,8 @@ _EXTRA_INVARIANCE = [
     "c115_bm25_retrieval", "c116_markov_stationary_int",
     "c118_pass_at_k", "b137_theil_sen_slope", "b138_l_diversity",
     "c119_modularity_int", "c120_matryoshka_audit",
-    "b139_holt_linear_forecast",
+    "b139_holt_linear_forecast", "c121_lexical_diversity",
+    "c122_rouge_dup_audit",
 ]
 
 

@@ -894,3 +894,144 @@ def b139_holt_linear_forecast(spark: SparkSession,
                    .alias("forecast_7"))
            .orderBy("event_type"))
     return out
+
+
+@_register(
+    "c121_lexical_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY doc_id, lang, source, tok
+    ), d AS (
+      SELECT doc_id, lang, source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+      FROM c GROUP BY doc_id, lang, source
+    )
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(types * 1000000 // n) // count(*) AS BIGINT)
+             AS mean_ttr_ppm,
+           CAST(sum(CASE WHEN n >= 2
+                         THEN rep * 1000000 // (n * (n - 1))
+                         ELSE 0 END) // count(*) AS BIGINT)
+             AS mean_simpson_ppm
+    FROM d WHERE n >= 1
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    "Text quality: lexical diversity per (lang, source) — mean "
+    "type-token ratio and mean Simpson repeat index (Hunter-Gaston "
+    "sum c_i(c_i-1)/(n(n-1))), both in integer ppm.  Entropy needs a "
+    "log; Simpson is the log-free diversity index that stays "
+    "oracle-exact, and low diversity flags the template/boilerplate "
+    "documents LLM curation down-weights.  One explode + two "
+    "aggregates, everything after the (doc, token) count runs at "
+    "per-doc then per-group cardinality.",
+)
+def c121_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "source",
+                    F.explode(T.tokens(F.col("text"))).alias("tok"))
+    c = (t.groupBy("doc_id", "lang", "source", "tok")
+         .agg(F.count("*").cast("long").alias("c")))
+    d = (c.groupBy("doc_id", "lang", "source")
+         .agg(F.sum("c").cast("long").alias("n"),
+              F.count("*").cast("long").alias("types"),
+              F.sum(F.expr("c * (c - 1)")).cast("long").alias("rep"))
+         .filter(F.col("n") >= 1))
+    return (d.groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("sum(types * 1000000 div n) div count(*)")
+                 .cast("long").alias("mean_ttr_ppm"),
+                 F.expr("sum(CASE WHEN n >= 2 THEN rep * 1000000 "
+                        "div (n * (n - 1)) ELSE 0 END) div count(*)")
+                 .cast("long").alias("mean_simpson_ppm"))
+            .orderBy("lang", "source"))
+
+
+@_register(
+    "c122_rouge_dup_audit",
+    f"""
+    WITH {_EDGES_SQL},
+    tt AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tt GROUP BY doc_id, tok
+    ), dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc
+              GROUP BY doc_id),
+    ov AS (
+      SELECT e.d1, e.d2,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+      FROM edges e
+      JOIN tc a ON a.doc_id = e.d1
+      JOIN tc b ON b.doc_id = e.d2 AND b.tok = a.tok
+      GROUP BY e.d1, e.d2
+    ), m AS (
+      SELECT o.d1, o.d2,
+             o.overlap * 1000000 // na.n AS p_ppm,
+             o.overlap * 1000000 // nb.n AS r_ppm
+      FROM ov o JOIN dn na ON na.doc_id = o.d1
+                JOIN dn nb ON nb.doc_id = o.d2
+    )
+    SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+           CAST(p_ppm AS BIGINT) AS rouge1_p_ppm,
+           CAST(r_ppm AS BIGINT) AS rouge1_r_ppm,
+           CAST(CASE WHEN p_ppm + r_ppm = 0 THEN 0
+                     ELSE 2 * p_ppm * r_ppm // (p_ppm + r_ppm) END
+                AS BIGINT) AS rouge1_f1_ppm
+    FROM m ORDER BY d1, d2
+    """,
+    "Dedup explainability in EVAL-METRIC terms: ROUGE-1 precision / "
+    "recall / F1 (clipped multiset token overlap, integer ppm) for "
+    "every verified near-dup pair — Jaccard says the pair is "
+    "similar, ROUGE says how much of EACH SIDE is covered, which is "
+    "what asymmetric containment cases (quote-inside-article) need.  "
+    "Pairs come from the shared c08 edge derivation, so the metric "
+    "join runs at |edges| x shared-token cardinality, never corpus "
+    "pairs; clipping (least of the two counts) is the standard "
+    "n-gram-precision discipline and stays integer-exact.",
+)
+def c122_rouge_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.functions import text as T
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
+        _edges)
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = _edges(spark, sf_dir)
+    tc = (docs.select("doc_id",
+                      F.explode(T.tokens(F.col("text"))).alias("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(F.count("*").cast("long").alias("c")))
+    dn = tc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    a = tc.select(F.col("doc_id").alias("d1"), "tok",
+                  F.col("c").alias("ca"))
+    b = tc.select(F.col("doc_id").alias("d2b"),
+                  F.col("tok").alias("tok2"), F.col("c").alias("cb"))
+    ov = (edges.join(a, "d1")
+          .join(b, (F.col("d2") == F.col("d2b"))
+                & (F.col("tok") == F.col("tok2")))
+          .groupBy("d1", "d2")
+          .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap")))
+    m = (ov.join(dn.withColumnRenamed("doc_id", "d1")
+                 .withColumnRenamed("n", "na"), "d1")
+         .join(dn.withColumnRenamed("doc_id", "d2")
+               .withColumnRenamed("n", "nb"), "d2")
+         .select("d1", "d2",
+                 F.expr("overlap * 1000000 div na").alias("p_ppm"),
+                 F.expr("overlap * 1000000 div nb").alias("r_ppm")))
+    return m.select(
+        F.col("d1").cast("long"), F.col("d2").cast("long"),
+        F.col("p_ppm").cast("long").alias("rouge1_p_ppm"),
+        F.col("r_ppm").cast("long").alias("rouge1_r_ppm"),
+        F.expr("CASE WHEN p_ppm + r_ppm = 0 THEN 0 "
+               "ELSE 2 * p_ppm * r_ppm div (p_ppm + r_ppm) END")
+        .cast("long").alias("rouge1_f1_ppm")).orderBy("d1", "d2")

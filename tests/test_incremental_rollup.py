@@ -320,3 +320,51 @@ def test_append_epoch_replay_across_dates_is_idempotent(spark, tmp_path):
     got = wh.table("bronze", "trip_updates_raw") \
         .filter("ingest_epoch = 7").collect()
     assert len(got) == 1 and got[0]["event_date"] == d2
+
+
+def test_compact_partitions_is_surgical(spark, tmp_path):
+    """OPTIMIZE must rewrite ONLY fragmented partitions: untouched
+    partition files stay byte-for-byte identical, row content is
+    preserved exactly, and the fragmented partition's file count
+    drops to the target."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tp_airflow_gtfs_snowflake_spark.catalog import (
+        compact_partitions)
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+    # partition p=0 fragmented into 10 files, p=1 compact in 1
+    (base.filter("p = '0'").repartition(10)
+     .write.partitionBy("p").parquet(path))
+    (base.filter("p = '1'").coalesce(1)
+     .write.mode("append").partitionBy("p").parquet(path))
+
+    def files(part):
+        return sorted(glob.glob(os.path.join(path, f"p={part}",
+                                             "*.parquet")))
+
+    before0, before1 = files("0"), files("1")
+    assert len(before0) == 10 and len(before1) == 1
+    sig1 = [(f, os.path.getsize(f), open(f, "rb").read()[:64])
+            for f in before1]
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    acct = compact_partitions(spark, path, partition_col="p",
+                              max_files=4)
+    assert acct == {"partitions_compacted": 1, "files_before": 10,
+                    "files_after": 1}
+    assert len(files("0")) == 1
+    # p=1 untouched byte-for-byte
+    assert [(f, os.path.getsize(f), open(f, "rb").read()[:64])
+            for f in files("1")] == sig1
+    rows_after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
+
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, path, partition_col="p",
+                              max_files=4)["partitions_compacted"] == 0

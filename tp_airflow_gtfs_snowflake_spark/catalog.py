@@ -461,3 +461,73 @@ def merge_replace(spark: SparkSession, table_path: str,
     return {"partitions_rewritten": len(touched),
             "rows_updated": int(n_updated),
             "rows_inserted": int(n_inserted)}
+
+
+def compact_partitions(spark: SparkSession, table_path: str, *,
+                       partition_col: str, max_files: int = 4,
+                       target_mb: int = 128) -> dict:
+    """In-place partition-scoped OPTIMIZE: find partitions fragmented
+    past ``max_files`` parquet files, rewrite ONLY those as
+    ceil(bytes/target_mb) right-sized files via dynamic partition
+    overwrite, and leave every other partition's files byte-for-byte
+    untouched (the incremental_rollup_refresh touched-partition
+    discipline applied to layout maintenance).
+
+    This is the missing half of :func:`compact_parquet` for streaming
+    tables: bronze accumulates one file per micro-batch epoch per
+    partition, and at 100 TB compaction must be surgical — a full
+    rewrite of a petabyte table to fix yesterday's 400 tiny files is
+    not a plan.  Data is localCheckpoint'ed before the overwrite of
+    its own directory (same hazard as merge_replace).
+
+    Returns {"partitions_compacted": n, "files_before": n,
+    "files_after": n} for the touched partitions.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    frag: dict[str, tuple[int, int]] = {}  # dirname -> (n_files, bytes)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(
+                f"{partition_col}="):
+            continue
+        files = [f for f in fs.listStatus(st.getPath())
+                 if f.getPath().getName().endswith(".parquet")]
+        if len(files) > max_files:
+            frag[name] = (len(files), sum(f.getLen() for f in files))
+    if not frag:
+        return {"partitions_compacted": 0, "files_before": 0,
+                "files_after": 0}
+    df = spark.read.parquet(table_path)
+    values = [_unescape_part_value(spark, d.split("=", 1)[1])
+              for d in frag]
+    touched = df.filter(_part_member(F.col(partition_col), values))
+    files_after = 0
+    # per-partition coalesce widths differ, so write partition by
+    # partition: the touched set is small by construction and each
+    # write is one job over one directory
+    for dirname, (n_files, nbytes) in sorted(frag.items()):
+        value = _unescape_part_value(spark, dirname.split("=", 1)[1])
+        n_out = max(1, -(-nbytes // (target_mb * 1024 * 1024)))
+        part_df = (touched.filter(
+            F.col(partition_col).eqNullSafe(F.lit(value)))
+            .coalesce(n_out)
+            .localCheckpoint(eager=True))
+        (part_df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(partition_col)
+         .parquet(table_path))
+        files_after += n_out
+    return {"partitions_compacted": len(frag),
+            "files_before": sum(n for n, _ in frag.values()),
+            "files_after": files_after}
+
+
+def _unescape_part_value(spark: SparkSession, name: str):
+    """Inverse of the hive-style escaping in _part_dir (NULL dirs map
+    back to None)."""
+    if name == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog \
+        .ExternalCatalogUtils.unescapePathName(name)

@@ -1242,14 +1242,16 @@ def c92_dedup_threshold_sweep(spark: SparkSession,
     j = pairs.select(
         F.expr("n_common * 1000000 div (n1 + n2 - n_common)")
         .alias("j_ppm"))
-    thr = spark.createDataFrame(
-        [(t,) for t in (500000, 600000, 700000, 800000, 900000)],
-        "thr long")
-    return (thr.crossJoin(j)
-            .groupBy(F.col("thr").cast("long").alias("threshold_ppm"))
-            .agg(F.count(F.when(F.col("j_ppm") >= F.col("thr"), 1))
-                 .cast("long").alias("n_pairs"))
-            .orderBy("threshold_ppm"))
+    # one conditional aggregate over the pair set (no thresholds x
+    # pairs blowup), then stack the 5 counters into rows
+    cuts = (500000, 600000, 700000, 800000, 900000)
+    agg = j.agg(*[
+        F.count(F.when(F.col("j_ppm") >= t, 1)).cast("long")
+        .alias(f"n{t}") for t in cuts])
+    stack = ", ".join(f"CAST({t} AS BIGINT), n{t}" for t in cuts)
+    return (agg.select(F.expr(
+        f"stack({len(cuts)}, {stack}) AS (threshold_ppm, n_pairs)"))
+        .orderBy("threshold_ppm"))
 
 
 @_register(

@@ -51,7 +51,7 @@ _EXTRA_INVARIANCE = [
     "c118_pass_at_k", "b137_theil_sen_slope", "b138_l_diversity",
     "c119_modularity_int", "c120_matryoshka_audit",
     "b139_holt_linear_forecast", "c121_lexical_diversity",
-    "c122_rouge_dup_audit",
+    "c122_rouge_dup_audit", "c123_lsh_band_sweep",
 ]
 
 

@@ -1035,3 +1035,110 @@ def c122_rouge_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN p_ppm + r_ppm = 0 THEN 0 "
                "ELSE 2 * p_ppm * r_ppm div (p_ppm + r_ppm) END")
         .cast("long").alias("rouge1_f1_ppm")).orderBy("d1", "d2")
+
+
+def _c123_oracle() -> str:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _duck_hash64, _duck_minhash_band_case, _duck_minhash_mins,
+        _duck_shingles, _duck_toks)
+
+    cfg_sql = []
+    for bands, rows in ((2, 8), (4, 4), (8, 2)):
+        cfg_sql.append(f"""
+    banded{bands} AS (SELECT doc_id, b.band AS band,
+                      md5({_duck_minhash_band_case(16, bands)}) AS bucket
+               FROM m, range(0, {bands}) b(band)),
+    cand{bands} AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM banded{bands} a JOIN banded{bands} b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+    hit{bands} AS (SELECT c.d1 FROM cand{bands} c
+             JOIN truth t2 ON c.d1 = t2.d1 AND c.d2 = t2.d2)""")
+        cfg_sql.append(f"""
+    row{bands} AS (
+      SELECT CAST({bands} AS BIGINT) AS bands,
+             CAST({rows} AS BIGINT) AS rows_per_band,
+             CAST((SELECT count(*) FROM cand{bands}) AS BIGINT)
+               AS n_candidates,
+             CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT count(*) FROM hit{bands}) AS BIGINT) AS n_hit,
+             CAST((SELECT count(*) FROM hit{bands}) * 1000000
+                  // nullif((SELECT count(*) FROM cand{bands}), 0)
+                  AS BIGINT) AS precision_ppm,
+             CAST((SELECT count(*) FROM hit{bands}) * 1000000
+                  // nullif((SELECT count(*) FROM truth), 0)
+                  AS BIGINT) AS recall_ppm)""")
+    return f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {_D.MINHASH_P} AS h
+           FROM sh),
+    m AS (SELECT doc_id, {_duck_minhash_mins(16)} FROM hx
+          GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    truth AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) * 1.0
+                     / (min((SELECT n_sh FROM sizes s
+                             WHERE s.doc_id = a.doc_id))
+                        + min((SELECT n_sh FROM sizes s
+                               WHERE s.doc_id = b.doc_id))
+                        - count(*)) >= 0.5),
+    {','.join(cfg_sql)}
+    SELECT * FROM row2
+    UNION ALL SELECT * FROM row4
+    UNION ALL SELECT * FROM row8
+    ORDER BY bands
+    """
+
+
+@_register(
+    "c123_lsh_band_sweep",
+    _c123_oracle(),
+    "LSH OPERATING-POINT SWEEP: precision/recall of MinHash-LSH "
+    "candidates vs the exact-Jaccard truth set for three bandings of "
+    "the SAME 16-slot signature — (2 bands x 8 rows: high precision), "
+    "(4 x 4: the production default c06/c80 audit), (8 x 2: high "
+    "recall).  The S-curve picker in table form: one signature pass "
+    "(localCheckpointed) is re-banded three ways, so the sweep costs "
+    "three band-bucket joins over (doc, band, bucket) rows — never "
+    "three signature recomputes and never an all-pairs scan.  "
+    "Portable md5-64 base hash keeps every count oracle-exact "
+    "(the c80 pattern, swept).",
+)
+def c123_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _spread)
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sigs = _D.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3,
+        hash_fn=_D.portable_hash64).localCheckpoint(eager=True)
+    truth = (_D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.5)
+             .select("d1", "d2").localCheckpoint(eager=True))
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    outs = []
+    for bands, rows in ((2, 8), (4, 4), (8, 2)):
+        cand = _D.minhash_lsh_candidates(sigs, bands=bands,
+                                         rows_per_band=rows)
+        hit = cand.join(truth, ["d1", "d2"])
+        outs.append(
+            cand.agg(F.count("*").cast("long").alias("n_candidates"))
+            .crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(
+                hit.agg(F.count("*").cast("long").alias("n_hit"))))
+            .select(F.lit(bands).cast("long").alias("bands"),
+                    F.lit(rows).cast("long").alias("rows_per_band"),
+                    "n_candidates", "n_truth", "n_hit",
+                    F.expr("n_hit * 1000000 div nullif(n_candidates, 0)")
+                    .cast("long").alias("precision_ppm"),
+                    F.expr("n_hit * 1000000 div nullif(n_truth, 0)")
+                    .cast("long").alias("recall_ppm")))
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("bands")

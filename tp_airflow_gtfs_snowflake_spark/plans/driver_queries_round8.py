@@ -585,7 +585,10 @@ def b137_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "slope_ppm",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(W.partitionBy("event_type")).alias("cnt"))
-    return (r.filter(F.col("rn") == (F.col("cnt") + 1) / 2)
+    # (cnt + 1) div 2, NOT / 2: Spark `/` is float division, and for
+    # an even pair count rn (int) == x.5 matches nothing — the group
+    # would silently vanish from the output
+    return (r.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
             .select("event_type", F.col("cnt").cast("long")
                     .alias("n_pairs"),
                     F.col("slope_ppm").cast("long")

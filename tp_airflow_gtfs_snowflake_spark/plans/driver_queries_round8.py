@@ -475,9 +475,10 @@ def c116_markov_stationary_int(spark: SparkSession,
              c * 1000000 // n AS pass1_ppm,
              CASE WHEN n - c < 5 THEN 1000000
                   ELSE 1000000
-                    - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
-                       * 1000000)
-                      // (n * (n-1) * (n-2) * (n-3) * (n-4))
+                    - CAST((CAST(n-c AS HUGEINT) * (n-c-1) * (n-c-2)
+                            * (n-c-3) * (n-c-4) * 1000000)
+                           // (CAST(n AS HUGEINT) * (n-1) * (n-2)
+                               * (n-3) * (n-4)) AS BIGINT)
              END AS pass5_ppm
       FROM t WHERE n >= 5
     )
@@ -510,12 +511,17 @@ def c118_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t.select(
         "task", "n", "c",
         F.expr("c * 1000000 div n").alias("pass1_ppm"),
+        # decimal(38,0) / HUGEINT products: n^5 * 1e6 overflows BIGINT
+        # past n ~ 390 samples per task — fine in the test data (TPC-H
+        # holds ~30 lineitems/part at every SF) but not a safe operator
+        # contract; all terms are positive so decimal div == truncation
         F.expr("""
           CASE WHEN n - c < 5 THEN 1000000
                ELSE 1000000
-                 - ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4)
-                    * 1000000)
-                   div (n * (n-1) * (n-2) * (n-3) * (n-4))
+                 - CAST((CAST(n-c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2)
+                         * (n-c-3) * (n-c-4) * 1000000)
+                        div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2)
+                             * (n-3) * (n-4)) AS BIGINT)
           END""").alias("pass5_ppm"))
     return (p.join(F.broadcast(pt),
                    p["task"] == pt["p_partkey"])

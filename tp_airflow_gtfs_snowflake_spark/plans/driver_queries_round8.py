@@ -402,7 +402,9 @@ def _mkv_iter(prev: str, out: str) -> str:
     {out} AS (
       SELECT s.st, CAST(coalesce(x.s, 0) AS BIGINT) AS pi
       FROM states s LEFT JOIN (
-        SELECT tr.t AS st, sum(p.pi * tr.n // o.outn) AS s
+        SELECT tr.t AS st,
+               sum(CAST(CAST(p.pi AS HUGEINT) * tr.n // o.outn
+                        AS BIGINT)) AS s
         FROM tr JOIN {prev} p ON p.st = tr.f
                 JOIN outd o ON o.f = tr.f
         GROUP BY tr.t) x ON x.st = s.st)"""
@@ -451,7 +453,11 @@ def c116_markov_stationary_int(spark: SparkSession,
     for _ in range(3):
         flow = (edges.join(pi.withColumnRenamed("st", "f"), "f")
                 .select(F.col("t").alias("st"),
-                        F.expr("pi * n div outn").alias("contrib"))
+                        # decimal product: pi (ppt, ~1e12) x a 100 TB
+                        # transition count overflows BIGINT; all terms
+                        # positive so decimal div keeps truncation
+                        F.expr("CAST(CAST(pi AS DECIMAL(38,0)) * n "
+                               "div outn AS BIGINT)").alias("contrib"))
                 .groupBy("st").agg(F.sum("contrib").alias("s")))
         pi = (states.join(flow, "st", "left")
               .select("st", F.coalesce("s", F.lit(0)).cast("long")

@@ -326,8 +326,9 @@ _BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
       SELECT doc_id, CAST(len(tk) AS BIGINT) * 1000 AS dl_m FROM tk
     )
     SELECT doc_id,
-           CAST(sum(idf_ppm * (44 * avgdl_m * tf)
-                    // (20 * avgdl_m * tf + 6 * avgdl_m + 18 * dl_m))
+           CAST(sum(CAST(CAST(idf_ppm AS HUGEINT) * (44 * avgdl_m * tf)
+                    // (20 * avgdl_m * tf + 6 * avgdl_m + 18 * dl_m)
+                    AS BIGINT))
                 AS BIGINT) AS score_ppm,
            CAST(count(*) AS BIGINT) AS n_terms
     FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st
@@ -371,9 +372,12 @@ def c115_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .crossJoin(F.broadcast(st))
               .withColumn(
                   "w",
-                  F.expr("idf_ppm * (44 * avgdl_m * tf) "
+                  # decimal product: idf (1e6) x 44*avgdl_m*tf can
+                  # pass 2^63 on long documents; terms are positive
+                  F.expr("CAST(CAST(idf_ppm AS DECIMAL(38,0)) "
+                         "* (44 * avgdl_m * tf) "
                          "div (20 * avgdl_m * tf + 6 * avgdl_m "
-                         "+ 18 * dl_m)")))
+                         "+ 18 * dl_m) AS BIGINT)")))
     return (scored.groupBy("doc_id")
             .agg(F.sum("w").cast("long").alias("score_ppm"),
                  F.count("*").cast("long").alias("n_terms"))

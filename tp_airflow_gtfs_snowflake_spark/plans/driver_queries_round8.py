@@ -685,8 +685,9 @@ def b138_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(p.c AS BIGINT) AS community, p.n_nodes,
            CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
            p.deg_sum,
-           CAST(4 * m.m * coalesce(i.in_edges, 0)
-                - p.deg_sum * p.deg_sum AS BIGINT) AS q_contrib
+           CAST(4 * CAST(m.m AS HUGEINT) * coalesce(i.in_edges, 0)
+                - CAST(p.deg_sum AS HUGEINT) * p.deg_sum
+                AS BIGINT) AS q_contrib
     FROM per p LEFT JOIN inn i ON i.c = p.c, m
     ORDER BY community
     """,
@@ -727,9 +728,14 @@ def c119_modularity_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(m))
             .select(F.col("c").cast("long").alias("community"),
                     "n_nodes", "in_edges", "deg_sum",
-                    (F.lit(4) * F.col("m") * F.col("in_edges")
-                     - F.col("deg_sum") * F.col("deg_sum"))
-                    .cast("long").alias("q_contrib"))
+                    # decimal intermediates: deg_sum^2 and 4*m*in_c sit
+                    # right at the int64 edge for graphs whose contrib
+                    # is still representable; the OUTPUT stays BIGINT,
+                    # which bounds the operator at m <= ~1.5e9 edges
+                    # (dup graphs after LSH verify are far sparser)
+                    F.expr("CAST(4 * CAST(m AS DECIMAL(38,0)) * in_edges "
+                           "- CAST(deg_sum AS DECIMAL(38,0)) * deg_sum "
+                           "AS BIGINT)").alias("q_contrib"))
             .orderBy("community"))
 
 

@@ -1167,3 +1167,57 @@ def c123_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("n_hit * 1000000 div nullif(n_truth, 0)")
                     .cast("long").alias("recall_ppm")))
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("bands")
+
+
+@_register(
+    "b140_streaming_dedup_restart",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "STREAMING DEDUP value-oracled (the A15 first-wins dedup's "
+    "streaming sibling): events lands once, then a re-delivered "
+    "subset (every 10th event_id) lands after a CHECKPOINT RESTART — "
+    "inside the watermark horizon, so dropDuplicatesWithinWatermark's "
+    "state store must recognize and drop every re-send.  The oracle "
+    "is plain batch SQL over events: any duplicate that survives "
+    "(state lost across the restart, wrong key, horizon bug) inflates "
+    "the counts and flips the hash.  Output goes through the "
+    "exactly-once streaming file sink; id_sum makes single-row leaks "
+    "visible even when counts collide.",
+)
+def b140_streaming_dedup_restart(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="b140_dedup_")
+    landing = f"{base}/landing"
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+
+    def run() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        dd = (stream.withWatermark("ts", "3650 days")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+        q = (dd.writeStream.outputMode("append")
+             .format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    ev.repartition(2).write.parquet(landing)
+    run()
+    # re-delivery after a restart: every 10th event re-sent verbatim
+    (ev.filter(F.col("event_id") % 10 == 0).repartition(1)
+     .write.mode("append").parquet(landing))
+    run()
+    return (spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("value_cents"),
+                 F.sum("event_id").cast("long").alias("id_sum"))
+            .orderBy("event_type"))

@@ -25,6 +25,15 @@ ingestion, not just on batch plan parity:
   checkpoint restart and sentinel-advanced watermark, oracled against
   the batch gaps-and-islands spec — the stateful operator and its
   timer semantics get a hash row, not just pytest.
+- b140 drives dropDuplicatesWithinWatermark across a restart with a
+  verbatim re-delivery — the dedup state store gets a hash row.
+
+A batch tier follows the streaming queries: retrieval (c115 BM25,
+c123 LSH band sweep), eval metrics (c118 pass@k, c122 ROUGE),
+robust statistics and forecasting (b137 Theil-Sen, b139 Holt),
+graph/cluster quality (c116 stationary distribution, c119
+modularity), privacy (b138 l-diversity), and embedding/text quality
+(c120 matryoshka, c121 lexical diversity).
 
 Reference parity: the reference ingests GTFS-RT micro-batches on a
 2-minute cadence into Snowflake tables (dags/gtfs_rt_minutely.py) and

@@ -103,7 +103,7 @@ _DRIVER_VERIFIED = [
 # last driver row (r05: b102/b103/b122 — the r04 kmv hardening).
 _NEW_THIS_ROUND = [
     "b134_streaming_ingest_restart", "b135_streaming_kmv_state",
-    "b136_streaming_session_close",
+    "b136_streaming_session_close", "b140_streaming_dedup_restart",
     "b102_kmv_distinct_estimate", "b103_kmv_intersection_estimate",
     "b122_kmv_difference_estimate",
 ]

@@ -67,3 +67,54 @@ def test_holt_fold_matches_sequential_reference(spark, tmp_path):
     assert (r["level_cents"], r["trend_cents"]) == (l, b)
     assert r["forecast_1"] == l + b and r["forecast_7"] == l + 7 * b
     assert b < 0  # the series actually exercises negative truncation
+
+
+def test_streaming_restart_sink_semantics_under_checkpoint_loss(
+        spark, tmp_path):
+    """Negative/positive control pair for the b134 driver row.
+
+    A naive APPEND sink duplicates phase-1 rows when the checkpoint
+    is lost between phases (the textbook at-least-once failure — and
+    exactly the end-state divergence the b134 value-hash catches).
+    The epoch-partitioned dynamic-overwrite sink heals this specific
+    loss mode: the restarted query re-ingests the whole backlog under
+    restarted epoch ids, overwriting its own earlier directories, so
+    the end state stays exact."""
+    import shutil
+
+    sf = _events(spark, tmp_path, [
+        (i, f"2024-01-01T0{i}:00:00", i % 3, "a", float(i))
+        for i in range(1, 7)
+    ])
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+    def run(landing, sink, ckpt, epoch_overwrite):
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+
+        def write(batch, epoch_id):
+            out = batch.withColumn(
+                "ingest_epoch", F.lit(int(epoch_id)).cast("long"))
+            if epoch_overwrite:
+                (out.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("ingest_epoch").parquet(sink))
+            else:
+                out.write.mode("append").parquet(sink)
+
+        q = (stream.writeStream.foreachBatch(write)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for overwrite, expected in ((False, 9), (True, 6)):
+        tag = "ow" if overwrite else "ap"
+        landing = str(tmp_path / f"landing_{tag}")
+        sink = str(tmp_path / f"sink_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        ev.filter("event_id <= 3").coalesce(1).write.parquet(landing)
+        run(landing, sink, ckpt, overwrite)
+        shutil.rmtree(ckpt)  # simulate checkpoint loss
+        (ev.filter("event_id > 3").coalesce(1)
+         .write.mode("append").parquet(landing))
+        run(landing, sink, ckpt, overwrite)
+        assert spark.read.parquet(sink).count() == expected, tag

@@ -52,7 +52,7 @@ _EXTRA_INVARIANCE = [
     "c119_modularity_int", "c120_matryoshka_audit",
     "b139_holt_linear_forecast", "c121_lexical_diversity",
     "c122_rouge_dup_audit", "c123_lsh_band_sweep",
-    "b140_streaming_dedup_restart",
+    "b140_streaming_dedup_restart", "b141_countmin_frequency",
 ]
 
 

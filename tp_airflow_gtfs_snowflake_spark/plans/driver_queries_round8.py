@@ -1230,3 +1230,66 @@ def b140_streaming_dedup_restart(spark: SparkSession,
                  .cast("long").alias("value_cents"),
                  F.sum("event_id").cast("long").alias("id_sum"))
             .orderBy("event_type"))
+
+
+@_register(
+    "b141_countmin_frequency",
+    """
+    WITH ex AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), hashes AS (
+      SELECT user_id, n, r.r AS r,
+             CAST(('0x' || substr(md5(r.r || ':' || user_id), 1, 12))
+                  ::BIGINT % 256 AS BIGINT) AS b
+      FROM ex, range(0, 4) r(r)
+    ), counters AS (
+      SELECT r, b, CAST(sum(n) AS BIGINT) AS cnt
+      FROM hashes GROUP BY r, b
+    ), est AS (
+      SELECT h.user_id, min(c.cnt) AS est
+      FROM hashes h JOIN counters c ON c.r = h.r AND c.b = h.b
+      GROUP BY h.user_id
+    )
+    SELECT ex.user_id, ex.n AS n_exact, CAST(est.est AS BIGINT) AS est,
+           CAST(est.est - ex.n AS BIGINT) AS overcount
+    FROM ex JOIN est ON est.user_id = ex.user_id
+    ORDER BY ex.n DESC, ex.user_id LIMIT 20
+    """,
+    "Count-Min frequency sketch with PORTABLE hashes, self-auditing: "
+    "d=4 rows x w=256 counters over per-user event counts; the point "
+    "estimate (min over rows of the hashed counter) is compared to "
+    "the exact count for the top-20 users — overcount >= 0 by "
+    "construction, and every value is oracle-exact because the row "
+    "hashes are md5-48 mod w (the b102 portability discipline "
+    "applied to the frequency-sketch family: KMV = distinct, "
+    "Misra-Gries = heavy hitters, CM = point frequency).  Mergeable "
+    "shape: counters are sums, so partial sketches combine by "
+    "addition; the only full-data pass is the per-user count — the "
+    "sketch itself is built from the AGGREGATE, and the counter "
+    "table is d*w rows regardless of corpus size.",
+)
+def b141_countmin_frequency(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ex = (ev.groupBy("user_id")
+          .agg(F.count("*").cast("long").alias("n"))
+          .localCheckpoint(eager=True))
+    hashes = (ex.select(
+        "user_id", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
+        .withColumn(
+            "b",
+            F.pmod(F.conv(F.substring(F.md5(
+                F.concat_ws(":", F.col("r"), F.col("user_id"))), 1, 12),
+                16, 10).cast("long"), F.lit(256)).cast("long")))
+    counters = (hashes.groupBy("r", "b")
+                .agg(F.sum("n").cast("long").alias("cnt")))
+    est = (hashes.join(counters, ["r", "b"])
+           .groupBy("user_id")
+           .agg(F.min("cnt").cast("long").alias("est")))
+    return (ex.join(est, "user_id")
+            .select("user_id", F.col("n").alias("n_exact"), "est",
+                    (F.col("est") - F.col("n")).cast("long")
+                    .alias("overcount"))
+            .orderBy(F.desc("n_exact"), "user_id").limit(20))

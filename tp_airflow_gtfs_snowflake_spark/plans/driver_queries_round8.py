@@ -1293,3 +1293,67 @@ def b141_countmin_frequency(spark: SparkSession,
                     (F.col("est") - F.col("n")).cast("long")
                     .alias("overcount"))
             .orderBy(F.desc("n_exact"), "user_id").limit(20))
+
+
+@_register(
+    "c124_priority_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               ::BIGINT AS hv
+      FROM documents
+    ), pr AS (
+      SELECT doc_id, w, w * 68719476736 // (hv // 4096 + 1) AS p
+      FROM h
+    ), top AS (
+      SELECT doc_id, w, p,
+             row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+      FROM pr
+    ), tau AS (
+      SELECT coalesce(max(CASE WHEN rn = 51 THEN p END), 0) AS tau
+      FROM top
+    ), samp AS (
+      SELECT doc_id, w, p FROM top WHERE rn <= 50
+    )
+    SELECT s.doc_id, s.w, CAST(s.p AS BIGINT) AS priority,
+           CAST((SELECT sum(greatest(w, tau)) FROM samp, tau)
+                AS BIGINT) AS est_total_w
+    FROM samp s, tau
+    ORDER BY s.doc_id
+    """,
+    "PRIORITY SAMPLING (Duffield-Lund-Thorup): a one-pass weighted "
+    "sample-without-replacement of the corpus — each doc gets "
+    "priority w/u with u a uniform from its portable md5-48 hash "
+    "(integer-scaled: w * 2^36 div (h/4096 + 1), bounded below "
+    "2^63 for any realistic weight), the k=50 largest priorities "
+    "are the sample, and the (k+1)-th priority tau yields the "
+    "unbiased Horvitz-Thompson total-weight estimate "
+    "sum(max(w, tau)).  THE primitive for weighted training-mix "
+    "subsampling at 100 TB: one narrow map + one top-k "
+    "(TakeOrderedAndProject), no per-stratum passes, deterministic "
+    "and replayable because the randomness is a content hash.  "
+    "Weights here are doc lengths (sample tokens, not documents).",
+)
+def c124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pr = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w"),
+        F.expr("CAST(n_chars AS BIGINT) * 68719476736 div "
+               "(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
+               "16, 10) div 4096 + 1)").cast("long").alias("p"))
+    top51 = pr.orderBy(F.desc("p"), "doc_id").limit(51)
+    from pyspark.sql import Window as W
+    ranked = top51.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("p"), "doc_id")))
+    tau = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("rn") == 51, F.col("p"))),
+                   F.lit(0)).cast("long").alias("tau"))
+    samp = ranked.filter(F.col("rn") <= 50).select("doc_id", "w", "p")
+    est = (samp.crossJoin(F.broadcast(tau))
+           .agg(F.sum(F.greatest("w", "tau")).cast("long")
+                .alias("est_total_w")))
+    return (samp.crossJoin(F.broadcast(est))
+            .select("doc_id", "w", F.col("p").alias("priority"),
+                    "est_total_w")
+            .orderBy("doc_id"))

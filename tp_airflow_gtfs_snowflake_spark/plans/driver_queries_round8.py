@@ -1342,7 +1342,10 @@ def c124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_chars AS BIGINT) * 68719476736 div "
                "(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
                "16, 10) div 4096 + 1)").cast("long").alias("p"))
-    top51 = pr.orderBy(F.desc("p"), "doc_id").limit(51)
+    # materialize the 51-row top set: samp/tau/est all branch from it,
+    # and without the cut each branch re-executes the corpus scan
+    top51 = (pr.orderBy(F.desc("p"), "doc_id").limit(51)
+             .localCheckpoint(eager=True))
     from pyspark.sql import Window as W
     ranked = top51.withColumn(
         "rn", F.row_number().over(W.orderBy(F.desc("p"), "doc_id")))

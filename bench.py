@@ -83,6 +83,9 @@ HEADLINE = [
     "b137_theil_sen_slope",        # pairwise-slope robust trend
     "c119_modularity_int",         # community-quality integer audit
     "c120_matryoshka_audit",       # prefix-dim vs full-dim ANN audit
+    "c121_lexical_diversity",      # Simpson/TTR text-quality map
+    "b141_countmin_frequency",     # mergeable CM frequency sketch
+    "c124_priority_sample",        # weighted one-pass subsample
 ]
 
 

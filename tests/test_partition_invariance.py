@@ -53,7 +53,7 @@ _EXTRA_INVARIANCE = [
     "b139_holt_linear_forecast", "c121_lexical_diversity",
     "c122_rouge_dup_audit", "c123_lsh_band_sweep",
     "b140_streaming_dedup_restart", "b141_countmin_frequency",
-    "c124_priority_sample",
+    "c124_priority_sample", "c125_minhash_estimate_error",
 ]
 
 

@@ -1360,3 +1360,89 @@ def c124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "w", F.col("p").alias("priority"),
                     "est_total_w")
             .orderBy("doc_id"))
+
+
+def _c125_oracle() -> str:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _duck_hash64, _duck_minhash_mins, _duck_shingles, _duck_toks)
+
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(16))
+    return f"""
+    WITH t AS (SELECT doc_id, {_duck_toks()} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_duck_shingles(3)}) AS sh FROM t),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {_D.MINHASH_P} AS h
+           FROM sh),
+    m AS (SELECT doc_id, {_duck_minhash_mins(16)} FROM hx
+          GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), ex AS (
+      SELECT p.d1, p.d2,
+             p.n_common * 1000000
+               // (x.n_sh + y.n_sh - p.n_common) AS exact_ppm
+      FROM pairs p JOIN sizes x ON x.doc_id = p.d1
+                   JOIN sizes y ON y.doc_id = p.d2
+      WHERE p.n_common * 1.0
+            / (x.n_sh + y.n_sh - p.n_common) >= 0.5
+    )
+    SELECT e.d1, e.d2,
+           CAST(({agree}) * 1000000 // 16 AS BIGINT) AS est_ppm,
+           CAST(e.exact_ppm AS BIGINT) AS exact_ppm,
+           CAST(abs(({agree}) * 1000000 // 16 - e.exact_ppm)
+                AS BIGINT) AS abs_err_ppm
+    FROM ex e JOIN m a ON a.doc_id = e.d1
+              JOIN m b ON b.doc_id = e.d2
+    ORDER BY e.d1, e.d2
+    """
+
+
+@_register(
+    "c125_minhash_estimate_error",
+    _c125_oracle(),
+    "MinHash ACCURACY audit: for every verified near-dup pair, the "
+    "signature-agreement Jaccard estimate (matching slots / 16, "
+    "integer ppm) next to the exact n-gram Jaccard and the absolute "
+    "error — the number that tells you whether 16 hashes are enough "
+    "for your threshold or you need 64 (E[err] ~ 1/sqrt(k)).  The "
+    "estimate is the quantity LSH banding implicitly thresholds, so "
+    "auditing it against exact truth on real pairs closes the loop "
+    "the c80/c123 candidate-level audits open.  Signatures are the "
+    "portable 16-slot table (one narrow pass); the exact side reuses "
+    "the inverted-index pair derivation; per-pair work is a "
+    "zip_with over two 16-element arrays.",
+)
+def c125_minhash_estimate_error(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as _D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _spread)
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    sigs = _D.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=16, shingle_n=3,
+        hash_fn=_D.portable_hash64)
+    pairs = (_D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.5, keep_sizes=True)
+             .select("d1", "d2",
+                     F.expr("n_common * 1000000 div "
+                            "(n1 + n2 - n_common)").alias("exact_ppm")))
+    a = sigs.select(F.col("doc_id").alias("d1"),
+                    F.col("signature").alias("sig1"))
+    b = sigs.select(F.col("doc_id").alias("d2"),
+                    F.col("signature").alias("sig2"))
+    est = F.expr("aggregate(zip_with(sig1, sig2, "
+                 "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+                 "0, (acc, v) -> acc + v) * 1000000 div 16")
+    return (pairs.join(a, "d1").join(b, "d2")
+            .select("d1", "d2",
+                    est.cast("long").alias("est_ppm"),
+                    F.col("exact_ppm").cast("long").alias("exact_ppm"),
+                    F.abs(est - F.col("exact_ppm")).cast("long")
+                    .alias("abs_err_ppm"))
+            .orderBy("d1", "d2"))

@@ -1446,3 +1446,87 @@ def c125_minhash_estimate_error(spark: SparkSession,
                     F.abs(est - F.col("exact_ppm")).cast("long")
                     .alias("abs_err_ppm"))
             .orderBy("d1", "d2"))
+
+
+@_register(
+    "b142_streaming_late_data_drop",
+    """
+    SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY day ORDER BY day
+    """,
+    "WATERMARK SEMANTICS value-oracled: a tumbling daily count with a "
+    "1-hour watermark ingests all events, then — after a checkpoint "
+    "restart — a verbatim re-delivery of the EARLIEST day's events "
+    "arrives far behind the watermark.  Append-mode window "
+    "aggregation must discard those late rows (their windows are "
+    "finalized); two far-future sentinel batches then advance the "
+    "watermark so every real window flushes to the exactly-once file "
+    "sink.  The oracle is plain batch SQL over events: if late rows "
+    "leak into closed windows (or a window double-emits after the "
+    "restart) the counts inflate and the hash flips.  Completes the "
+    "streaming hard-signal set: exactly-once (b134), sketch state "
+    "(b135), stateful timers (b136), dedup state (b140), and now "
+    "late-data discard.",
+)
+def b142_streaming_late_data_drop(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    base = tempfile.mkdtemp(prefix="b142_late_")
+    landing = f"{base}/landing"
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+
+    def start():
+        stream = spark.readStream.schema(ev.schema).parquet(landing)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 day").alias("w"))
+               .agg(F.count("*").alias("n_events"))
+               .select(F.datediff(F.col("w.start").cast("date"),
+                                  F.lit("2024-01-01").cast("date"))
+                       .alias("day"),
+                       "n_events"))
+        return (agg.writeStream.outputMode("append")
+                .format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt))
+
+    # phase 1: everything lands; most windows stay open (unflushed)
+    ev.repartition(2).write.parquet(landing)
+    q = start().trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # phase 2 (restart): re-deliver the earliest day's rows — far
+    # behind the checkpointed watermark — then two sentinel batches
+    # flush every real window
+    q = start().start()
+    first_day_end = lo - (lo % 86_400_000_000) + 86_400_000_000
+    (ev.filter(F.unix_micros("ts") < first_day_end).repartition(1)
+     .write.mode("append").parquet(landing))
+    q.processAllAvailable()
+    for off in (90_000_000_000, 90_060_000_000):  # ~25h past max
+        (spark.range(1)
+         .select(F.lit(-1).cast("long").alias("user_id"),
+                 F.timestamp_micros(F.lit(hi + off)).alias("ts"))
+         .write.mode("append").parquet(landing))
+        q.processAllAvailable()
+    q.stop()
+
+    # drop the sentinel windows: real days end at max(ts)'s day
+    # (2024-01-01 is day 19723 of the unix epoch)
+    max_real_day = hi // 86_400_000_000 - 19723
+    counts = (spark.read.parquet(sink)
+              .filter(F.col("day") <= F.lit(int(max_real_day))))
+    # the streamed value under test is n_events; n_users joins in
+    # from an exact batch aggregate so the oracle's countDistinct
+    # has a bit-exact twin (approx_count_distinct is not oracle-able)
+    exact_users = (ev.groupBy(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users")))
+    return (counts.select("day", F.col("n_events").cast("long")
+                          .alias("n_events"))
+            .join(exact_users, "day")
+            .orderBy("day"))

@@ -104,7 +104,7 @@ _DRIVER_VERIFIED = [
 _NEW_THIS_ROUND = [
     "b134_streaming_ingest_restart", "b135_streaming_kmv_state",
     "b136_streaming_session_close", "b140_streaming_dedup_restart",
-    "b142_streaming_late_data_drop",
+    "b142_streaming_late_data_drop", "b143_streaming_stream_join",
     "b102_kmv_distinct_estimate", "b103_kmv_intersection_estimate",
     "b122_kmv_difference_estimate",
 ]

@@ -54,7 +54,7 @@ _EXTRA_INVARIANCE = [
     "c122_rouge_dup_audit", "c123_lsh_band_sweep",
     "b140_streaming_dedup_restart", "b141_countmin_frequency",
     "c124_priority_sample", "c125_minhash_estimate_error",
-    "b142_streaming_late_data_drop",
+    "b142_streaming_late_data_drop", "b143_streaming_stream_join",
 ]
 
 

@@ -1530,3 +1530,86 @@ def b142_streaming_late_data_drop(spark: SparkSession,
                           .alias("n_events"))
             .join(exact_users, "day")
             .orderBy("day"))
+
+
+@_register(
+    "b143_streaming_stream_join",
+    """
+    WITH p AS (
+      SELECT a.event_type AS cur_type, b.event_type AS prev_type,
+             epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts < a.ts
+       AND b.ts >= a.ts - INTERVAL 1 HOUR
+    )
+    SELECT cur_type, prev_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(gap_us) AS BIGINT) AS gap_us_sum
+    FROM p GROUP BY cur_type, prev_type
+    ORDER BY cur_type, prev_type
+    """,
+    "STREAM-STREAM JOIN value-oracled (the last streaming operator "
+    "class on pytest-only evidence): a watermarked self-join of the "
+    "event stream — each event joined to the SAME user's events in "
+    "the preceding hour — run across a CHECKPOINT RESTART, so "
+    "cross-phase pairs (current side in phase 2, prior side in "
+    "phase 1) must come out of the restored join state, and the "
+    "range condition bounds that state to the watermark horizon.  "
+    "Joined pairs land in the exactly-once file sink; the oracle is "
+    "the batch theta self-join.  Missing state (lost pairs), "
+    "re-emission (duplicated pairs), or wrong range pruning all "
+    "flip the per-type-pair counts and gap sums.",
+)
+def b143_streaming_stream_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts",
+                                            "event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="b143_ssj_")
+    landing = f"{base}/landing"
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+
+    def start():
+        cur = (spark.readStream.schema(ev.schema).parquet(landing)
+               .withWatermark("ts", "2 hours")
+               .select(F.col("user_id").alias("u"),
+                       F.col("ts").alias("cur_ts"),
+                       F.col("event_type").alias("cur_type")))
+        prev = (spark.readStream.schema(ev.schema).parquet(landing)
+                .withWatermark("ts", "2 hours")
+                .select(F.col("user_id").alias("pu"),
+                        F.col("ts").alias("prev_ts"),
+                        F.col("event_type").alias("prev_type")))
+        joined = (cur.join(
+            prev,
+            (F.col("u") == F.col("pu"))
+            & (F.col("prev_ts") < F.col("cur_ts"))
+            & (F.col("prev_ts")
+               >= F.col("cur_ts") - F.expr("INTERVAL 1 HOUR")))
+            .select("cur_type", "prev_type",
+                    (F.unix_micros("cur_ts") - F.unix_micros("prev_ts"))
+                    .alias("gap_us")))
+        return (joined.writeStream.outputMode("append")
+                .format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt))
+
+    # two event-time-ordered phases around a restart: cross-boundary
+    # pairs must be served from the restored right-side join state
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).first()
+    mid = (lo + hi) // 2
+    us = F.unix_micros("ts")
+    ev.filter(us < mid).repartition(2).write.parquet(landing)
+    q = start().trigger(availableNow=True).start()
+    q.awaitTermination()
+    (ev.filter(us >= mid).repartition(2)
+     .write.mode("append").parquet(landing))
+    q = start().trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return (spark.read.parquet(sink)
+            .groupBy("cur_type", "prev_type")
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum("gap_us").cast("long").alias("gap_us_sum"))
+            .orderBy("cur_type", "prev_type"))

@@ -55,6 +55,8 @@ _EXTRA_INVARIANCE = [
     "b140_streaming_dedup_restart", "b141_countmin_frequency",
     "c124_priority_sample", "c125_minhash_estimate_error",
     "b142_streaming_late_data_drop", "b143_streaming_stream_join",
+    "b144_bloom_membership", "c126_sampled_quantiles",
+    "b145_streaming_cdc_upsert", "c127_knn_label_consistency",
 ]
 
 

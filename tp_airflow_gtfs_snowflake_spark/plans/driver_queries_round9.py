@@ -1,0 +1,469 @@
+"""Round-9 registry additions (driver round 5, late batch).
+
+Closes the last open corners of the sketch and streaming families and
+adds an embedding-eval query:
+
+- b144 Bloom-filter membership sketch with a MEASURED false-positive
+  audit — completes the mergeable-sketch set (KMV distinct b102,
+  Misra-Gries heavy hitters c38, Count-Min frequency b141, and now
+  Bloom membership).  Like the others it is built on the portable
+  md5-48 hash so the DuckDB oracle reproduces every bit position and
+  every claimed/actual membership verdict exactly.
+- c126 bottom-k-by-hash sampled quantiles — the mergeable scale path
+  that b20/b23 document ("switch to a sketch at 100 TB") but could
+  not oracle: a bottom-k uniform sample IS deterministic under the
+  portable hash, so its quantile estimates value-hash match, and the
+  query reports estimate-vs-exact error per percentile.
+- b145 streaming CDC upsert: foreachBatch latest-wins MERGE into a
+  keyed table across a CHECKPOINT RESTART — the seventh streaming
+  value-hash row, covering the update-in-place loader class (b134
+  covered append-only exactly-once).
+- c127 kNN label-consistency eval over the embeddings table (the
+  standard embedding-QA probe: does a vector's 5-NN majority label
+  agree with its own label?), exact and fully oracled.
+
+Reference parity: the reference's loader DAGs are append-only COPY
+INTO + idempotent re-runs (dags/gtfs_static_daily.py); b145
+reconstructs the keyed-upsert half of that contract on Structured
+Streaming checkpoints.  The sketch/eval queries extend the
+training-data-pipeline tier the charter grades alongside SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tp_airflow_gtfs_snowflake_spark.functions.vectors import cosine
+from tp_airflow_gtfs_snowflake_spark.operators.kmv import portable_hash48
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+    _register, _t)
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round8 import (
+    _two_phase_stream)
+
+# Portable hash idiom shared by every oracle in this module.
+_H48 = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 12) AS BIGINT)"
+
+# ---------------------------------------------------------------------
+# b144: Bloom-filter membership sketch + false-positive audit
+# ---------------------------------------------------------------------
+
+_BLOOM_M = 16384   # bits
+_BLOOM_K = 4       # hash functions
+
+
+def _bloom_positions_sql(key: str) -> str:
+    """The j-th bit position for ``key`` (j cross-joined in): an
+    INDEPENDENT salted hash per j.  Affine transforms of one hash
+    (the KMV minhash trick) would collapse here: m divides 2^48, so
+    (a*h+b) mod 2^48 mod m is a function of h mod m alone and all k
+    positions would be perfectly correlated — one effective hash and
+    a measured FP rate ~8x the k=4 design point."""
+    h = _H48.format(c=f"CAST(j AS VARCHAR) || '#' || {key}")
+    return f"{h} % {_BLOOM_M}"
+
+
+_BLOOM_KEY = ("CAST(user_id AS VARCHAR) || '|' || "
+              "CAST(CAST(ts AS DATE) AS VARCHAR)")
+
+
+@_register(
+    "b144_bloom_membership",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT user_id, {_BLOOM_KEY} AS key
+      FROM events WHERE event_type = 'purchase'
+    ), probes AS (
+      SELECT DISTINCT user_id, {_BLOOM_KEY} AS key
+      FROM events WHERE event_type = 'error'
+    ), js AS (
+      SELECT unnest(range(0, {_BLOOM_K})) AS j
+    ), bits AS (
+      SELECT DISTINCT {_bloom_positions_sql('key')} AS pos
+      FROM members CROSS JOIN js
+    ), pp AS (
+      SELECT user_id, key,
+             {_bloom_positions_sql('key')} AS pos
+      FROM probes CROSS JOIN js
+    ), pm AS (
+      SELECT user_id, key,
+             sum(CASE WHEN pos IN (SELECT pos FROM bits)
+                      THEN 1 ELSE 0 END) AS nset
+      FROM pp GROUP BY user_id, key
+    ), lab AS (
+      SELECT user_id % 4 AS bucket,
+             CASE WHEN nset = {_BLOOM_K} THEN 1 ELSE 0 END AS claimed,
+             CASE WHEN key IN (SELECT key FROM members)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM pm
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(claimed) AS BIGINT) AS n_claimed,
+           CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN claimed = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM lab GROUP BY bucket ORDER BY bucket
+    """,
+    "Bloom-filter membership sketch, fully value-oracled — completes "
+    "the mergeable-sketch family (KMV b102 / Misra-Gries c38 / "
+    f"Count-Min b141 / Bloom).  A {_BLOOM_M}-bit, k={_BLOOM_K} filter "
+    "is built over (user, day) purchase-activity keys (bit positions "
+    "= k independent salted portable md5-48 hashes, so the oracle "
+    "reproduces every bit) and probed with (user, day) error keys — "
+    "a grain where member and non-member probes genuinely mix; the "
+    "output audits claimed membership against exact membership per "
+    "user bucket — n_false_pos IS the measured FP count, and a "
+    "member probe that fails the filter (impossible by construction) "
+    "would flip n_claimed.  Scale shape: the bit set is a "
+    f"DISTINCT over <= {_BLOOM_M} positions (mergeable, "
+    "idempotent union — the streaming/multi-shard merge is a bitmap "
+    "OR), broadcast to the probe side; each side shuffles only "
+    "distinct keys.  At 100 TB this is the pre-filter that "
+    "skips the heavy anti-join (c30/c95 decontamination) for the "
+    "~99% of probes the filter rejects.",
+)
+def b144_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    key = F.concat_ws("|", F.col("user_id").cast("string"),
+                      F.col("ts").cast("date").cast("string"))
+    members = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id", key.alias("key")).distinct())
+    probes = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", key.alias("key")).distinct())
+
+    def positions(df: DataFrame) -> DataFrame:
+        # k INDEPENDENT salted hashes (see _bloom_positions_sql: an
+        # affine family of ONE hash degenerates because m | 2^48).
+        pos = [portable_hash48(
+                   F.concat_ws("#", F.lit(str(j)), F.col("key")))
+               % F.lit(_BLOOM_M)
+               for j in range(_BLOOM_K)]
+        return df.select("user_id", "key",
+                         F.explode(F.array(*pos)).alias("pos"))
+
+    bits = positions(members).select("pos").distinct()
+    probe_hits = (positions(probes)
+                  .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                        "pos", "left")
+                  .groupBy("user_id", "key")
+                  .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                       .alias("nset")))
+    lab = (probe_hits
+           .join(F.broadcast(members.select("key")
+                             .withColumn("is_m", F.lit(1))),
+                 "key", "left")
+           .select((F.col("user_id") % 4).alias("bucket"),
+                   F.when(F.col("nset") == _BLOOM_K, 1).otherwise(0)
+                   .alias("claimed"),
+                   F.coalesce(F.col("is_m"), F.lit(0)).alias("is_member")))
+    return (lab.groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_probes"),
+                 F.sum("claimed").cast("long").alias("n_claimed"),
+                 F.sum("is_member").cast("long").alias("n_members"),
+                 F.sum(F.when((F.col("claimed") == 1)
+                              & (F.col("is_member") == 0), 1)
+                       .otherwise(0)).cast("long").alias("n_false_pos"))
+            .withColumn("bucket", F.col("bucket").cast("long"))
+            .select("bucket", "n_probes", "n_claimed", "n_members",
+                    "n_false_pos")
+            .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------
+# c126: bottom-k-by-hash sampled quantiles vs exact
+# ---------------------------------------------------------------------
+
+_SAMPLE_K = 400
+_QUANTILE_PCTS = (25, 50, 75, 90)
+
+
+@_register(
+    "c126_sampled_quantiles",
+    f"""
+    WITH ps AS (
+      SELECT unnest([{', '.join(str(p) for p in _QUANTILE_PCTS)}]) AS p_pct
+    ), s AS (
+      SELECT n_chars
+      FROM documents
+      ORDER BY {_H48.format(c='doc_id')}, doc_id
+      LIMIT {_SAMPLE_K}
+    ), sr AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS n
+      FROM s
+    ), samp AS (
+      SELECT p_pct, min(n_chars) AS sample_q
+      FROM sr JOIN ps ON rn * 100 >= p_pct * n GROUP BY p_pct
+    ), er AS (
+      SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ), ex AS (
+      SELECT p_pct, min(n_chars) AS exact_q
+      FROM er JOIN ps ON rn * 100 >= p_pct * n GROUP BY p_pct
+    )
+    SELECT CAST(samp.p_pct AS BIGINT) AS p_pct,
+           CAST(sample_q AS BIGINT) AS sample_q,
+           CAST(exact_q AS BIGINT) AS exact_q,
+           CAST(abs(sample_q - exact_q) AS BIGINT) AS abs_err
+    FROM samp JOIN ex ON samp.p_pct = ex.p_pct
+    ORDER BY p_pct
+    """,
+    "Sampled quantiles via a bottom-k-by-hash uniform sample, with "
+    "measured error vs the exact quantile — the mergeable scale path "
+    "b20/b23 document for 100 TB percentiles, made value-oracle-able "
+    "because a bottom-k sample under the portable md5-48 hash is a "
+    "pure function of the key set (same keys -> same sample in any "
+    f"engine).  The k={_SAMPLE_K} sample compiles to "
+    "TakeOrderedAndProject (per-partition top-k + driver merge, no "
+    "global sort — the same mergeable 'k smallest hashes' state as "
+    "the KMV sketch, here carrying the VALUE next to the hash); the "
+    "exact side collapses the corpus to a value histogram first and "
+    "reads the discrete quantile off the cumulative counts (b77 "
+    "weighted-median shape — no global row sort either).  Discrete "
+    "(type-1) quantile semantics on both sides: smallest value with "
+    "cume count >= ceil(p*n), which DuckDB's quantile_disc computes "
+    "(equivalence verified by b75).",
+)
+def c126_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ps = F.explode(F.array(*[F.lit(p) for p in _QUANTILE_PCTS]))
+
+    # sample side: k smallest (hash, doc_id) rows -> TakeOrdered; the
+    # quantile is then an in-array lookup on <= k elements.
+    sample = (docs
+              .select("n_chars", "doc_id",
+                      portable_hash48(F.col("doc_id")).alias("h"))
+              .orderBy("h", "doc_id")
+              .limit(_SAMPLE_K)
+              .agg(F.array_sort(F.collect_list("n_chars")).alias("arr"))
+              .select(ps.alias("p_pct"), "arr")
+              .select("p_pct",
+                      F.element_at(
+                          F.col("arr"),
+                          F.expr("CAST((p_pct * size(arr) + 99) DIV 100"
+                                 " AS INT)"))
+                      .alias("sample_q")))
+
+    # exact side: value histogram + cumulative counts; smallest value
+    # whose cumulative count reaches ceil(p*n).
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(
+            W.orderBy("n_chars")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    total = docs.agg(F.count("*").alias("n"))
+    exact = (cum.crossJoin(F.broadcast(total))
+             .select("n_chars", "cum", "n")
+             .crossJoin(F.broadcast(
+                 spark.range(1).select(ps.alias("p_pct"))))
+             .filter(F.col("cum") * 100
+                     >= F.col("p_pct") * F.col("n"))
+             .groupBy("p_pct")
+             .agg(F.min("n_chars").alias("exact_q")))
+
+    return (sample.join(exact, "p_pct")
+            .select(F.col("p_pct").cast("long").alias("p_pct"),
+                    F.col("sample_q").cast("long").alias("sample_q"),
+                    F.col("exact_q").cast("long").alias("exact_q"),
+                    F.abs(F.col("sample_q") - F.col("exact_q"))
+                    .cast("long").alias("abs_err"))
+            .orderBy("p_pct"))
+
+
+# ---------------------------------------------------------------------
+# b145: streaming CDC upsert (latest-wins) across a restart
+# ---------------------------------------------------------------------
+
+@_register(
+    "b145_streaming_cdc_upsert",
+    """
+    WITH k AS (
+      SELECT user_id, event_type, value,
+             CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us,
+             lpad(CAST(CAST(floor(epoch_us(ts)) AS BIGINT) AS VARCHAR),
+                  19, '0') ||
+             lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
+      FROM events
+    ), latest AS (
+      SELECT user_id,
+             arg_max(event_type, ord) AS event_type,
+             arg_max(value, ord)      AS value,
+             arg_max(ts_us, ord)      AS ts_us
+      FROM k GROUP BY user_id
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(sum(ts_us) AS BIGINT) AS ts_us_sum
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+    "STREAMING CDC UPSERT value-oracled (seventh streaming hash row): "
+    "a foreachBatch latest-wins keyed MERGE (operators/incremental."
+    "merge_upsert — the update-in-place loader b134's append-only "
+    "ingest can't express) applied per micro-batch across a "
+    "CHECKPOINT RESTART.  Files land in two phases split by event-id "
+    "parity, so both override directions occur across the restart "
+    "boundary: phase-2 rows must beat phase-1 rows for the same user "
+    "iff their (ts, event_id) order key is higher, and must LOSE "
+    "otherwise — stale-update-wins, lost state, or re-applied "
+    "batches all shift the per-type user counts and timestamp sums.  "
+    "The oracle is the batch arg_max spec over all of events.  The "
+    "merge itself is one max_by hash aggregate per batch (no window "
+    "sort) and is idempotent+commutative across batches, which is "
+    "exactly why at-least-once replay after the restart stays "
+    "correct.  At 100 TB the same call takes partition_col so a "
+    "trickle of updates rewrites only touched partitions.",
+)
+def b145_streaming_cdc_upsert(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.incremental import (
+        merge_upsert)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts")
+    base = tempfile.mkdtemp(prefix="b145_cdc_")
+    table = f"{base}/table"
+    ckpt = f"{base}/ckpt"
+
+    def run(landing: str) -> None:
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(landing))
+
+        def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+            upd = (batch.withColumn(
+                "ts_us", F.unix_micros("ts"))
+                .withColumn(
+                    "ord",
+                    F.concat(
+                        F.lpad(F.col("ts_us").cast("string"), 19, "0"),
+                        F.lpad(F.col("event_id").cast("string"), 19, "0")))
+                .select("user_id", "event_type", "value", "ts_us", "ord"))
+            if upd.isEmpty():
+                return
+            merge_upsert(spark, upd, table,
+                         key_cols=["user_id"], order_col="ord")
+
+        q = (stream.writeStream.foreachBatch(apply_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _two_phase_stream(spark, ev, base, run)
+
+    final = spark.read.parquet(table)
+    return (final.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("value_cents"),
+                 F.sum("ts_us").cast("long").alias("ts_us_sum"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------
+# c127: kNN label-consistency eval over embeddings
+# ---------------------------------------------------------------------
+
+_KNN_PROBES = 100
+_KNN_K = 5
+
+
+@_register(
+    "c127_knn_label_consistency",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb
+      FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[],
+                             embedding::DOUBLE[]) > 0
+    ), p AS (
+      SELECT vec_id AS pid, label AS plabel, emb AS pemb
+      FROM e
+      ORDER BY {_H48.format(c='vec_id')}, vec_id
+      LIMIT {_KNN_PROBES}
+    ), scored AS (
+      SELECT pid, plabel, c.vec_id AS nid, c.label AS nlabel,
+             CAST(round(round(list_cosine_similarity(pemb, c.emb), 6)
+                        * 1000000) AS BIGINT) AS sim
+      FROM p JOIN e c ON c.vec_id <> p.pid
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY pid
+                                   ORDER BY sim DESC, nid) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT pid, plabel, nlabel, count(*) AS cnt
+      FROM r WHERE rn <= {_KNN_K} GROUP BY pid, plabel, nlabel
+    ), pred AS (
+      SELECT pid, plabel,
+             arg_max(nlabel, cnt * 100 - nlabel) AS pred_label
+      FROM votes GROUP BY pid, plabel
+    )
+    SELECT CAST(plabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = plabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY plabel ORDER BY label
+    """,
+    "Embedding-QA eval: does each vector's 5-NN majority label agree "
+    "with its own label?  (The standard label-noise / embedding-"
+    f"quality probe; c61 ranks within-label outliers, this scores "
+    "cross-label consistency.)  A deterministic bottom-"
+    f"{_KNN_PROBES}-by-hash probe set broadcasts against the corpus; "
+    "similarities are 6dp-rounded then fixed to integer micro-units "
+    "BEFORE ranking (float sims are never hash-safe), ties broken by "
+    "neighbor id; the majority vote uses the cnt*100-label arg_max "
+    "so count ties go to the smallest label in both engines.  Scale "
+    "shape: probe set bounded and broadcast, the scored relation is "
+    "|probes| x corpus NARROW rows (4 ints) with ONE shuffle on "
+    "pid for the rank; at 100 TB swap the exhaustive scan for the "
+    "IVF/PQ preselection (c09/c26c) and keep the same rank+vote "
+    "tail.  Zero-norm vectors are excluded on BOTH sides (cosine is "
+    "undefined; Spark yields NULL, DuckDB NaN — excluding them is "
+    "the only ranking-safe cross-engine posture).",
+)
+def c127_knn_label_consistency(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = (emb.select("vec_id", "label", "embedding")
+         .filter(F.aggregate(
+             F.zip_with(F.col("embedding").cast("array<double>"),
+                        F.col("embedding").cast("array<double>"),
+                        lambda x, y: x * y),
+             F.lit(0.0), lambda a, x: a + x) > 0))
+    probes = (e.select(F.col("vec_id").alias("pid"),
+                       F.col("label").alias("plabel"),
+                       F.col("embedding").alias("pemb"),
+                       portable_hash48(F.col("vec_id")).alias("h"))
+              .orderBy("h", "vec_id")
+              .limit(_KNN_PROBES)
+              .drop("h"))
+    scored = (e.crossJoin(F.broadcast(probes))
+              .filter(F.col("vec_id") != F.col("pid"))
+              .select("pid", "plabel",
+                      F.col("vec_id").alias("nid"),
+                      F.col("label").alias("nlabel"),
+                      F.round(F.round(
+                          cosine(F.col("pemb"), F.col("embedding")), 6)
+                          * 1000000).cast("long").alias("sim")))
+    top = (scored
+           .withColumn("rn", F.row_number().over(
+               W.partitionBy("pid").orderBy(F.desc("sim"), "nid")))
+           .filter(F.col("rn") <= _KNN_K))
+    pred = (top.groupBy("pid", "plabel", "nlabel")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("pid", "plabel")
+            .agg(F.max_by(F.col("nlabel"),
+                          F.col("cnt") * 100 - F.col("nlabel"))
+                 .alias("pred_label")))
+    return (pred.groupBy("plabel")
+            .agg(F.count("*").cast("long").alias("n_probes"),
+                 F.sum(F.when(F.col("pred_label") == F.col("plabel"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+            .select(F.col("plabel").cast("long").alias("label"),
+                    "n_probes", "n_correct")
+            .orderBy("label"))

@@ -57,6 +57,8 @@ _EXTRA_INVARIANCE = [
     "b142_streaming_late_data_drop", "b143_streaming_stream_join",
     "b144_bloom_membership", "c126_sampled_quantiles",
     "b145_streaming_cdc_upsert", "c127_knn_label_consistency",
+    "b146_clamped_running_balance", "c128_dsir_importance",
+    "b147_top_session_paths",
 ]
 
 

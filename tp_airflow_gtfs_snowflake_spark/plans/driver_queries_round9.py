@@ -467,3 +467,256 @@ def c127_knn_label_consistency(spark: SparkSession,
             .select(F.col("plabel").cast("long").alias("label"),
                     "n_probes", "n_correct")
             .orderBy("label"))
+
+
+# ---------------------------------------------------------------------
+# b146: clamped running balance (Lindley recursion -> prefix-min)
+# ---------------------------------------------------------------------
+
+@_register(
+    "b146_clamped_running_balance",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(floor(value * 100) AS BIGINT)
+                  ELSE -CAST(floor(value * 100) AS BIGINT) END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), bal AS (
+      SELECT user_id, rn, greatest(0, delta) AS r
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, greatest(0, b.r + s.delta)
+      FROM bal b JOIN seq s
+        ON s.user_id = b.user_id AND s.rn = b.rn + 1
+    ), fin AS (
+      SELECT user_id, arg_max(r, rn) AS final_r, max(r) AS peak_r
+      FROM bal GROUP BY user_id
+    )
+    SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(final_r) AS BIGINT) AS final_cents,
+           CAST(sum(peak_r) AS BIGINT) AS peak_cents
+    FROM fin GROUP BY bucket ORDER BY bucket
+    """,
+    "Clamped-at-zero running balance (inventory / prepaid-wallet "
+    "semantics: credits add, debits subtract, balance never goes "
+    "negative — so the recurrence r_t = max(0, r_{t-1} + x_t) is "
+    "NON-linear and naive parallel prefix sums are wrong).  The "
+    "Spark side uses the Lindley-recursion identity r_t = S_t - "
+    "min(0, running_min(S_t)) — the same sequential-to-parallel "
+    "rewrite family as b95's Kadane identity — so the whole per-user "
+    "series costs ONE window shuffle (cumsum + running min share the "
+    "frame), while the oracle runs the literal sequential recurrence "
+    "as a recursive CTE.  Per-user finals and peaks roll up to 16 "
+    "user buckets covering every user.  At 100 TB the partition key "
+    "(user) is the shard key and no global ordering exists anywhere; "
+    "this is the canonical pattern for ledger replays, stockout "
+    "simulation, and token-bucket rate-limit audits on event logs.",
+)
+def b146_clamped_running_balance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    delta = (F.when(F.col("event_type").isin("purchase", "signup"), cents)
+             .otherwise(-cents))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    rows = (ev.select("user_id", "ts", "event_id", delta.alias("delta"))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("s", F.sum("delta").over(run))
+            .withColumn("m", F.min("s").over(run))
+            # Lindley: r = S - min(0, running min of S)
+            .withColumn("r", F.col("s")
+                        - F.least(F.lit(0).cast("long"), F.col("m"))))
+    fin = (rows.groupBy("user_id")
+           .agg(F.max_by("r", "rn").alias("final_r"),
+                F.max("r").alias("peak_r")))
+    return (fin.groupBy((F.col("user_id") % 16).cast("long")
+                        .alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_users"),
+                 F.sum("final_r").cast("long").alias("final_cents"),
+                 F.sum("peak_r").cast("long").alias("peak_cents"))
+            .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------
+# c128: DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------
+
+_DSIR_B = 8192            # hashed feature buckets
+_DSIR_TARGET = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@_register(
+    "c128_dsir_importance",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(g), 1, 12) AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM (SELECT doc_id, source,
+                   unnest(list_transform(
+                     range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM t)
+    ), tgt AS (
+      SELECT b, count(*) AS cnt_t FROM grams
+      WHERE source IN {_DSIR_TARGET} GROUP BY b
+    ), corp AS (
+      SELECT b, count(*) AS cnt_c FROM grams GROUP BY b
+    ), tot AS (
+      SELECT (SELECT count(*) FROM grams
+              WHERE source IN {_DSIR_TARGET}) AS n_t,
+             (SELECT count(*) FROM grams) AS n_c
+    ), ratio AS (
+      SELECT corp.b,
+             CAST(CAST(coalesce(cnt_t, 0) AS HUGEINT) * n_c * 1000000
+                  // (CAST(cnt_c AS HUGEINT) * n_t) AS BIGINT)
+               AS ratio_ppm
+      FROM corp LEFT JOIN tgt ON corp.b = tgt.b CROSS JOIN tot
+    )
+    SELECT doc_id, source,
+           CAST(sum(ratio_ppm) AS BIGINT) AS score,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM grams JOIN ratio USING (b)
+    GROUP BY doc_id, source
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    "DSIR-style data selection (Xie et al. 2023: importance "
+    "resampling over HASHED n-gram features): each doc scored by how "
+    "much its bigram-bucket distribution looks like a target slice "
+    f"(sources src0-src4) relative to the whole corpus, top-20 "
+    "selected.  Published DSIR sums log p_t/p_c per feature; this "
+    "sums the relative-frequency ratio in integer ppm (the same "
+    "log-free linearization as c115's odds-IDF — documented "
+    "deviation, monotone per feature) so every score is engine-"
+    f"exact.  Scale shape: grams collapse to {_DSIR_B} hashed "
+    "buckets (two mergeable counts), the ratio table is "
+    "broadcast-joined back to the gram stream, per-doc sums shuffle "
+    "doc keys once, and top-20 is TakeOrderedAndProject — the "
+    "feature space, not the corpus, bounds all state, which is "
+    "exactly why hashed DSIR runs at pretraining scale.",
+)
+def c128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    n = F.size(toks)
+    grams_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    targets = ["src0", "src1", "src2", "src3", "src4"]
+    grams = (docs.select("doc_id", "source",
+                         F.explode(grams_arr).alias("g"))
+             .withColumn("b", portable_hash48(F.col("g")) % _DSIR_B)
+             .drop("g"))
+    tgt = (grams.filter(F.col("source").isin(targets))
+           .groupBy("b").agg(F.count("*").alias("cnt_t")))
+    corp = grams.groupBy("b").agg(F.count("*").alias("cnt_c"))
+    tot = grams.agg(
+        F.sum(F.when(F.col("source").isin(targets), 1).otherwise(0))
+        .alias("n_t"),
+        F.count("*").alias("n_c"))
+    ratio = (corp.join(tgt, "b", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("b", F.expr(
+                 "CAST(CAST(coalesce(cnt_t, 0) AS DECIMAL(38,0)) "
+                 "* n_c * 1000000 "
+                 "div (CAST(cnt_c AS DECIMAL(38,0)) * n_t) AS BIGINT)")
+                 .alias("ratio_ppm")))
+    return (grams.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id", "source")
+            .agg(F.sum("ratio_ppm").cast("long").alias("score"),
+                 F.count("*").cast("long").alias("n_grams"))
+            .orderBy(F.desc("score"), "doc_id").limit(20))
+
+
+# ---------------------------------------------------------------------
+# b147: top session paths (user-flow analytics)
+# ---------------------------------------------------------------------
+
+@_register(
+    "b147_top_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f
+    ), g2 AS (
+      SELECT user_id, session_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, session_id) AS n_ev
+      FROM g
+    ), p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             max(n_ev) AS n_ev
+      FROM g2 WHERE rn <= 5 GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS sum_events
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    "Top user-flow paths: sessions (b29's 30-minute gaps-and-islands) "
+    "reduced to their first-5-step event-type path, ranked by "
+    "frequency — the 'common journeys' rollup product analytics "
+    "ships (and the sequence-mining sibling of b84's triple motifs "
+    "and b45's transition matrix).  Truncation happens BEFORE "
+    "collection: a per-session row_number filter keeps at most 5 "
+    "rows per session, so the ordered path build touches a bounded "
+    "slice regardless of session length (b48 documents why "
+    "unbounded LISTAGG is the anti-pattern).  One user-key shuffle "
+    "serves sessionization, the in-session rank, and the session "
+    "rollup; path counting shuffles only (path, counts) pairs and "
+    "the top-10 compiles to TakeOrderedAndProject.",
+)
+def b147_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (F.unix_micros(F.col("ts"))
+              - F.unix_micros(F.lag("ts").over(w)))
+    new_s = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1) \
+        .otherwise(0)
+    sess = (ev.select("user_id", "event_id", "ts", "event_type")
+            .withColumn("new_s", new_s)
+            .withColumn("session_id", F.sum("new_s").over(
+                w.rowsBetween(W.unboundedPreceding, 0))))
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = (sess
+              .withColumn("rn", F.row_number().over(ws))
+              .withColumn("n_ev", F.count("*").over(
+                  W.partitionBy("user_id", "session_id"))))
+    paths = (ranked.filter(F.col("rn") <= 5)
+             .groupBy("user_id", "session_id")
+             .agg(F.concat_ws(">", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda x: x["event_type"])).alias("path"),
+                  F.max("n_ev").alias("n_ev")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum("n_ev").cast("long").alias("sum_events"))
+            .orderBy(F.desc("n_sessions"), "path").limit(10))

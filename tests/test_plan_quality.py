@@ -970,3 +970,56 @@ def test_c116_iteration_runs_on_transition_aggregate(spark):
 def test_b138_l_diversity_is_single_scan(spark):
     p = _plan(spark, "b138_l_diversity")
     assert p.count("documents.parquet") == 1
+
+
+def test_b144_bloom_bit_set_and_membership_broadcast(spark):
+    """The <=16384-position bit set and the member-key table must
+    reach the probe side as broadcasts; nothing may degenerate to a
+    cartesian product."""
+    p = _plan(spark, "b144_bloom_membership")
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_c126_sample_side_is_take_ordered(spark):
+    """The bottom-k-by-hash sample must compile to
+    TakeOrderedAndProject (per-partition top-k + merge — the
+    mergeable sketch state), never a global Sort over the corpus."""
+    p = _plan(spark, "c126_sampled_quantiles")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_c127_probe_set_broadcasts(spark):
+    """The bounded probe set must broadcast against the corpus; the
+    deliberate crossJoin must be the broadcast nested-loop over the
+    100-row probe table, never a shuffled cartesian."""
+    p = _plan(spark, "c127_knn_label_consistency")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_b146_balance_is_single_user_shuffle(spark):
+    """Cumsum, running min, and row_number all run off ONE per-user
+    exchange (the two Window nodes — rank-based and frame-based —
+    stack on the same partitioning with no exchange between them);
+    the only other exchanges are the 16-bucket rollup and the final
+    16-row sort."""
+    import re
+    p = _plan(spark, "b146_clamped_running_balance")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) <= 2
+    assert "SinglePartition" not in p
+
+
+def test_c128_ratio_table_broadcasts_and_topk_is_take_ordered(spark):
+    """The 8192-bucket ratio table must broadcast back to the gram
+    stream, and the top-20 must be TakeOrderedAndProject."""
+    p = _plan(spark, "c128_dsir_importance")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_b147_path_topk_is_take_ordered(spark):
+    p = _plan(spark, "b147_top_session_paths")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

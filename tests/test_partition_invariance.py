@@ -58,7 +58,7 @@ _EXTRA_INVARIANCE = [
     "b144_bloom_membership", "c126_sampled_quantiles",
     "b145_streaming_cdc_upsert", "c127_knn_label_consistency",
     "b146_clamped_running_balance", "c128_dsir_importance",
-    "b147_top_session_paths",
+    "b147_top_session_paths", "b148_dense_global_ids",
 ]
 
 

@@ -1023,3 +1023,15 @@ def test_b147_path_topk_is_take_ordered(spark):
     p = _plan(spark, "b147_top_session_paths")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_b148_only_full_shuffle_is_the_day_block_window(spark):
+    """The global-id assignment must shuffle full rows ONCE (per-day
+    block window).  The second day-keyed exchange is the per-day
+    count: map-side combined, so it moves only |days x partitions|
+    partial rows.  The offset cumsum runs single-partition on that
+    tiny aggregate and joins back as a broadcast."""
+    p = _plan(spark, "b148_dense_global_ids")
+    assert p.count("hashpartitioning(day") <= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -720,3 +720,57 @@ def b147_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_sessions"),
                  F.sum("n_ev").cast("long").alias("sum_events"))
             .orderBy(F.desc("n_sessions"), "path").limit(10))
+
+
+# ---------------------------------------------------------------------
+# b148: dense global ids without a global sort (blocked two-pass)
+# ---------------------------------------------------------------------
+
+@_register(
+    "b148_dense_global_ids",
+    """
+    WITH r AS (
+      SELECT event_id,
+             row_number() OVER (ORDER BY ts, event_id) AS gid
+      FROM events
+    )
+    SELECT CAST(gid % 97 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(gid) AS BIGINT) AS gid_sum,
+           CAST(sum(event_id) AS BIGINT) AS eid_sum
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+    "Dense contiguous global ids (1..n in (ts, event_id) order) "
+    "WITHOUT a global sort — the surrogate-key / zipWithIndex "
+    "assignment exposed as a first-class surface (the blocked "
+    "two-pass pattern b47/b109/b123 use internally): local "
+    "row_number per day block (parallel window), day counts "
+    "cumsum'd on the tiny block table and broadcast back as "
+    "offsets, id = offset + local rank.  The oracle is the literal "
+    "global row_number; the output folds EVERY (id, event_id) "
+    "assignment into 97 bucket checksums, so any off-by-one, gap, "
+    "or block misordering flips a sum.  At 100 TB the block key "
+    "widens to (day, hour) to bound per-block skew; the only "
+    "full-data shuffle is the per-block window, and monotonically_"
+    "increasing_id (gappy) or zipWithIndex (two RDD passes, no "
+    "column pushdown) are the non-answers this replaces.",
+)
+def b148_dense_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    day = F.to_date("ts").alias("day")
+    local = (ev.select("event_id", "ts", day)
+             .withColumn("rn", F.row_number().over(
+                 W.partitionBy("day").orderBy("ts", "event_id"))))
+    counts = local.groupBy("day").agg(F.count("*").alias("cnt"))
+    offsets = (counts.withColumn(
+        "off", F.sum("cnt").over(
+            W.orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+        - F.col("cnt")).select("day", "off"))
+    ids = (local.join(F.broadcast(offsets), "day")
+           .select("event_id", (F.col("off") + F.col("rn")).alias("gid")))
+    return (ids.groupBy((F.col("gid") % 97).cast("long").alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("gid").cast("long").alias("gid_sum"),
+                 F.sum("event_id").cast("long").alias("eid_sum"))
+            .orderBy("bucket"))

@@ -86,6 +86,10 @@ HEADLINE = [
     "c121_lexical_diversity",      # Simpson/TTR text-quality map
     "b141_countmin_frequency",     # mergeable CM frequency sketch
     "c124_priority_sample",        # weighted one-pass subsample
+    "b144_bloom_membership",       # Bloom bit-set build + FP audit
+    "c128_dsir_importance",        # hashed-ngram importance weights
+    "b146_clamped_running_balance",  # Lindley prefix-min window
+    "b147_top_session_paths",      # session path mining top-k
 ]
 
 

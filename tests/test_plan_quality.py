@@ -1035,3 +1035,76 @@ def test_b148_only_full_shuffle_is_the_day_block_window(spark):
     assert p.count("hashpartitioning(day") <= 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_b149_bins_run_on_nchars_histogram(spark):
+    """The calibration audit scans the corpus ONCE into the
+    groupBy(n_chars) histogram; the midrank window and decile binning
+    run on |distinct n_chars| aggregated rows (the single-partition
+    exchange sits over the histogram aggregate, never the raw scan —
+    the registry-wide collapse gate double-checks that)."""
+    p = _plan(spark, "b149_ece_calibration_bins")
+    assert p.count("documents.parquet") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_b150_fact_aggregates_once(spark):
+    """The pooled re-aggregate must reuse the materialized |nations|
+    table, not rescan the orders-customer join: zero parquet scans in
+    the final plan (both branches read the checkpointed aggregate)
+    and the 1-row pooled side comes back as a broadcast."""
+    p = _plan(spark, "b150_simpson_reversal_audit")
+    assert "parquet" not in p  # per_nation is localCheckpointed
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_b151_both_direction_windows_share_one_user_exchange(spark):
+    """Nearest-within-tolerance as-of: the backward and forward
+    carry-forward windows must stack on ONE hashpartitioning(user_id)
+    exchange (they re-sort, never re-shuffle), and there is no join
+    anywhere — the LATERAL-rescan shape the oracle uses is exactly
+    what this operator avoids."""
+    p = _plan(spark, "b151_asof_tolerance_nearest")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+
+
+def test_b152_island_windows_are_user_partitioned(spark):
+    """Interval union: both windows (running max(end), island cumsum)
+    and the island aggregate run per-user; the only global step is
+    the 25-row TakeOrderedAndProject."""
+    p = _plan(spark, "b152_interval_union_coverage")
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+    assert p.count("hashpartitioning(user_id") >= 1
+
+
+def test_c129_blocked_pairs_join_is_equi_not_cartesian(spark):
+    """Edit-distance verify must pair candidates through the 16-char
+    block-key equi-join — never an all-pairs product — and the
+    top-100 by (lev, ids) must be TakeOrderedAndProject."""
+    p = _plan(spark, "c129_edit_distance_verify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_c130_corpus_explodes_once(spark):
+    """JSD: the token explode + groupBy(token) pivot is materialized
+    once (vocab-sized localCheckpoint); totals and the 10-way pair
+    explode both consume it, so the final plan has no parquet scan
+    and the 1-row totals join back as a broadcast."""
+    p = _plan(spark, "c130_jsd_lang_divergence")
+    assert "parquet" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_c131_mi_runs_on_contingency_table(spark):
+    """Purity/MI: one corpus shuffle into the contingency cells; the
+    marginal windows, argmax and MI terms all run on the checkpointed
+    ~|clusters|x|labels| aggregate (no parquet rescans)."""
+    p = _plan(spark, "c131_cluster_purity_mi")
+    assert "parquet" not in p
+    assert "SortMergeJoin" not in p

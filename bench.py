@@ -90,6 +90,9 @@ HEADLINE = [
     "c128_dsir_importance",        # hashed-ngram importance weights
     "b146_clamped_running_balance",  # Lindley prefix-min window
     "b147_top_session_paths",      # session path mining top-k
+    "b151_asof_tolerance_nearest",  # nearest as-of, two stacked windows
+    "b152_interval_union_coverage",  # interval union gaps-and-islands
+    "c130_jsd_lang_divergence",    # unigram JSD, pivot + pair explode
 ]
 
 

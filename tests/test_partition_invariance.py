@@ -59,6 +59,10 @@ _EXTRA_INVARIANCE = [
     "b145_streaming_cdc_upsert", "c127_knn_label_consistency",
     "b146_clamped_running_balance", "c128_dsir_importance",
     "b147_top_session_paths", "b148_dense_global_ids",
+    "b149_ece_calibration_bins", "b150_simpson_reversal_audit",
+    "b151_asof_tolerance_nearest", "b152_interval_union_coverage",
+    "c129_edit_distance_verify", "c130_jsd_lang_divergence",
+    "c131_cluster_purity_mi",
 ]
 
 

@@ -62,7 +62,7 @@ _EXTRA_INVARIANCE = [
     "b149_ece_calibration_bins", "b150_simpson_reversal_audit",
     "b151_asof_tolerance_nearest", "b152_interval_union_coverage",
     "c129_edit_distance_verify", "c130_jsd_lang_divergence",
-    "c131_cluster_purity_mi",
+    "c131_cluster_purity_mi", "b153_hll_portable_sketch",
 ]
 
 

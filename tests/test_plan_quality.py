@@ -1108,3 +1108,16 @@ def test_c131_mi_runs_on_contingency_table(spark):
     p = _plan(spark, "c131_cluster_purity_mi")
     assert "parquet" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_b153_hll_merge_runs_on_register_partials(spark):
+    """Portable HLL: rows shuffle once into the (day, bucket) register
+    partials (localCheckpointed); the merge + estimate run on <= 64
+    rows and the 1-row audit sides come back as broadcasts.  The only
+    parquet scan left in the final plan is the exact-count audit
+    branch."""
+    p = _plan(spark, "b153_hll_portable_sketch")
+    assert p.count("events.parquet") == 1  # exact-count audit only
+    assert "Scan ExistingRDD" in p        # checkpointed partials
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

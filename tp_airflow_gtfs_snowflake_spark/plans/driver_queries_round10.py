@@ -685,3 +685,137 @@ def c131_cluster_purity_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "div min(n_c)").cast("long").alias("purity_ppm"),
                  F.sum("mi9").cast("long").alias("mi_nanonats"))
             .orderBy("cluster"))
+
+
+# ---------------------------------------------------------------------
+# b153: portable HyperLogLog — register-level, fully value-oracled
+# ---------------------------------------------------------------------
+
+_HLL_M = 64          # registers (b = 6 bucket bits)
+_HLL_RANK_BITS = 42  # 48-bit portable hash minus 6 bucket bits
+_HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m = 64)
+
+
+@_register(
+    "b153_hll_portable_sketch",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)),
+                  1, 12) AS BIGINT) AS hv
+      FROM events
+    ), ranked AS (
+      SELECT day,
+             hv // {2 ** _HLL_RANK_BITS} AS bucket,
+             {_HLL_RANK_BITS + 1}
+               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 0
+                      ELSE length(bin(hv % {2 ** _HLL_RANK_BITS})) END
+               AS m
+      FROM h
+    ), partials AS (
+      SELECT day, bucket, max(m) AS r FROM ranked GROUP BY day, bucket
+    ), regs AS (
+      SELECT bucket, max(r) AS rr FROM partials GROUP BY bucket
+    ), summary AS (
+      SELECT count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << ({_HLL_RANK_BITS} - rr))
+               AS s_present,
+             (SELECT count(DISTINCT day) FROM partials) AS n_partials
+      FROM regs
+    ), exact AS (
+      SELECT count(DISTINCT user_id) AS n_exact FROM events
+    ), rawed AS (
+      SELECT n_partials, n_present, n_exact,
+             CAST({_HLL_ALPHA * _HLL_M * _HLL_M
+                   * (2.0 ** _HLL_RANK_BITS)!r} AS DOUBLE)
+               / (CAST(s_present AS DOUBLE)
+                  + ({_HLL_M} - n_present)
+                    * CAST({2 ** _HLL_RANK_BITS} AS DOUBLE)) AS raw
+      FROM summary CROSS JOIN exact
+    ), est AS (
+      SELECT n_partials, n_present, n_exact,
+             CAST(round(CASE
+               WHEN raw <= {2.5 * _HLL_M!r} AND n_present < {_HLL_M}
+               THEN CAST({_HLL_M} AS DOUBLE)
+                    * ln(CAST({_HLL_M} AS DOUBLE)
+                         / ({_HLL_M} - n_present))
+               ELSE raw
+             END) AS BIGINT) AS est
+      FROM rawed
+    )
+    SELECT CAST(n_partials AS BIGINT) AS n_partials,
+           CAST(n_present AS BIGINT) AS n_registers,
+           CAST(est AS BIGINT) AS distinct_est,
+           CAST(n_exact AS BIGINT) AS distinct_exact,
+           CAST(abs(est - n_exact) * 1000000 // n_exact AS BIGINT)
+             AS err_ppm
+    FROM est
+    """,
+    "Portable HyperLogLog, register-level and fully VALUE-ORACLED — "
+    "flips the 'HLL is irreducibly rows-only' posture of b41 (which "
+    "wraps Spark's native datasketches binary): with the md5-48 "
+    "portable hash, bucket = top 6 bits, rank = leading zeros of the "
+    "low 42 bits (exact via length(bin(x)) — identical minimal-width "
+    "semantics both engines), every register value reproduces in "
+    "DuckDB.  The query builds PER-DAY register partials (the "
+    "mergeable shard state), max-merges them into the corpus sketch, "
+    "applies alpha_64 bias correction with the standard small-range "
+    "linear-counting switch, and audits the estimate against the "
+    "exact distinct count in err_ppm.  All register sums are exact "
+    "integers (sum of 2^(42-r) <= 64*2^42 < 2^54); the only float "
+    "math is ONE final-row expression.  Scale shape: rows shuffle "
+    "once into (day, bucket) partials (|days| x 64 rows); the merge "
+    "and estimate run on <= 64 rows — at 100 TB the partials ARE the "
+    "incremental state b41 documents, and a new day's data touches "
+    "only its own 64-row partial.  The exact-count branch exists "
+    "only for the audit; production reads the sketch alone.",
+)
+def b153_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import portable_hash48
+    ev = _t(spark, sf_dir, "events")
+    two_r = 2 ** _HLL_RANK_BITS
+    hv = portable_hash48(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")))
+    ranked = (ev
+              .select(F.col("ts").cast("date").alias("day"),
+                      hv.alias("hv"))
+              .select("day",
+                      F.expr(f"hv div {two_r}").alias("bucket"),
+                      (F.lit(_HLL_RANK_BITS + 1)
+                       - F.when(F.expr(f"hv % {two_r}") == 0, 0)
+                       .otherwise(F.length(F.bin(F.expr(f"hv % {two_r}")))))
+                      .alias("m")))
+    partials = (ranked.groupBy("day", "bucket")
+                .agg(F.max("m").alias("r")))
+    # |days| x 64 rows: materialize once — the register merge and the
+    # n_partials count both consume it.
+    partials = partials.localCheckpoint()
+    regs = partials.groupBy("bucket").agg(F.max("r").alias("rr"))
+    summary = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({_HLL_RANK_BITS} - rr "
+                     "as int))")).alias("s_present"))
+    n_partials = partials.agg(
+        F.countDistinct("day").alias("n_partials"))
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    raw = (F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * (2.0 ** _HLL_RANK_BITS))
+           / (F.col("s_present").cast("double")
+              + (F.lit(_HLL_M) - F.col("n_present"))
+              * F.lit(2.0 ** _HLL_RANK_BITS)))
+    est = F.round(
+        F.when((raw <= 2.5 * _HLL_M) & (F.col("n_present") < _HLL_M),
+               F.lit(float(_HLL_M))
+               * F.log(F.lit(float(_HLL_M))
+                       / (F.lit(_HLL_M) - F.col("n_present"))
+                       .cast("double")))
+        .otherwise(raw)).cast("long")
+    return (summary.crossJoin(F.broadcast(n_partials))
+            .crossJoin(F.broadcast(exact))
+            .select(F.col("n_partials").cast("long"),
+                    F.col("n_present").cast("long").alias("n_registers"),
+                    est.alias("distinct_est"),
+                    F.col("n_exact").cast("long").alias("distinct_exact"))
+            .withColumn(
+                "err_ppm",
+                F.expr("abs(distinct_est - distinct_exact) * 1000000 "
+                       "div distinct_exact").cast("long")))

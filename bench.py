@@ -93,6 +93,7 @@ HEADLINE = [
     "b151_asof_tolerance_nearest",  # nearest as-of, two stacked windows
     "b152_interval_union_coverage",  # interval union gaps-and-islands
     "c130_jsd_lang_divergence",    # unigram JSD, pivot + pair explode
+    "b153_hll_portable_sketch",    # portable HLL registers + audit
 ]
 
 

@@ -62,7 +62,9 @@ def c27_fuzzy_match_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows — the pre-aggregated pattern for any-range distinct queries "
     "over 100 TB.  rows-only check (DuckDB's HLL is a different "
     "sketch); union-of-partials == single-shot and near-exactness are "
-    "pinned by tests/test_round2c.py",
+    "pinned by tests/test_round2c.py.  b153_hll_portable_sketch is "
+    "the fully value-oracled twin: same register/merge semantics on "
+    "the portable md5-48 hash, every register reproduced in DuckDB",
 )
 def b41_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")

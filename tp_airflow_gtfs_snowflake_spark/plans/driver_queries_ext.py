@@ -1263,8 +1263,16 @@ C06F_EXACT_PAIRS_SQL = f"""
 )
 def c06f_minhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # bands=8 (r=2): the banding threshold (1/b)^(1/r) = 0.35 sits
+    # BELOW the 0.5 verify threshold, so candidate recall covers the
+    # whole accepted range — the r05 sf0.1 miss happened at bands=4
+    # (r=4, t* = 0.71), a banding tuned ABOVE the verify threshold
+    # that silently relied on the corpus having only high-J pairs.
+    # More candidates reach the exact verify; that is the correct
+    # side of the tradeoff for a dedup pipeline (missed dups are
+    # silent data loss, extra candidates are bounded verify cost).
     out = D.minhash_near_duplicates(docs, "doc_id", "text", num_hashes=16,
-                                    bands=4, shingle_n=3, threshold=0.5)
+                                    bands=8, shingle_n=3, threshold=0.5)
     return out.select(F.col("d1").cast("long").alias("d1"),
                       F.col("d2").cast("long").alias("d2"), "jaccard")
 

@@ -391,7 +391,13 @@ def _duck_minhash_band_case(num_hashes: int, bands: int) -> str:
     """,
     "C1 MinHash+LSH near-dup: shingle->minhash->band->bucket-join, "
     "exact Jaccard verify on candidates only — O(docs x shingles) + "
-    "O(collided pairs), never O(docs^2)",
+    "O(collided pairs), never O(docs^2).  The oracle reproduces the "
+    "4x4 BANDING itself (portable md5-48 minwise family), so parity "
+    "holds at every scale INCLUDING recall misses — the output is "
+    "defined as candidates-then-verify, not the exact pair set.  "
+    "4x4 targets t* = 0.71; recall at the 0.5 verify threshold is "
+    "measured by the c80/c123 audits, and c06f ships the "
+    "recall-safe 8x2 production point",
 )
 def c06_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents"))

@@ -63,6 +63,7 @@ _EXTRA_INVARIANCE = [
     "b151_asof_tolerance_nearest", "b152_interval_union_coverage",
     "c129_edit_distance_verify", "c130_jsd_lang_divergence",
     "c131_cluster_purity_mi", "b153_hll_portable_sketch",
+    "b154_sliding_hll_distinct",
 ]
 
 

@@ -1121,3 +1121,15 @@ def test_b153_hll_merge_runs_on_register_partials(spark):
     assert "Scan ExistingRDD" in p        # checkpointed partials
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_b154_sliding_merge_runs_on_partials_not_raw_rescans(spark):
+    """Sliding HLL: the trailing-window max-merge joins the broadcast
+    day spine against the checkpointed |days| x 64 partials — no
+    second raw scan for the sketch path (the one events scan left is
+    the exact-count audit branch)."""
+    p = _plan(spark, "b154_sliding_hll_distinct")
+    assert p.count("events.parquet") == 1  # exact audit branch only
+    assert "Scan ExistingRDD" in p         # checkpointed partials
+    assert "BroadcastNestedLoopJoin" in p  # spine range-join broadcast
+    assert "CartesianProduct" not in p

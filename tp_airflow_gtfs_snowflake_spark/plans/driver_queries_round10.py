@@ -819,3 +819,131 @@ def b153_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "err_ppm",
                 F.expr("abs(distinct_est - distinct_exact) * 1000000 "
                        "div distinct_exact").cast("long")))
+
+
+# ---------------------------------------------------------------------
+# b154: sliding-window distinct via portable HLL register merge
+# ---------------------------------------------------------------------
+
+
+@_register(
+    "b154_sliding_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)),
+                  1, 12) AS BIGINT) AS hv,
+             user_id
+      FROM events
+    ), ranked AS (
+      SELECT day, user_id,
+             hv // {2 ** _HLL_RANK_BITS} AS bucket,
+             {_HLL_RANK_BITS + 1}
+               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 0
+                      ELSE length(bin(hv % {2 ** _HLL_RANK_BITS})) END
+               AS m
+      FROM h
+    ), partials AS (
+      SELECT day, bucket, max(m) AS r FROM ranked GROUP BY day, bucket
+    ), spine AS (
+      SELECT DISTINCT day FROM partials
+    ), win AS (
+      SELECT d.day, p.bucket, max(p.r) AS rr
+      FROM spine d JOIN partials p
+        ON p.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day, p.bucket
+    ), summary AS (
+      SELECT day, count(*) AS n_present,
+             sum(CAST(1 AS BIGINT) << ({_HLL_RANK_BITS} - rr))
+               AS s_present
+      FROM win GROUP BY day
+    ), exact AS (
+      SELECT d.day, count(DISTINCT r.user_id) AS n_exact
+      FROM spine d JOIN ranked r
+        ON r.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    ), rawed AS (
+      SELECT s.day, s.n_present, e.n_exact,
+             CAST({_HLL_ALPHA * _HLL_M * _HLL_M
+                   * (2.0 ** _HLL_RANK_BITS)!r} AS DOUBLE)
+               / (CAST(s.s_present AS DOUBLE)
+                  + ({_HLL_M} - s.n_present)
+                    * CAST({2 ** _HLL_RANK_BITS} AS DOUBLE)) AS raw
+      FROM summary s JOIN exact e ON e.day = s.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(n_present AS BIGINT) AS n_registers,
+           CAST(round(CASE
+             WHEN raw <= {2.5 * _HLL_M!r} AND n_present < {_HLL_M}
+             THEN CAST({_HLL_M} AS DOUBLE)
+                  * ln(CAST({_HLL_M} AS DOUBLE)
+                       / ({_HLL_M} - n_present))
+             ELSE raw
+           END) AS BIGINT) AS distinct_est,
+           CAST(n_exact AS BIGINT) AS distinct_exact
+    FROM rawed ORDER BY day
+    """,
+    "Trailing-7-day distinct users per day from MERGED portable-HLL "
+    "register partials — the value-oracled flip of b49's native-"
+    "sketch sliding distinct (same b153 register construction: "
+    "md5-48 hash, 64 registers, alpha_64 + linear-counting switch).  "
+    "Rows reduce ONCE to |days| x 64 per-day register partials; every "
+    "day's trailing window is a max-merge of <= 7 x 64 partial rows "
+    "against the |days| spine — no rescan of raw rows per window, "
+    "which is the entire point of mergeable sketch state at 100 TB "
+    "(the exact-count branch exists only for the per-day err audit "
+    "and IS the O(7x) rescan the sketch path replaces).  All "
+    "register sums are exact integers; the only float math is one "
+    "final per-day expression.",
+)
+def b154_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import portable_hash48
+    ev = _t(spark, sf_dir, "events")
+    two_r = 2 ** _HLL_RANK_BITS
+    hv = portable_hash48(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")))
+    ranked = (ev
+              .select(F.col("ts").cast("date").alias("day"),
+                      F.col("user_id"), hv.alias("hv"))
+              .select("day", "user_id",
+                      F.expr(f"hv div {two_r}").alias("bucket"),
+                      (F.lit(_HLL_RANK_BITS + 1)
+                       - F.when(F.expr(f"hv % {two_r}") == 0, 0)
+                       .otherwise(F.length(F.bin(F.expr(f"hv % {two_r}")))))
+                      .alias("m")))
+    partials = (ranked.groupBy("day", "bucket")
+                .agg(F.max("m").alias("r"))
+                .localCheckpoint())  # |days| x 64; spine + window reuse it
+    spine = partials.select("day").distinct()
+    win = (F.broadcast(spine.select(F.col("day").alias("wday")))
+           .join(partials,
+                 (F.col("day") >= F.date_sub(F.col("wday"), 6))
+                 & (F.col("day") <= F.col("wday")))
+           .groupBy("wday", "bucket").agg(F.max("r").alias("rr")))
+    summary = (win.groupBy("wday")
+               .agg(F.count("*").alias("n_present"),
+                    F.sum(F.expr(f"shiftleft(1L, cast({_HLL_RANK_BITS} "
+                                 "- rr as int))")).alias("s_present")))
+    exact = (F.broadcast(spine.select(F.col("day").alias("wday")))
+             .join(ranked.select("day", "user_id"),
+                   (F.col("day") >= F.date_sub(F.col("wday"), 6))
+                   & (F.col("day") <= F.col("wday")))
+             .groupBy("wday")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    raw = (F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * (2.0 ** _HLL_RANK_BITS))
+           / (F.col("s_present").cast("double")
+              + (F.lit(_HLL_M) - F.col("n_present"))
+              * F.lit(2.0 ** _HLL_RANK_BITS)))
+    est = F.round(
+        F.when((raw <= 2.5 * _HLL_M) & (F.col("n_present") < _HLL_M),
+               F.lit(float(_HLL_M))
+               * F.log(F.lit(float(_HLL_M))
+                       / (F.lit(_HLL_M) - F.col("n_present"))
+                       .cast("double")))
+        .otherwise(raw)).cast("long")
+    return (summary.join(exact, "wday")
+            .select(F.col("wday").cast("string").alias("day"),
+                    F.col("n_present").cast("long").alias("n_registers"),
+                    est.alias("distinct_est"),
+                    F.col("n_exact").cast("long").alias("distinct_exact"))
+            .orderBy("day"))

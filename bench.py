@@ -94,6 +94,7 @@ HEADLINE = [
     "b152_interval_union_coverage",  # interval union gaps-and-islands
     "c130_jsd_lang_divergence",    # unigram JSD, pivot + pair explode
     "b153_hll_portable_sketch",    # portable HLL registers + audit
+    "b154_sliding_hll_distinct",   # trailing-window register merge
 ]
 
 

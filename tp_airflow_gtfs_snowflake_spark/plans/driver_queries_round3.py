@@ -737,8 +737,11 @@ def c38_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|days| x 7 broadcast range-join, zero re-scans.  THE pattern for "
     "any-range distinct queries over 100 TB: sketch once at ingest "
     "grain, answer every window from partials.  rows-only check "
-    "(HLL estimates have no DuckDB twin); accuracy vs the exact "
-    "sliding distinct is pinned within 5% by pytest",
+    "(native datasketches HLL has no DuckDB twin); accuracy vs the "
+    "exact sliding distinct is pinned within 5% by pytest.  "
+    "b154_sliding_hll_distinct is the fully value-oracled twin: the "
+    "same shape on portable md5-48 HLL registers, every merged "
+    "register reproduced in DuckDB",
 )
 def b49_sliding_distinct_sketch(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:

@@ -185,6 +185,26 @@ def test_minhash_finds_planted_neardup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_minhash_candidate_recall_grows_with_bands(spark):
+    """Banding math: lowering rows-per-band lowers the collision
+    threshold (t* = (1/b)^(1/r)), so 8x2 candidates must be a
+    SUPERSET of 4x4 candidates on the same signatures — the property
+    behind c06f's r05 re-banding (the sf0.1 recall miss happened at
+    4x4, whose t* = 0.71 sits above the 0.5 verify threshold)."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta "
+                f"iota kappa word{i % 4}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", num_hashes=16,
+                                shingle_n=3, hash_fn=D.portable_hash64)
+    sigs = sigs.localCheckpoint()
+    c44 = {(r["d1"], r["d2"]) for r in D.minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=4).collect()}
+    c82 = {(r["d1"], r["d2"]) for r in D.minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=2).collect()}
+    assert c44 <= c82, "8x2 must never candidate fewer pairs than 4x4"
+    assert c82, "planted near-dups produced no candidates"
+
+
 # --- multimodal plumbing ----------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,173 @@
+"""Independent-reimplementation references for the portable-sketch
+and integer-recurrence families (same rationale as
+test_round10_references.py: the DuckDB oracles mirror each query's
+algorithm, so a shared algorithmic error would pass both engines —
+hashlib/Counter/sequential-loop reimplementations close that hole).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from datetime import date
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
+
+
+def _md5_48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_b102_kmv_matches_hashlib_reference(spark):
+    """k=128 KMV over md5-48 hashes of user-day codes, per event
+    type: exact integer equality on every estimate."""
+    out = {r["g"]: r for r in
+           REGISTRY["b102_kmv_distinct_estimate"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    vals = defaultdict(set)
+    for _, r in ev.iterrows():
+        v = int(r.user_id) * 100000 + (r.ts.date() - date(2024, 1, 1)).days
+        vals[r.event_type].add(v)
+    for g, vs in vals.items():
+        hashes = sorted(_md5_48(str(v)) for v in vs)
+        nh = len(hashes)
+        est = nh if nh < 128 else 127 * (1 << 48) // hashes[127]
+        assert out[g]["n_exact"] == len(vs)
+        assert out[g]["est"] == est, g
+        assert out[g]["err_ppm"] == abs(est - len(vs)) * 1_000_000 \
+            // len(vs)
+
+
+def test_c38_heavy_hitters_matches_counter_reference(spark):
+    """Sharded deterministic Misra-Gries: per md5-48%32 shard, count
+    table truncated by the 33rd-largest count; top-10 surviving
+    items by (est desc, item)."""
+    out = [(r["item"], r["est_count"]) for r in
+           REGISTRY["c38_heavy_hitters"].fn(spark, SF_SMALL).collect()]
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    shard_counts = defaultdict(Counter)
+    for _, r in d.iterrows():
+        for item in re.split(" +", r.text.lower().strip()):
+            shard_counts[_md5_48(item) % 32][item] += 1
+    survivors = []
+    for p, cnts in shard_counts.items():
+        ranked = sorted(cnts.items(), key=lambda t: (-t[1], t[0]))
+        m = ranked[32][1] if len(ranked) >= 33 else 0
+        survivors += [(item, c - m) for item, c in ranked if c > m]
+    survivors.sort(key=lambda t: (-t[1], t[0]))
+    assert out == survivors[:10]
+
+
+def test_b141_countmin_matches_hashlib_reference(spark):
+    """d=4 x w=256 Count-Min over per-user event counts: exact
+    integer equality on the top-20 point estimates."""
+    out = [(r["user_id"], r["n_exact"], r["est"], r["overcount"])
+           for r in REGISTRY["b141_countmin_frequency"]
+           .fn(spark, SF_SMALL).collect()]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    n = Counter(int(u) for u in ev.user_id)
+    counters = defaultdict(int)
+    for u, c in n.items():
+        for r in range(4):
+            counters[(r, _md5_48(f"{r}:{u}") % 256)] += c
+    ref = []
+    for u, c in n.items():
+        est = min(counters[(r, _md5_48(f"{r}:{u}") % 256)]
+                  for r in range(4))
+        ref.append((u, c, est, est - c))
+    ref.sort(key=lambda t: (-t[1], t[0]))
+    assert out == ref[:20]
+    assert all(t[3] >= 0 for t in out)  # CM never undercounts
+
+
+def test_b144_bloom_matches_hashlib_reference(spark):
+    """16384-bit k=4 Bloom filter over (user, day) purchase keys
+    probed with error keys: per-bucket exact equality including the
+    measured false-positive counts."""
+    out = {r["bucket"]: r for r in
+           REGISTRY["b144_bloom_membership"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+
+    def keys(et):
+        sub = ev[ev.event_type == et]
+        return {(int(r.user_id), f"{int(r.user_id)}|{r.ts.date()}")
+                for _, r in sub.iterrows()}
+
+    members = keys("purchase")
+    probes = keys("error")
+    member_keys = {k for _, k in members}
+    bits = {_md5_48(f"{j}#{k}") % 16384
+            for _, k in members for j in range(4)}
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for u, k in probes:
+        claimed = all(_md5_48(f"{j}#{k}") % 16384 in bits
+                      for j in range(4))
+        is_m = k in member_keys
+        row = agg[u % 4]
+        row[0] += 1
+        row[1] += claimed
+        row[2] += is_m
+        row[3] += claimed and not is_m
+    assert set(out) == set(agg)
+    for b, (np_, ncl, nm, nfp) in agg.items():
+        assert (out[b]["n_probes"], out[b]["n_claimed"],
+                out[b]["n_members"], out[b]["n_false_pos"]) \
+            == (np_, ncl, nm, nfp), b
+        assert nm <= ncl  # a member probe can never fail the filter
+
+
+def test_b146_balance_matches_sequential_reference(spark):
+    """Literal sequential clamped recurrence r = max(0, r + delta)
+    per user in (ts, event_id) order — the loop the Lindley window
+    identity replaces."""
+    out = {r["bucket"]: r for r in
+           REGISTRY["b146_clamped_running_balance"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = (pd.read_parquet(f"{SF_SMALL}/events.parquet")
+          .sort_values(["ts", "event_id"]))
+    fin = {}
+    for u, g in ev.groupby("user_id"):
+        r = peak = 0
+        for _, row in g.iterrows():
+            cents = math.floor(row.value * 100)
+            delta = cents if row.event_type in ("purchase", "signup") \
+                else -cents
+            r = max(0, r + delta)
+            peak = max(peak, r)
+        fin[int(u)] = (r, peak)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for u, (r, peak) in fin.items():
+        b = agg[u % 16]
+        b[0] += 1
+        b[1] += r
+        b[2] += peak
+    for b, (nu, fc, pc) in agg.items():
+        assert (out[b]["n_users"], out[b]["final_cents"],
+                out[b]["peak_cents"]) == (nu, fc, pc), b
+
+
+def test_b148_dense_ids_match_sorted_enumerate(spark):
+    """Global sorted enumerate (the literal spec) must reproduce all
+    97 bucket checksums of the blocked two-pass id assignment."""
+    out = {r["bucket"]: r for r in
+           REGISTRY["b148_dense_global_ids"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = (pd.read_parquet(f"{SF_SMALL}/events.parquet")
+          .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    agg = defaultdict(lambda: [0, 0, 0])
+    for i, eid in enumerate(ev.event_id, start=1):
+        b = agg[i % 97]
+        b[0] += 1
+        b[1] += i
+        b[2] += int(eid)
+    assert set(out) == set(agg)
+    for b, (n, gs, es) in agg.items():
+        assert (out[b]["n"], out[b]["gid_sum"], out[b]["eid_sum"]) \
+            == (n, gs, es), b

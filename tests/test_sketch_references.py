@@ -171,3 +171,113 @@ def test_b148_dense_ids_match_sorted_enumerate(spark):
     for b, (n, gs, es) in agg.items():
         assert (out[b]["n"], out[b]["gid_sum"], out[b]["eid_sum"]) \
             == (n, gs, es), b
+
+
+def test_c116_markov_matches_python_power_iteration(spark):
+    """Pure-Python 3-round integer power iteration (per-edge
+    truncating pi*n//out, parts-per-trillion) over transitions built
+    from per-user (ts, event_id)-ordered sequences."""
+    out = {r["event_type"]: r["pi_ppt"] for r in
+           REGISTRY["c116_markov_stationary_int"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = (pd.read_parquet(f"{SF_SMALL}/events.parquet")
+          .sort_values(["ts", "event_id"]))
+    tr = Counter()
+    for _, g in ev.groupby("user_id"):
+        seq = list(g.event_type)
+        for a, b in zip(seq, seq[1:]):
+            tr[(a, b)] += 1
+    outn = Counter()
+    for (a, _), n in tr.items():
+        outn[a] += n
+    states = sorted(set(ev.event_type))
+    pi = {s: 1_000_000_000_000 // len(states) for s in states}
+    for _ in range(3):
+        nxt = {s: 0 for s in states}
+        for (a, b), n in tr.items():
+            nxt[b] += pi[a] * n // outn[a]
+        pi = nxt
+    assert out == pi
+
+
+def test_c105_bigram_lm_matches_counter_reference(spark):
+    """Counter-based corpus bigram statistics and per-doc integer-ppm
+    fluency scores, rolled up per (lang, source)."""
+    out = {(r["lang"], r["source"]): r for r in
+           REGISTRY["c105_bigram_lm_score"].fn(spark, SF_SMALL)
+           .collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    doc_bigrams = {}
+    c_xy = Counter()
+    for _, r in d.iterrows():
+        toks = re.split(" +", r.text.lower().strip())
+        if len(toks) < 2:
+            continue
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        doc_bigrams[int(r.doc_id)] = (r.lang, r.source, Counter(bgs))
+        c_xy.update(bgs)
+    c_x = Counter()
+    for bg, c in c_xy.items():
+        c_x[bg.split(" ")[0]] += c
+    rolled = defaultdict(lambda: [0, 0, None])
+    for _, (lang, source, ks) in doc_bigrams.items():
+        num = sum(k * (c_xy[bg] * 1_000_000 // c_x[bg.split(" ")[0]])
+                  for bg, k in ks.items())
+        score = num // sum(ks.values())
+        row = rolled[(lang, source)]
+        row[0] += 1
+        row[1] += score
+        row[2] = score if row[2] is None else min(row[2], score)
+    assert set(out) == set(rolled)
+    for key, (n, ssum, smin) in rolled.items():
+        assert (out[key]["n_docs"], out[key]["sum_score_ppm"],
+                out[key]["min_score_ppm"]) == (n, ssum, smin), key
+
+
+def _kmv_state(ev):
+    """(vals-by-group, sorted-hash-list-by-group, theta-by-group) for
+    the user-day KMV family (k=128, md5-48 space)."""
+    vals = defaultdict(set)
+    for _, r in ev.iterrows():
+        vals[r.event_type].add(
+            int(r.user_id) * 100000 + (r.ts.date() - date(2024, 1, 1)).days)
+    hashes = {g: sorted(_md5_48(str(v)) for v in vs)
+              for g, vs in vals.items()}
+    theta = {g: (h[127] if len(h) >= 128 else 1 << 48)
+             for g, h in hashes.items()}
+    return vals, hashes, theta
+
+
+def test_b103_kmv_intersection_matches_hashlib_reference(spark):
+    """Theta-sketch intersection: retained = hashes below own theta;
+    combined theta = min; est = |common below cth| * 2^48 // cth."""
+    out = {(r["g1"], r["g2"]): r for r in
+           REGISTRY["b103_kmv_intersection_estimate"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    vals, hashes, theta = _kmv_state(ev)
+    ret = {g: {x for x in h if x < theta[g]} for g, h in hashes.items()}
+    gs = sorted(vals)
+    for i, g1 in enumerate(gs):
+        for g2 in gs[i + 1:]:
+            cth = min(theta[g1], theta[g2])
+            common = len({x for x in ret[g1] & ret[g2] if x < cth})
+            est = common * (1 << 48) // cth
+            row = out[(g1, g2)]
+            assert row["n_exact"] == len(vals[g1] & vals[g2]), (g1, g2)
+            assert row["est_inter"] == est, (g1, g2)
+
+
+def test_b122_kmv_difference_matches_hashlib_reference(spark):
+    """Theta-sketch a-not-b for every ordered pair: retained g1
+    hashes below cth absent from g2's retained set, rescaled."""
+    out = {(r["g1"], r["g2"]): r for r in
+           REGISTRY["b122_kmv_difference_estimate"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    vals, hashes, theta = _kmv_state(ev)
+    ret = {g: {x for x in h if x < theta[g]} for g, h in hashes.items()}
+    for (g1, g2), row in out.items():
+        cth = min(theta[g1], theta[g2])
+        c = len({x for x in ret[g1] if x < cth and x not in ret[g2]})
+        assert row["est_diff"] == c * (1 << 48) // cth, (g1, g2)

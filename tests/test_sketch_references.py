@@ -281,3 +281,91 @@ def test_b122_kmv_difference_matches_hashlib_reference(spark):
         cth = min(theta[g1], theta[g2])
         c = len({x for x in ret[g1] if x < cth and x not in ret[g2]})
         assert row["est_diff"] == c * (1 << 48) // cth, (g1, g2)
+
+
+def _neardup_edges(d):
+    """Exact token-3-gram Jaccard >= 0.5 pairs (the c08 edge set) via
+    brute-force set math."""
+    sh = {}
+    for _, r in d.iterrows():
+        toks = re.split(" +", r.text.lower().strip())
+        if len(toks) >= 3:
+            sh[int(r.doc_id)] = {" ".join(toks[i:i + 3])
+                                 for i in range(len(toks) - 2)}
+    ids = sorted(sh)
+    edges = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.5:
+                edges.append((a, b))
+    return edges
+
+
+def test_c104_pagerank_matches_python_iteration(spark):
+    """Pure-Python 3-round integer PageRank (per-edge rank//outdeg,
+    150000 + 85*sum//100 damping) over brute-force exact near-dup
+    edges: full integer equality on every rank."""
+    out = {r["doc_id"]: r["rank_ppm"] for r in
+           REGISTRY["c104_pagerank_int"].fn(spark, SF_SMALL).collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    sym = []
+    for a, b in _neardup_edges(d):
+        sym += [(a, b), (b, a)]
+    nodes = sorted({a for a, _ in sym})
+    outdeg = Counter(a for a, _ in sym)
+    rank = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        sums = Counter()
+        for a, b in sym:
+            sums[b] += rank[a] // outdeg[a]
+        rank = {v: 150_000 + 85 * sums[v] // 100 for v in nodes}
+    assert out == rank
+
+
+def test_b95_cusum_matches_brute_force_max_window(spark):
+    """O(days^2) brute force over every contiguous window of present
+    days must reproduce the Kadane-identity burst size and end day."""
+    out = {r["event_type"]: r for r in
+           REGISTRY["b95_cusum_burst"].fn(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    daily = defaultdict(Counter)
+    for _, r in ev.iterrows():
+        x = (r.ts.date() - date(2024, 1, 1)).days
+        daily[r.event_type][x] += math.floor(r.value * 100)
+    for et, cnts in daily.items():
+        days = sorted(cnts)
+        target = sum(cnts.values()) // len(days)
+        dev = [cnts[x] - target for x in days]
+        best, best_end = None, None
+        for j in range(len(days)):
+            for i in range(j + 1):
+                s = sum(dev[i:j + 1])
+                if best is None or s > best or (s == best
+                                                and days[j] < best_end):
+                    best, best_end = s, days[j]
+        assert out[et]["max_burst_cents"] == best, et
+        assert out[et]["burst_end_day"] == best_end, et
+
+
+def test_c124_priority_sample_matches_hashlib_reference(spark):
+    """Duffield-Lund-Thorup priorities w * 2^36 // (md5_48//4096 + 1),
+    top-50 sample, tau = 51st priority, HT estimate sum(max(w, tau))
+    — all exact integers."""
+    out = {r["doc_id"]: r for r in
+           REGISTRY["c124_priority_sample"].fn(spark, SF_SMALL)
+           .collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    pr = []
+    for _, r in d.iterrows():
+        w = int(r.n_chars)
+        p = w * 68719476736 // (_md5_48(str(int(r.doc_id))) // 4096 + 1)
+        pr.append((int(r.doc_id), w, p))
+    pr.sort(key=lambda t: (-t[2], t[0]))
+    sample = pr[:50]
+    tau = pr[50][2] if len(pr) >= 51 else 0
+    est = sum(max(w, tau) for _, w, _ in sample)
+    assert set(out) == {i for i, _, _ in sample}
+    for i, w, p in sample:
+        assert (out[i]["w"], out[i]["priority"],
+                out[i]["est_total_w"]) == (w, p, est), i

@@ -369,3 +369,71 @@ def test_c124_priority_sample_matches_hashlib_reference(spark):
     for i, w, p in sample:
         assert (out[i]["w"], out[i]["priority"],
                 out[i]["est_total_w"]) == (w, p, est), i
+
+
+def test_c19_components_match_bfs_reference(spark):
+    """Brute-force BFS components (min doc_id label) over the exact
+    near-dup edge set."""
+    out = {r["doc_id"]: r["component_id"] for r in
+           REGISTRY["c19_dup_components"].fn(spark, SF_SMALL).collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    adj = defaultdict(set)
+    for a, b in _neardup_edges(d):
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for start in sorted(adj):
+        if start in ref:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            comp.update(
+                frontier := [w for v in frontier for w in adj[v]
+                             if w not in comp])
+        label = min(comp)
+        for v in comp:
+            ref[v] = label
+    assert out == ref
+
+
+def test_c98_triangles_match_brute_force(spark):
+    """Adjacency-set triangle enumeration over the exact co-purchase
+    edge set (parts sharing an order)."""
+    row = REGISTRY["c98_triangle_count"].fn(spark, SF_SMALL).collect()[0]
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    by_order = defaultdict(set)
+    for _, r in li.iterrows():
+        by_order[int(r.l_orderkey)].add(int(r.l_partkey))
+    edges = set()
+    nodes = set()
+    for parts in by_order.values():
+        nodes.update(parts)
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)  # oriented low->high: triangles counted once
+    tri = sum(len(adj[a] & adj[b]) for a, b in edges)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) \
+        == (len(nodes), len(edges), tri)
+
+
+def test_c112_kcore_matches_sequential_peel(spark):
+    """Literal 3-round k=2 peel on the symmetrized near-dup edges:
+    each round keeps endpoints with degree >= k, then re-filters
+    edges to surviving endpoints."""
+    out = {r["doc_id"]: r["deg"] for r in
+           REGISTRY["c112_kcore_peeling"].fn(spark, SF_SMALL).collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    sym = set()
+    for a, b in _neardup_edges(d):
+        sym.add((a, b))
+        sym.add((b, a))
+    for _ in range(3):
+        deg = Counter(a for a, _ in sym)
+        keep = {v for v, c in deg.items() if c >= 2}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+    ref = dict(Counter(a for a, _ in sym))
+    assert out == ref

@@ -93,6 +93,30 @@ _DRIVER_VERIFIED = [
     "c19b_component_dedup", "c37_dup_cluster_sizes",
     "c42_leakage_free_split", "c49_quality_canonical_dedup",
     "c93_component_density_audit", "c32_pagerank_centrality",
+    # --- r05 greens (CORRECTNESS_r05.json: 50/50 hash_match) ---
+    "b134_streaming_ingest_restart", "b135_streaming_kmv_state",
+    "b136_streaming_session_close", "b140_streaming_dedup_restart",
+    "b142_streaming_late_data_drop", "b143_streaming_stream_join",
+    "b102_kmv_distinct_estimate", "b103_kmv_intersection_estimate",
+    "c23_gopher_quality", "c24_repetition_metrics",
+    "b36_interval_overlap_join", "c25_srp_lsh_neardup",
+    "b37_constraint_audit", "b38_scd2_intervals",
+    "b39_linear_interpolation", "b40_profile_table",
+    "c27_fuzzy_match_profile", "c04c_variant_json",
+    "c28_negative_sampling", "b42_topk_per_group", "b43_snapshot_diff",
+    "c29_segment_dedup", "c30_decontam_removal", "b44_bitmap_distinct",
+    "b45_event_transitions", "c31_udtf_chunking",
+    "c33_token_freq_quality", "c34_mixture_resampling",
+    "b46_period_over_period", "c35_prefix_filter_jaccard",
+    "c36_token_association", "b48_listagg_paths",
+    "c39_int8_quantization", "b50_try_arithmetic", "c40_vocab_coverage",
+    "b51_first_touch_attribution", "c41_bipartite_lsh_decontam",
+    "c43_dup_ngram_rate", "b53_schema_drift_union",
+    "b54_nested_denormalize", "c45_token_budget_apportionment",
+    "c46_langid_confusion", "b55_pareto_contribution",
+    "b56_date_spine_zero_fill", "b57_interarrival_histogram",
+    "c47_vocab_truncation", "c48_hard_negative_mining",
+    "b58_topn_with_ties", "c50_corpus_datacard",
 ]
 
 
@@ -100,13 +124,41 @@ _DRIVER_VERIFIED = [
 # driver hash rows on brand-new code are worth more than on queries
 # already green in the local mirror for several rounds.  Also holds
 # previously-green names whose implementation changed after their
-# last driver row (r05: b102/b103/b122 — the r04 kmv hardening).
+# last driver row (r06: b153/b154 — the HLL all-zero rank clamp).
+# The r06 window (per VERDICT r05 tasks 1+8): new-code names first
+# (b155 datasource-restart is brand new; b153/b154 changed; the
+# round-9/10 families never checked), then the c5x-c9x curation tier
+# — the oldest never-checked cohort — to fill the ~50-slot window.
 _NEW_THIS_ROUND = [
-    "b134_streaming_ingest_restart", "b135_streaming_kmv_state",
-    "b136_streaming_session_close", "b140_streaming_dedup_restart",
-    "b142_streaming_late_data_drop", "b143_streaming_stream_join",
-    "b102_kmv_distinct_estimate", "b103_kmv_intersection_estimate",
-    "b122_kmv_difference_estimate",
+    # brand-new / changed this round
+    "b155_streaming_datasource_restart",
+    "b153_hll_portable_sketch", "b154_sliding_hll_distinct",
+    # round-9/10 additions, never driver-checked
+    "b145_streaming_cdc_upsert", "b148_dense_global_ids",
+    "b149_ece_calibration_bins", "b150_simpson_reversal_audit",
+    "b151_asof_tolerance_nearest", "b152_interval_union_coverage",
+    "c129_edit_distance_verify", "c130_jsd_lang_divergence",
+    "c131_cluster_purity_mi", "b137_theil_sen_slope",
+    "b138_l_diversity", "b139_holt_linear_forecast",
+    "b141_countmin_frequency", "b144_bloom_membership",
+    "b146_clamped_running_balance", "b147_top_session_paths",
+    "c124_priority_sample", "c125_minhash_estimate_error",
+    "c126_sampled_quantiles", "c127_knn_label_consistency",
+    "c128_dsir_importance",
+    # c5x-c9x curation tier (oldest never-checked cohort)
+    "c51_source_dup_rate", "c52_triangle_census",
+    "c53_dup_span_flagging", "c54_bigram_lm_score",
+    "c55_ngram_novelty", "c56_cluster_cohesion",
+    "c57_length_percentile_filter", "c58_source_embedding_drift",
+    "c60_exact_substring_decontam", "c61_mislabel_candidates",
+    "c62_template_detection", "c63_embedding_qa_audit",
+    "c64_source_overlap_matrix", "c65_effective_token_yield",
+    "c67_target_encoding", "c68_skipgram_pairs", "c69_hapax_rate",
+    "c70_containment_pairs", "c71_winsorized_mean",
+    "c72_dup_quality_contingency", "c73_distribution_drift_tv",
+    "c74_cross_lang_dups", "c75_inverse_dup_weighting",
+    "c76_feature_covariance", "c77_curation_funnel",
+    "c78_text_embedding_join",
 ]
 
 

@@ -190,7 +190,9 @@ def test_b153_matches_python_hll_reference(spark):
         users.add(int(r.user_id))
         h = _md5_48(f"u:{int(r.user_id)}")
         bucket, rem = divmod(h, 2 ** 42)
-        m = 43 - rem.bit_length()
+        # rem == 0 folds into the max register (rank clamp: keeps the
+        # engine-side shift 42 - m non-negative; see ADVICE r05)
+        m = min(42, 43 - rem.bit_length())
         regs[bucket] = max(regs.get(bucket, 0), m)
     n_present = len(regs)
     s = sum(1 << (42 - rr) for rr in regs.values())

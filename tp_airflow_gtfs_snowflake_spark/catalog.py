@@ -303,12 +303,17 @@ def write_zorder_layout(df: DataFrame, path: str, *,
     out.write.mode("overwrite").parquet(path)
 
 
-def _part_member(col: Column, values) -> Column:
+def _part_member(col: Column, values, lit=F.lit) -> Column:
     """NULL-safe partition membership: `col.isin([...])` evaluates to
     NULL (never true) for rows whose partition value is NULL, so the
-    NULL partition would silently escape every rewrite."""
+    NULL partition would silently escape every rewrite.
+
+    ``lit`` lets callers supply typed literals (e.g. cast to the
+    inferred partition dtype) so the IN-list never relies on implicit
+    string coercion — required for guaranteed partition pruning."""
     non_null = [v for v in values if v is not None]
-    cond = col.isin(non_null) if non_null else F.lit(False)
+    cond = (col.isin([lit(v) for v in non_null]) if non_null
+            else F.lit(False))
     if any(v is None for v in values):
         cond = cond | col.isNull()
     return cond
@@ -500,9 +505,23 @@ def compact_partitions(spark: SparkSession, table_path: str, *,
         return {"partitions_compacted": 0, "files_before": 0,
                 "files_after": 0}
     df = spark.read.parquet(table_path)
+    # _unescape_part_value always yields a string, but the parquet
+    # read infers typed partition columns (int/date); an un-cast
+    # string literal would make both the filter semantics and —
+    # critically — partition PRUNING depend on implicit coercion.
+    # Pruning must be guaranteed here: without it, iteration N+1
+    # scans the stale file index and hits part files iteration N's
+    # dynamic overwrite already deleted (FileNotFoundException
+    # mid-compaction).  Cast every literal to the column's dtype.
+    part_type = df.schema[partition_col].dataType
+
+    def _typed(value):
+        return F.lit(value).cast(part_type)
+
     values = [_unescape_part_value(spark, d.split("=", 1)[1])
               for d in frag]
-    touched = df.filter(_part_member(F.col(partition_col), values))
+    touched = df.filter(
+        _part_member(F.col(partition_col), values, lit=_typed))
     files_after = 0
     # per-partition coalesce widths differ, so write partition by
     # partition: the touched set is small by construction and each
@@ -511,7 +530,7 @@ def compact_partitions(spark: SparkSession, table_path: str, *,
         value = _unescape_part_value(spark, dirname.split("=", 1)[1])
         n_out = max(1, -(-nbytes // (target_mb * 1024 * 1024)))
         part_df = (touched.filter(
-            F.col(partition_col).eqNullSafe(F.lit(value)))
+            F.col(partition_col).eqNullSafe(_typed(value)))
             .coalesce(n_out)
             .localCheckpoint(eager=True))
         (part_df.write.mode("overwrite")

@@ -66,9 +66,14 @@ def kmv_partials(df: DataFrame, group_col: str, hash_col: str,
     hash (md5+conv for portable_hash48) TWICE per input row — once
     pre-shuffle in the filter, once in the projection (measured +20%
     on b102 at sf0.1; a 100 TB scan pays the hash twice).  Dropping
-    NaN on the k-bounded pandas side is free.  48-bit hashes are
-    exact in float64, so the NaN-able pandas round-trip cannot
-    corrupt values."""
+    NaN on the k-bounded pandas side is free.
+
+    CONTRACT: ``hash_col`` values must fit in 53 bits.  An Arrow
+    chunk containing a NULL coerces the pandas column to float64,
+    which is lossless only below 2**53 — fine for the portable 48-bit
+    hashes every current caller passes, silently corrupting for full
+    64-bit hashes.  Guarded with a per-chunk assert on the (rare)
+    float64 path so a future 64-bit caller fails loudly instead."""
     import pandas as pd
 
     g_type = df.schema[group_col].dataType.simpleString()
@@ -79,7 +84,15 @@ def kmv_partials(df: DataFrame, group_col: str, hash_col: str,
             # dropna=False: a NULL group is a group (matches Spark /
             # SQL GROUP BY semantics, which keep the NULL bucket)
             for g, sub in pdf.groupby("g", sort=False, dropna=False):
-                hs = set(sub["h"].dropna().astype("int64"))
+                hv = sub["h"].dropna()
+                if hv.dtype.kind == "f" and len(hv):
+                    # NULL in the chunk -> float64 round-trip; exact
+                    # only below 2^53 (see CONTRACT in the docstring)
+                    assert float(hv.abs().max()) < 2.0 ** 53, (
+                        "kmv_partials: hash values exceed 2^53 and a "
+                        "NULL forced a float64 round-trip; pass a "
+                        "<=53-bit hash (e.g. portable_hash48)")
+                hs = set(hv.astype("int64"))
                 prev = mins.get(g)
                 if prev is not None:
                     hs |= prev

@@ -708,7 +708,7 @@ _HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m = 64)
       SELECT day,
              hv // {2 ** _HLL_RANK_BITS} AS bucket,
              {_HLL_RANK_BITS + 1}
-               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 0
+               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 1
                       ELSE length(bin(hv % {2 ** _HLL_RANK_BITS})) END
                AS m
       FROM h
@@ -782,7 +782,7 @@ def b153_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("day",
                       F.expr(f"hv div {two_r}").alias("bucket"),
                       (F.lit(_HLL_RANK_BITS + 1)
-                       - F.when(F.expr(f"hv % {two_r}") == 0, 0)
+                       - F.when(F.expr(f"hv % {two_r}") == 0, 1)
                        .otherwise(F.length(F.bin(F.expr(f"hv % {two_r}")))))
                       .alias("m")))
     partials = (ranked.groupBy("day", "bucket")
@@ -839,7 +839,7 @@ def b153_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, user_id,
              hv // {2 ** _HLL_RANK_BITS} AS bucket,
              {_HLL_RANK_BITS + 1}
-               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 0
+               - CASE WHEN hv % {2 ** _HLL_RANK_BITS} = 0 THEN 1
                       ELSE length(bin(hv % {2 ** _HLL_RANK_BITS})) END
                AS m
       FROM h
@@ -908,7 +908,7 @@ def b154_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("day", "user_id",
                       F.expr(f"hv div {two_r}").alias("bucket"),
                       (F.lit(_HLL_RANK_BITS + 1)
-                       - F.when(F.expr(f"hv % {two_r}") == 0, 0)
+                       - F.when(F.expr(f"hv % {two_r}") == 0, 1)
                        .otherwise(F.length(F.bin(F.expr(f"hv % {two_r}")))))
                       .alias("m")))
     partials = (ranked.groupBy("day", "bucket")

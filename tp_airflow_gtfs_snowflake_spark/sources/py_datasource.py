@@ -25,6 +25,7 @@ Design for scale:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader, DataSourceWriter,
@@ -224,7 +225,14 @@ class SnapshotExportWriter(DataSourceWriter):
         # manifests (MVCC-style), which is what makes time travel and
         # concurrent readers safe under overwrite.
         version = latest_export_version(self.path) + 1
-        tmp = os.path.join(self.path, f".manifest-commit-{os.getpid()}.tmp")
+        # pid alone is not unique enough: two concurrent writers in
+        # the SAME driver process (two threads exporting to one dir)
+        # would share the tmp path and one open('w') could truncate
+        # the other's fully-written tmp between write and link.  A
+        # uuid4 gives every commit attempt a private tmp file.
+        tmp = os.path.join(
+            self.path,
+            f".manifest-commit-{os.getpid()}-{uuid.uuid4().hex}.tmp")
         while True:
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(_snapshot(version))

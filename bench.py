@@ -95,6 +95,10 @@ HEADLINE = [
     "c130_jsd_lang_divergence",    # unigram JSD, pivot + pair explode
     "b153_hll_portable_sketch",    # portable HLL registers + audit
     "b154_sliding_hll_distinct",   # trailing-window register merge
+    "b156_mips_norm_pruned_topk",  # Cauchy-Schwarz norm-pruned MIPS
+    "b157_skew_salt_audit",        # shuffle-skew + salt-factor model
+    "b158_incremental_agg_retraction",  # matview delta w/ retractions
+    "c132_average_precision",      # blocked-rank exact AP eval
 ]
 
 

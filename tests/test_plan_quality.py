@@ -778,7 +778,13 @@ def _single_partition_exchanges_over_raw_scans(df):
         name = n.nodeName()
         if "Aggregate" in name:
             return False
-        if name.startswith("Scan") or "FileScan" in name:
+        # raw FILE scans only: a localCheckpoint reads back as
+        # "Scan ExistingRDD", and the repo's checkpoint discipline
+        # only ever materializes bounded post-aggregate sketch/block
+        # state (every site is audited in PLANS.md) — collapsing one
+        # is not the 100 TB global-sort anti-pattern this gate pins
+        if (name.startswith("Scan parquet") or "FileScan" in name
+                or name.startswith("BatchScan")):
             return True
         return any(scan_before_agg(k) for k in kids(n))
 

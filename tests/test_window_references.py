@@ -241,6 +241,33 @@ def test_c128_matches_counter_dsir(spark):
     assert got == rows[:20]
 
 
+def test_b159_qdigest_contract(spark):
+    """The q-digest's PAPER guarantees, recomputed against a pandas
+    histogram (independent of both the engine's Arrow compress loop
+    and the oracle's unrolled CTEs): every reported quantile is an
+    UPPER bound on the exact one; its true rank lies in
+    [ceil(p*n/100), rank + L*(n div k)]; and the digest size is
+    bounded by the sketch, not the data."""
+    rows = (REGISTRY["b159_qdigest_quantiles"].fn(spark, SF_SMALL)
+            .collect())
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    vals = sorted(min(max(math.floor(v * 100), 0), (1 << 16) - 1)
+                  for v in ev.value)
+    n = len(vals)
+    L, k = 16, 256
+    import bisect
+    assert len(rows) == 7
+    for r in rows:
+        rk = (r["pct"] * n + 99) // 100
+        exact = vals[rk - 1]
+        assert r["exact_cents"] == exact
+        assert r["qdigest_cents"] >= exact          # upper-bound walk
+        true_rank = bisect.bisect_right(vals, r["qdigest_cents"])
+        assert rk <= true_rank <= min(n, rk + L * (n // k)), \
+            (r["pct"], rk, true_rank)
+        assert r["n_nodes"] <= 3 * k                # classic size bound
+
+
 def _levenshtein(a: str, b: str) -> int:
     if len(a) < len(b):
         a, b = b, a

@@ -579,3 +579,187 @@ def c132_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("n_pos"),
         F.expr("sum(CASE WHEN pos = 1 THEN cum_pos * 1000000 div r "
                "ELSE 0 END) div sum(pos)").cast("long").alias("ap_ppm"))
+
+
+# ---------------------------------------------------------------------
+# b159: q-digest quantile sketch (deterministic, mergeable)
+# ---------------------------------------------------------------------
+
+_QD_L = 16                 # tree depth: leaves = value domain [0, 2^16)
+_QD_U = 1 << _QD_L         # universe size (value_cents clamps to U-1)
+_QD_K = 256                # compression parameter: node cap = n div k
+                           # (rank error eps = log2(U)/k = 6.25%)
+_QD_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def _qdigest_oracle() -> str:
+    """Unrolled bottom-up q-digest compression as chained CTEs: one
+    (fam, dec, cur) stage per tree level, leaf level L down to the
+    root's children — the literal Shrivastava et al. 2004 compress
+    loop, replayed level-synchronously (identical to the engine's
+    iteration order).  Every per-level CTE is MATERIALIZED: each
+    level references its predecessor three times, so DuckDB's
+    default CTE inlining would re-expand the chain 3^L times."""
+    stages = []
+    for lv in range(_QD_L, 0, -1):
+        lo, hi = 1 << lv, 1 << (lv + 1)
+        stages.append(f"""
+    f{lv} AS MATERIALIZED (
+      SELECT id // 2 AS pid, sum(cnt) AS cs
+      FROM c{lv} WHERE id >= {lo} AND id < {hi} GROUP BY pid
+    ), d{lv} AS MATERIALIZED (
+      SELECT f.pid, f.cs + coalesce(p.cnt, 0) AS tot
+      FROM f{lv} f LEFT JOIN c{lv} p ON p.id = f.pid
+    ), c{lv - 1} AS MATERIALIZED (
+      SELECT id, cnt FROM c{lv}
+      WHERE NOT (id >= {lo} AND id < {hi})
+        AND id NOT IN (SELECT pid FROM d{lv}
+                       WHERE tot <= (SELECT thr FROM tot))
+      UNION ALL
+      SELECT pid AS id, tot AS cnt FROM d{lv}
+      WHERE tot <= (SELECT thr FROM tot)
+      UNION ALL
+      SELECT c.id, c.cnt FROM c{lv} c JOIN d{lv} d ON d.pid = c.id // 2
+      WHERE c.id >= {lo} AND c.id < {hi}
+        AND d.tot > (SELECT thr FROM tot)
+    )""")
+    pct_rows = ", ".join(f"({p})" for p in _QD_PCTS)
+    return f"""
+    WITH hist AS MATERIALIZED (
+      SELECT greatest(0, least(CAST(floor(value * 100) AS BIGINT),
+                               {_QD_U - 1})) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY v
+    ), tot AS MATERIALIZED (
+      SELECT sum(cnt) AS n, sum(cnt) // {_QD_K} AS thr FROM hist
+    ), c{_QD_L} AS MATERIALIZED (
+      SELECT v + {_QD_U} AS id, cnt FROM hist
+    ),{",".join(stages)},
+    digest AS (
+      SELECT id, cnt,
+             ((id + 1) << ({_QD_L} - (length(bin(id)) - 1)))
+               - 1 - {_QD_U} AS ub
+      FROM c0
+    ), cum AS (
+      SELECT ub, sum(cnt) OVER (ORDER BY ub, id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM digest
+    ), pcts(pct) AS (VALUES {pct_rows}),
+    ranks AS (
+      SELECT pct, (pct * t.n + 99) // 100 AS rk FROM pcts, tot t
+    ), est AS (
+      SELECT r.pct, min(cum.ub) AS qd FROM ranks r JOIN cum
+        ON cum.c >= r.rk GROUP BY r.pct
+    ), hcum AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hist
+    ), exact AS (
+      SELECT r.pct, min(hcum.v) AS xv FROM ranks r JOIN hcum
+        ON hcum.c >= r.rk GROUP BY r.pct
+    ), nn AS (SELECT count(*) AS n_nodes FROM digest)
+    SELECT CAST(e.pct AS BIGINT) AS pct,
+           CAST(e.qd AS BIGINT) AS qdigest_cents,
+           CAST(x.xv AS BIGINT) AS exact_cents,
+           CAST(e.qd - x.xv AS BIGINT) AS err_cents,
+           CAST(nn.n_nodes AS BIGINT) AS n_nodes
+    FROM est e JOIN exact x ON x.pct = e.pct, nn
+    ORDER BY pct
+    """
+
+
+@_register(
+    "b159_qdigest_quantiles",
+    _qdigest_oracle(),
+    "Q-DIGEST quantile sketch (Shrivastava et al. 2004) — the last "
+    "classic mergeable sketch the portable family was missing "
+    "(after KMV b102, Misra-Gries c38, Count-Min b141, Bloom b144, "
+    "HLL b153/b154): deterministic, so fully value-oracled.  Leaf "
+    f"histogram over value_cents clamped to [0, {_QD_U}); bottom-up "
+    "level-synchronous compression folds a sibling pair plus its "
+    f"parent into the parent while the family total <= n div "
+    f"{_QD_K}, bounding the stored digest to O(k log U) nodes with "
+    "rank error <= n log(U)/k; quantile queries walk the nodes in "
+    "(upper-bound, depth) order and report the first ub whose "
+    "cumulative count reaches ceil(p*n/100).  The audit columns "
+    "compare each sketch quantile against the exact percentile from "
+    "the uncompressed histogram (err_cents is the actual rank-error "
+    "realization; n_nodes is the state the sketch would ship).  "
+    "Scale shape: ONE corpus pass collapses rows to <= U histogram "
+    "buckets (the mergeable per-shard state — partial histograms "
+    "sum); the compression loop then runs on that bounded state in "
+    "a SINGLE Arrow task (the kmv_partials discipline: Python only "
+    "ever touches k-bounded sketch state, never corpus rows), and "
+    "the quantile walk is a window over <= O(k log U) nodes.  At "
+    "100 TB only the first aggregation touches data; the digest "
+    "itself is bytes.",
+)
+def b159_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    hist = (ev.select(
+        F.greatest(F.lit(0), F.least(
+            F.floor(F.col("value") * 100).cast("long"),
+            F.lit(_QD_U - 1))).alias("v"))
+        .groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint())  # audit branch + digest build share it
+    tot = (hist.agg(F.sum("cnt").alias("n")).localCheckpoint())
+
+    def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        # level-synchronous bottom-up q-digest compress over the full
+        # (<= U rows) histogram; exact integer math mirroring the
+        # oracle's unrolled per-level CTEs
+        cur = {int(v) + _QD_U: int(c)
+               for v, c in zip(pdf["v"], pdf["cnt"])}
+        thr = sum(cur.values()) // _QD_K
+        for lv in range(_QD_L, 0, -1):
+            lo, hi = 1 << lv, 1 << (lv + 1)
+            fams: dict[int, int] = {}
+            for nid, c in cur.items():
+                if lo <= nid < hi:
+                    pid = nid >> 1
+                    fams[pid] = fams.get(pid, 0) + c
+            for pid, cs in fams.items():
+                tot_cnt = cs + cur.get(pid, 0)
+                if tot_cnt <= thr:
+                    for child in (2 * pid, 2 * pid + 1):
+                        cur.pop(child, None)
+                    cur[pid] = tot_cnt
+        ids = sorted(cur)
+        ubs = [((i + 1) << (_QD_L - (i.bit_length() - 1))) - 1 - _QD_U
+               for i in ids]
+        return pd.DataFrame({"id": ids, "cnt": [cur[i] for i in ids],
+                             "ub": ubs})
+
+    digest = (hist.groupBy(F.lit(1).alias("g"))
+              .applyInPandas(_compress, "id long, cnt long, ub long")
+              .localCheckpoint())  # cum walk + n_nodes share it
+    # global windows below run on sketch-sized relations (O(k log U)
+    # nodes / <= U histogram buckets), never a raw scan
+    cum = digest.select(
+        "ub", F.sum("cnt").over(
+            W.orderBy("ub", F.desc("id"))
+            .rowsBetween(W.unboundedPreceding, 0)).alias("c"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _QD_PCTS])).alias("pct"))
+    ranks = (pcts.crossJoin(F.broadcast(tot.select("n")))
+             .select("pct", F.expr("(pct * n + 99) div 100").alias("rk")))
+    est = (F.broadcast(ranks).join(cum, F.col("c") >= F.col("rk"))
+           .groupBy("pct").agg(F.min("ub").alias("qd")))
+    hcum = hist.select(
+        "v", F.sum("cnt").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, 0))
+        .alias("c"))
+    exact = (F.broadcast(ranks).join(hcum, F.col("c") >= F.col("rk"))
+             .groupBy("pct").agg(F.min("v").alias("xv")))
+    n_nodes = digest.agg(F.count("*").alias("n_nodes"))
+    return (est.join(exact, "pct")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(F.col("pct").cast("long"),
+                    F.col("qd").cast("long").alias("qdigest_cents"),
+                    F.col("xv").cast("long").alias("exact_cents"),
+                    (F.col("qd") - F.col("xv")).cast("long")
+                    .alias("err_cents"),
+                    F.col("n_nodes").cast("long"))
+            .orderBy("pct"))

@@ -302,3 +302,59 @@ def test_c129_matches_python_dp_levenshtein(spark):
     want.sort(key=lambda t: (t[2], t[0], t[1]))
     assert len(want) > 0
     assert got == want[:100]
+
+
+def test_b150_matches_pandas_stratified_rates(spark):
+    """Pooled-vs-stratum rate comparison recomputed with pandas
+    merges and exact integer rate math."""
+    out = {r["n_name"]: r for r in
+           REGISTRY["b150_simpson_reversal_audit"].fn(spark, SF_SMALL)
+           .collect()}
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    n = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    c = c[c.c_mktsegment.isin(["BUILDING", "MACHINERY"])]
+    j = (o.merge(c, left_on="o_custkey", right_on="c_custkey")
+         .merge(n, left_on="c_nationkey", right_on="n_nationkey"))
+    j["hi"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype(int)
+    per = {}
+    for name, g in j.groupby("n_name"):
+        a = g[g.c_mktsegment == "BUILDING"]
+        b = g[g.c_mktsegment == "MACHINERY"]
+        per[name] = (len(a), int(a.hi.sum()), len(b), int(b.hi.sum()))
+    pa = sum(v[1] for v in per.values()) * 1_000_000 \
+        // sum(v[0] for v in per.values())
+    pb = sum(v[3] for v in per.values()) * 1_000_000 \
+        // sum(v[2] for v in per.values())
+    want_names = {k for k, v in per.items() if v[0] > 0 and v[2] > 0}
+    assert set(out) == want_names
+    for name in want_names:
+        na, ha, nb, hb = per[name]
+        ra, rb = ha * 1_000_000 // na, hb * 1_000_000 // nb
+        row = out[name]
+        assert (row["rate_a_ppm"], row["rate_b_ppm"]) == (ra, rb)
+        assert (row["pooled_a_ppm"], row["pooled_b_ppm"]) == (pa, pb)
+        def sgn(x):
+            return (x > 0) - (x < 0)
+        assert row["reversed"] == int(sgn(ra - rb) * sgn(pa - pb) == -1)
+
+
+def test_c126_matches_sorted_list_quantiles(spark):
+    """Bottom-k-by-hash sample + type-1 discrete quantiles rebuilt
+    with sorted Python lists."""
+    out = {r["p_pct"]: r for r in
+           REGISTRY["c126_sampled_quantiles"].fn(spark, SF_SMALL)
+           .collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    by_hash = sorted(
+        ((_md5_48(str(int(r.doc_id))), int(r.doc_id), int(r.n_chars))
+         for r in d.itertuples()))
+    samp = sorted(nc for _, _, nc in by_hash[:400])
+    exact = sorted(int(x) for x in d.n_chars)
+    for p in (25, 50, 75, 90):
+        sq = samp[(p * len(samp) + 99) // 100 - 1]
+        xq = exact[(p * len(exact) + 99) // 100 - 1]
+        row = out[p]
+        assert row["sample_q"] == sq
+        assert row["exact_q"] == xq
+        assert row["abs_err"] == abs(sq - xq)

@@ -100,6 +100,7 @@ HEADLINE = [
     "b158_incremental_agg_retraction",  # matview delta w/ retractions
     "c132_average_precision",      # blocked-rank exact AP eval
     "b159_qdigest_quantiles",      # mergeable q-digest quantile sketch
+    "b160_sliding_qdigest",        # trailing-window quantile merge
 ]
 
 

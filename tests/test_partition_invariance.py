@@ -68,7 +68,7 @@ _EXTRA_INVARIANCE = [
     # wait their registry-order turn for a driver window slot)
     "b156_mips_norm_pruned_topk", "b157_skew_salt_audit",
     "b158_incremental_agg_retraction", "c132_average_precision",
-    "b159_qdigest_quantiles",
+    "b159_qdigest_quantiles", "b160_sliding_qdigest",
 ]
 
 

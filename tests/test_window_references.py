@@ -358,3 +358,35 @@ def test_c126_matches_sorted_list_quantiles(spark):
         assert row["sample_q"] == sq
         assert row["exact_q"] == xq
         assert row["abs_err"] == abs(sq - xq)
+
+
+def test_b160_sliding_qdigest_contract(spark):
+    """Windowed q-digest guarantees recomputed from per-day pandas
+    histograms: per window, the reported quantile upper-bounds the
+    exact windowed quantile, its true windowed rank stays within
+    L*(n_w div k), and the digest counts resum to the window total."""
+    import bisect
+    rows = (REGISTRY["b160_sliding_qdigest"].fn(spark, SF_SMALL)
+            .collect())
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    per_day: dict = defaultdict(list)
+    for _, r in ev.iterrows():
+        per_day[r.ts.date()].append(
+            min(max(math.floor(r.value * 100), 0), (1 << 16) - 1))
+    days = sorted(per_day)
+    L, k = 16, 256
+    got = {(r["day"], r["pct"]): r for r in rows}
+    assert len(got) == 2 * len(days)
+    for d in days:
+        win = sorted(v for pd_day in days
+                     if 0 <= (d - pd_day).days <= 6
+                     for v in per_day[pd_day])
+        n_w = len(win)
+        for p in (50, 95):
+            row = got[(str(d), p)]
+            rk = (p * n_w + 99) // 100
+            assert row["exact_cents"] == win[rk - 1]
+            assert row["qdigest_cents"] >= win[rk - 1]
+            true_rank = bisect.bisect_right(win, row["qdigest_cents"])
+            assert rk <= true_rank <= min(n_w, rk + L * (n_w // k)), \
+                (str(d), p, rk, true_rank)

@@ -592,6 +592,30 @@ _QD_K = 256                # compression parameter: node cap = n div k
 _QD_PCTS = (1, 5, 25, 50, 75, 95, 99)
 
 
+def _qd_compress_dict(cur: dict, thr: int) -> dict:
+    """Level-synchronous bottom-up q-digest compress over heap-id
+    counts (leaf ids in [U, 2U)); exact integer math mirroring the
+    oracle's unrolled per-level CTEs."""
+    for lv in range(_QD_L, 0, -1):
+        lo, hi = 1 << lv, 1 << (lv + 1)
+        fams: dict = {}
+        for nid, c in cur.items():
+            if lo <= nid < hi:
+                pid = nid >> 1
+                fams[pid] = fams.get(pid, 0) + c
+        for pid, cs in fams.items():
+            tot_cnt = cs + cur.get(pid, 0)
+            if tot_cnt <= thr:
+                for child in (2 * pid, 2 * pid + 1):
+                    cur.pop(child, None)
+                cur[pid] = tot_cnt
+    return cur
+
+
+def _qd_ub(nid: int) -> int:
+    return ((nid + 1) << (_QD_L - (nid.bit_length() - 1))) - 1 - _QD_U
+
+
 def _qdigest_oracle() -> str:
     """Unrolled bottom-up q-digest compression as chained CTEs: one
     (fam, dec, cur) stage per tree level, leaf level L down to the
@@ -707,30 +731,12 @@ def b159_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = (hist.agg(F.sum("cnt").alias("n")).localCheckpoint())
 
     def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
-        # level-synchronous bottom-up q-digest compress over the full
-        # (<= U rows) histogram; exact integer math mirroring the
-        # oracle's unrolled per-level CTEs
         cur = {int(v) + _QD_U: int(c)
                for v, c in zip(pdf["v"], pdf["cnt"])}
-        thr = sum(cur.values()) // _QD_K
-        for lv in range(_QD_L, 0, -1):
-            lo, hi = 1 << lv, 1 << (lv + 1)
-            fams: dict[int, int] = {}
-            for nid, c in cur.items():
-                if lo <= nid < hi:
-                    pid = nid >> 1
-                    fams[pid] = fams.get(pid, 0) + c
-            for pid, cs in fams.items():
-                tot_cnt = cs + cur.get(pid, 0)
-                if tot_cnt <= thr:
-                    for child in (2 * pid, 2 * pid + 1):
-                        cur.pop(child, None)
-                    cur[pid] = tot_cnt
+        cur = _qd_compress_dict(cur, sum(cur.values()) // _QD_K)
         ids = sorted(cur)
-        ubs = [((i + 1) << (_QD_L - (i.bit_length() - 1))) - 1 - _QD_U
-               for i in ids]
         return pd.DataFrame({"id": ids, "cnt": [cur[i] for i in ids],
-                             "ub": ubs})
+                             "ub": [_qd_ub(i) for i in ids]})
 
     digest = (hist.groupBy(F.lit(1).alias("g"))
               .applyInPandas(_compress, "id long, cnt long, ub long")
@@ -763,3 +769,188 @@ def b159_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("err_cents"),
                     F.col("n_nodes").cast("long"))
             .orderBy("pct"))
+
+
+# ---------------------------------------------------------------------
+# b160: trailing-window quantiles via merged q-digest histograms
+# ---------------------------------------------------------------------
+
+_QD_WIN_PCTS = (50, 95)
+
+
+def _sliding_qdigest_oracle() -> str:
+    """Per-window unrolled q-digest compression: the b159 CTE chain
+    with every stage keyed by wday (anti-join instead of NOT IN so
+    the absorbed-parent exclusion composes with the window key)."""
+    stages = []
+    for lv in range(_QD_L, 0, -1):
+        lo, hi = 1 << lv, 1 << (lv + 1)
+        stages.append(f"""
+    f{lv} AS MATERIALIZED (
+      SELECT wday, id // 2 AS pid, sum(cnt) AS cs
+      FROM c{lv} WHERE id >= {lo} AND id < {hi} GROUP BY wday, pid
+    ), d{lv} AS MATERIALIZED (
+      SELECT f.wday, f.pid, f.cs + coalesce(p.cnt, 0) AS tot_cnt,
+             t.thr
+      FROM f{lv} f
+      LEFT JOIN c{lv} p ON p.wday = f.wday AND p.id = f.pid
+      JOIN tot t ON t.wday = f.wday
+    ), c{lv - 1} AS MATERIALIZED (
+      SELECT c.wday, c.id, c.cnt FROM c{lv} c
+      LEFT JOIN (SELECT wday, pid FROM d{lv} WHERE tot_cnt <= thr) m
+        ON m.wday = c.wday AND m.pid = c.id
+      WHERE NOT (c.id >= {lo} AND c.id < {hi}) AND m.pid IS NULL
+      UNION ALL
+      SELECT wday, pid AS id, tot_cnt AS cnt FROM d{lv}
+      WHERE tot_cnt <= thr
+      UNION ALL
+      SELECT c.wday, c.id, c.cnt
+      FROM c{lv} c JOIN d{lv} d
+        ON d.wday = c.wday AND d.pid = c.id // 2
+      WHERE c.id >= {lo} AND c.id < {hi} AND d.tot_cnt > thr
+    )""")
+    pct_rows = ", ".join(f"({p})" for p in _QD_WIN_PCTS)
+    return f"""
+    WITH dh AS MATERIALIZED (
+      SELECT CAST(ts AS DATE) AS day,
+             greatest(0, least(CAST(floor(value * 100) AS BIGINT),
+                               {_QD_U - 1})) AS v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY day, v
+    ), spine AS MATERIALIZED (
+      SELECT DISTINCT day AS wday FROM dh
+    ), mh AS MATERIALIZED (
+      SELECT s.wday, d.v, CAST(sum(d.cnt) AS BIGINT) AS cnt
+      FROM spine s JOIN dh d ON d.day BETWEEN s.wday - 6 AND s.wday
+      GROUP BY s.wday, d.v
+    ), tot AS MATERIALIZED (
+      SELECT wday, sum(cnt) AS n, sum(cnt) // {_QD_K} AS thr
+      FROM mh GROUP BY wday
+    ), c{_QD_L} AS MATERIALIZED (
+      SELECT wday, v + {_QD_U} AS id, cnt FROM mh
+    ),{",".join(stages)},
+    digest AS MATERIALIZED (
+      SELECT wday, id, cnt,
+             ((id + 1) << ({_QD_L} - (length(bin(id)) - 1)))
+               - 1 - {_QD_U} AS ub
+      FROM c0
+    ), cum AS (
+      SELECT wday, ub, sum(cnt) OVER (PARTITION BY wday
+               ORDER BY ub, id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM digest
+    ), pcts(pct) AS (VALUES {pct_rows}),
+    ranks AS (
+      SELECT t.wday, p.pct, (p.pct * t.n + 99) // 100 AS rk
+      FROM tot t, pcts p
+    ), est AS (
+      SELECT r.wday, r.pct, min(cum.ub) AS qd
+      FROM ranks r JOIN cum ON cum.wday = r.wday AND cum.c >= r.rk
+      GROUP BY r.wday, r.pct
+    ), hcum AS (
+      SELECT wday, v, sum(cnt) OVER (PARTITION BY wday ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM mh
+    ), exact AS (
+      SELECT r.wday, r.pct, min(h.v) AS xv
+      FROM ranks r JOIN hcum h ON h.wday = r.wday AND h.c >= r.rk
+      GROUP BY r.wday, r.pct
+    ), nn AS (
+      SELECT wday, count(*) AS n_nodes FROM digest GROUP BY wday
+    )
+    SELECT CAST(e.wday AS VARCHAR) AS day,
+           CAST(e.pct AS BIGINT) AS pct,
+           CAST(e.qd AS BIGINT) AS qdigest_cents,
+           CAST(x.xv AS BIGINT) AS exact_cents,
+           CAST(nn.n_nodes AS BIGINT) AS n_nodes
+    FROM est e
+    JOIN exact x ON x.wday = e.wday AND x.pct = e.pct
+    JOIN nn ON nn.wday = e.wday
+    ORDER BY day, pct
+    """
+
+
+@_register(
+    "b160_sliding_qdigest",
+    _sliding_qdigest_oracle(),
+    "Trailing-7-day p50/p95 per day from MERGED q-digest state — the "
+    "windowed companion b154 gave the HLL (same shape: per-day "
+    "partials, window merge, one estimate per day).  The mergeable "
+    "state is the per-day value histogram (q-digest merge = sum "
+    "counts, then re-compress); each day's trailing window sums "
+    "<= 7 per-day histograms against a broadcast spine, compresses "
+    "the merged state once per window in a grouped Arrow task, and "
+    "reads p50/p95 off the digest with the exact windowed quantile "
+    "as the per-day audit — the 'trailing p95 latency without "
+    "rescanning raw rows' query every metrics pipeline ships.  "
+    "Scale shape: raw rows reduce ONCE to (day, value) histogram "
+    "partials; everything downstream is histogram-sized, keyed and "
+    "partitioned by window day (no global windows).  The oracle "
+    "replays per-window compression as the b159 unrolled CTE chain "
+    "keyed by wday.",
+)
+def b160_sliding_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    dayhist = (ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.greatest(F.lit(0), F.least(
+            F.floor(F.col("value") * 100).cast("long"),
+            F.lit(_QD_U - 1))).alias("v"))
+        .groupBy("day", "v").agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint())  # mergeable per-day histogram partials
+    spine = dayhist.select(F.col("day").alias("wday")).distinct()
+    merged = (F.broadcast(spine)
+              .join(dayhist,
+                    (F.col("day") >= F.date_sub(F.col("wday"), 6))
+                    & (F.col("day") <= F.col("wday")))
+              .groupBy("wday", "v")
+              .agg(F.sum("cnt").cast("long").alias("cnt"))
+              .localCheckpoint())  # digest build + exact audit share it
+
+    def _compress_win(pdf: pd.DataFrame) -> pd.DataFrame:
+        wday = pdf["wday"].iloc[0]
+        cur = {int(v) + _QD_U: int(c)
+               for v, c in zip(pdf["v"], pdf["cnt"])}
+        cur = _qd_compress_dict(cur, sum(cur.values()) // _QD_K)
+        ids = sorted(cur)
+        return pd.DataFrame(
+            {"wday": [wday] * len(ids), "id": ids,
+             "cnt": [cur[i] for i in ids],
+             "ub": [_qd_ub(i) for i in ids]})
+
+    digest = (merged.groupBy("wday")
+              .applyInPandas(_compress_win,
+                             "wday date, id long, cnt long, ub long")
+              .localCheckpoint())  # cum walk + per-day n_nodes share it
+    cum = digest.select(
+        "wday", "ub", F.sum("cnt").over(
+            W.partitionBy("wday").orderBy("ub", F.desc("id"))
+            .rowsBetween(W.unboundedPreceding, 0)).alias("c"))
+    tot = merged.groupBy("wday").agg(F.sum("cnt").alias("n"))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _QD_WIN_PCTS]))
+        .alias("pct"))
+    ranks = (tot.crossJoin(F.broadcast(pcts))
+             .select("wday", "pct",
+                     F.expr("(pct * n + 99) div 100").alias("rk")))
+    est = (cum.join(F.broadcast(ranks), "wday")
+           .filter(F.col("c") >= F.col("rk"))
+           .groupBy("wday", "pct").agg(F.min("ub").alias("qd")))
+    hcum = merged.select(
+        "wday", "v", F.sum("cnt").over(
+            W.partitionBy("wday").orderBy("v")
+            .rowsBetween(W.unboundedPreceding, 0)).alias("c"))
+    exact = (hcum.join(F.broadcast(ranks), "wday")
+             .filter(F.col("c") >= F.col("rk"))
+             .groupBy("wday", "pct").agg(F.min("v").alias("xv")))
+    nn = digest.groupBy("wday").agg(F.count("*").alias("n_nodes"))
+    return (est.join(exact, ["wday", "pct"])
+            .join(F.broadcast(nn), "wday")
+            .select(F.col("wday").cast("string").alias("day"),
+                    F.col("pct").cast("long"),
+                    F.col("qd").cast("long").alias("qdigest_cents"),
+                    F.col("xv").cast("long").alias("exact_cents"),
+                    F.col("n_nodes").cast("long"))
+            .orderBy("day", "pct"))

@@ -267,3 +267,129 @@ def test_c76_matches_python_bigint_covariance(spark):
             cov.append((i + 1, j + 1, n * sxy - sx * sy))
     cov.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
     assert got == cov[:10]
+
+
+def test_c57_matches_rational_percentiles(spark, docs):
+    """Type-7 interpolated percentiles recomputed with exact
+    Fractions; band membership is decided rationally (integer chars
+    vs a rational edge), so the kept counts are exact."""
+    from fractions import Fraction
+    out = {r["lang"]: r for r in
+           REGISTRY["c57_length_percentile_filter"].fn(spark, SF_SMALL)
+           .collect()}
+    for lang, g in docs.groupby("lang"):
+        vals = sorted(int(x) for x in g.n_chars)
+        n = len(vals)
+
+        def pct(p: Fraction) -> Fraction:
+            rank = p * (n - 1)
+            lo_i = rank.numerator // rank.denominator
+            frac = rank - lo_i
+            if lo_i + 1 >= n:
+                return Fraction(vals[-1])
+            return vals[lo_i] + frac * (vals[lo_i + 1] - vals[lo_i])
+
+        lo, hi = pct(Fraction(1, 20)), pct(Fraction(19, 20))
+        kept = [v for v in vals if lo <= v <= hi]
+        row = out[lang]
+        assert abs(row["lo"] - float(lo)) < 1e-6
+        assert abs(row["hi"] - float(hi)) < 1e-6
+        assert row["n_docs"] == n
+        assert row["n_kept"] == len(kept)
+        assert row["kept_chars"] == sum(kept)
+
+
+def test_c67_matches_python_loo_encoding(spark):
+    """Leave-one-out target encoding recomputed with plain loops and
+    truncating integer division."""
+    out = {r["event_type"]: r for r in
+           REGISTRY["c67_target_encoding"].fn(spark, SF_SMALL)
+           .collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    for et, g in ev.groupby("event_type"):
+        cents = [math.floor(v * 100) for v in g.value]
+        s, n = sum(cents), len(cents)
+        if n <= 1:
+            continue
+        loos = sorted(_t67_tdiv((s - c) * 1_000_000, n - 1)
+                      for c in cents)
+        row = out[et]
+        assert row["n"] == n
+        assert row["min_loo_ppm"] == loos[0]
+        assert row["max_loo_ppm"] == loos[-1]
+        assert row["avg_loo_ppm"] == _t67_tdiv(sum(loos), n)
+
+
+def _t67_tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_c70_matches_python_set_containment(spark, docs):
+    """Directed shingle containment from plain set intersections."""
+    got = {(r["d1"], r["d2"]): (r["n_common"], r["cont1_ppm"],
+                                r["cont2_ppm"])
+           for r in REGISTRY["c70_containment_pairs"]
+           .fn(spark, SF_SMALL).collect()}
+    sh = {int(r.doc_id): _shingles3(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        if len(sh[a]) < 5:
+            continue
+        for b in ids[i + 1:]:
+            if len(sh[b]) < 5:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            c1 = inter * 1_000_000 // len(sh[a])
+            c2 = inter * 1_000_000 // len(sh[b])
+            if max(c1, c2) >= 600_000:
+                want[(a, b)] = (inter, c1, c2)
+    assert got == want
+
+
+def test_c75_matches_counter_dup_weights(spark, docs):
+    """1/k duplicate weights from a Counter over exact text copies."""
+    out = {r["source"]: r for r in
+           REGISTRY["c75_inverse_dup_weighting"].fn(spark, SF_SMALL)
+           .collect()}
+    dup_n = Counter(docs.text)
+    per_src: dict = {}
+    for r in docs.itertuples():
+        n, s = per_src.get(r.source, (0, 0))
+        per_src[r.source] = (n + 1, s + 1_000_000 // dup_n[r.text])
+    assert set(out) == set(per_src)
+    for src, (n, s) in per_src.items():
+        row = out[src]
+        assert (row["n_docs"], row["weight_sum_ppm"],
+                row["mean_weight_ppm"]) == (n, s, s // n)
+
+
+def test_c77_matches_python_funnel(spark, docs):
+    """Dedup -> length -> decontam funnel replayed with dicts,
+    substring `in`, and the same top-10-longest needle set."""
+    row = REGISTRY["c77_curation_funnel"].fn(spark, SF_SMALL).collect()[0]
+    first_of_text: dict = {}
+    for r in sorted(docs.itertuples(), key=lambda r: int(r.doc_id)):
+        first_of_text.setdefault(r.text, int(r.doc_id))
+    needles = [(int(r.doc_id), r.text[:12]) for r in sorted(
+        docs.itertuples(),
+        key=lambda r: (-int(r.n_chars), int(r.doc_id)))[:10]]
+    n_total = len(docs)
+    dedup = qual = decon = 0
+    for r in docs.itertuples():
+        if first_of_text[r.text] != int(r.doc_id):
+            continue
+        dedup += 1
+        if not 20 <= len(re.split(" +", r.text.strip(" "))) <= 80:
+            continue
+        qual += 1
+        if any(sid != int(r.doc_id) and nd in r.text
+               for sid, nd in needles):
+            continue
+        decon += 1
+    assert (row["n_total"], row["survive_dedup"],
+            row["survive_quality"], row["survive_decontam"]) \
+        == (n_total, dedup, qual, decon)

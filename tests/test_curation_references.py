@@ -520,3 +520,118 @@ def test_c72_matches_counter_contingency(spark, docs):
                 else "short" if n_tok < 30 else "long")
         c[(band, int(text_n[r.text] > 1))] += 1
     assert got == dict(c)
+
+
+def test_c53_matches_python_span_merge(spark, docs):
+    """Corpus-global duplicate 5-gram spans + per-doc island merge,
+    replayed with dicts and a sequential sweep."""
+    out = {r["doc_id"]: r for r in
+           REGISTRY["c53_dup_span_flagging"].fn(spark, SF_SMALL)
+           .collect()}
+    toks = {int(r.doc_id): _toks(r.text) for r in docs.itertuples()}
+    gram_count: Counter = Counter()
+    occ: dict = {}
+    for did, t in toks.items():
+        grams = [" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+        occ[did] = grams
+        gram_count.update(grams)
+    assert set(out) == set(toks)
+    for did, t in toks.items():
+        spans = sorted((i, i + 4) for i, g in enumerate(occ[did])
+                       if gram_count[g] > 1)
+        flagged: set = set()
+        islands = 0
+        max_f = None
+        for s, f in spans:
+            flagged.update(range(s, f + 1))
+            if max_f is None or s > max_f:
+                islands += 1
+            max_f = f if max_f is None else max(max_f, f)
+        row = out[did]
+        assert row["n_tokens"] == len(t)
+        assert row["n_flagged"] == len(flagged)
+        assert row["n_islands"] == islands
+        assert row["flagged_ppm"] == len(flagged) * 1_000_000 // len(t)
+
+
+def test_c58_matches_python_centroid_cosine(spark, docs):
+    """Per-source quantized centroid-vs-global cosine with exact big
+    ints and a final float division."""
+    out = {r["source"]: r["centroid_cos_ppm"] for r in
+           REGISTRY["c58_source_embedding_drift"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    qv = {int(r.vec_id): [math.floor(float(x) * 1_000_000)
+                          for x in r.embedding]
+          for r in emb.itertuples()}
+    src_of = {int(r.doc_id): r.source for r in docs.itertuples()}
+    per: dict = {}
+    glob = [0] * 64
+    for vid, v in qv.items():
+        if vid not in src_of:
+            continue
+        s = per.setdefault(src_of[vid], [0] * 64)
+        for i, x in enumerate(v):
+            s[i] += x
+            glob[i] += x
+    assert set(out) == set(per)
+    for src, s in per.items():
+        num = sum(a * b for a, b in zip(s, glob))
+        den = math.sqrt(sum(a * a for a in s)) \
+            * math.sqrt(sum(b * b for b in glob))
+        assert out[src] == math.floor(1_000_000.0 * float(num) / den)
+
+
+def test_c63_matches_python_norm_audit(spark):
+    """Per-label embedding QA stats from quantized norm sums."""
+    out = {r["label"]: r for r in
+           REGISTRY["c63_embedding_qa_audit"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    per: dict = {}
+    for r in emb.itertuples():
+        nq = sum(math.floor(float(x) * float(x) * 1e12)
+                 for x in r.embedding)
+        per.setdefault(int(r.label), []).append(
+            (len(r.embedding), nq))
+    assert set(out) == set(per)
+    for lbl, rows in per.items():
+        row = out[lbl]
+        norms = [nq for _, nq in rows]
+        assert row["n_vecs"] == len(rows)
+        assert row["n_distinct_dims"] == len({d for d, _ in rows})
+        assert row["min_normsq_q"] == min(norms)
+        assert row["max_normsq_q"] == max(norms)
+        assert row["avg_normsq_q"] == sum(norms) // len(norms)
+        assert row["n_zero_vecs"] == sum(1 for n in norms if n == 0)
+
+
+def test_c78_matches_python_moment_corr(spark, docs):
+    """Per-language Pearson corr(n_chars, quantized normsq) from
+    exact integer moments and one float expression."""
+    out = {r["lang"]: r for r in
+           REGISTRY["c78_text_embedding_join"].fn(spark, SF_SMALL)
+           .collect()}
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    nv = {int(r.vec_id): sum(math.floor(float(x) * float(x) * 1e6)
+                             for x in r.embedding)
+          for r in emb.itertuples()}
+    per: dict = {}
+    for r in docs.itertuples():
+        if int(r.doc_id) in nv:
+            per.setdefault(r.lang, []).append(
+                (int(r.n_chars), nv[int(r.doc_id)]))
+    assert set(out) == set(per)
+    for lang, pts in per.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        corr = (n * float(sxy) - float(sx) * sy) / math.sqrt(
+            (n * float(sxx) - float(sx) * sx)
+            * (n * float(syy) - float(sy) * sy))
+        row = out[lang]
+        assert row["n_docs"] == n
+        assert abs(row["corr_len_normsq"] - corr) < 2e-6

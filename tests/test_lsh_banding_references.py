@@ -150,3 +150,30 @@ def test_c41_bipartite_output_matches_hashlib_reference(spark, corpus):
     assert set(got) == set(ref)
     for k, j in got.items():
         assert abs(j - ref[k]) < 1e-12, (k, j, ref[k])
+
+
+def test_c125_estimate_error_matches_hashlib(spark, corpus):
+    """Signature-agreement estimate vs exact Jaccard for every
+    verified pair, recomputed from the hashlib signatures."""
+    sh, _ = corpus
+    sigs = {d: _signature(s) for d, s in sh.items() if s}
+    got = {(r["d1"], r["d2"]): (r["est_ppm"], r["exact_ppm"],
+                                r["abs_err_ppm"])
+           for r in REGISTRY["c125_minhash_estimate_error"]
+           .fn(spark, SF_SMALL).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            union = len(sh[a]) + len(sh[b]) - inter
+            if inter / union < 0.5:
+                continue
+            exact_ppm = inter * 1_000_000 // union
+            agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            est_ppm = agree * 1_000_000 // 16
+            want[(a, b)] = (est_ppm, exact_ppm,
+                            abs(est_ppm - exact_ppm))
+    assert got == want

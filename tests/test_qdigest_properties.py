@@ -14,7 +14,7 @@ from __future__ import annotations
 import bisect
 from collections import Counter
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round11 import (
@@ -39,6 +39,8 @@ def test_compress_preserves_total_count(values, k):
 
 @settings(max_examples=60, deadline=None)
 @given(vals, st.sampled_from([16, 64, 256]))
+@example(values=[0, 0], k=16)
+@example(values=[0] * 15 + [2], k=16)
 def test_quantile_walk_rank_error_bound(values, k):
     """For every percentile p, the reported upper bound's true rank
     lies in [ceil(p*n/100), rank + L*(n div k)] — the paper bound."""
@@ -56,13 +58,15 @@ def test_quantile_walk_rank_error_bound(values, k):
                 break
         assert est >= svals[rk - 1]
         # est is a valid eps-approximate p-quantile iff its rank RANGE
-        # [first occurrence, last value <= est] intersects
-        # [rk, rk + L*(n div k)] — with duplicated values the upper
-        # end of the range legitimately exceeds the bound
+        # [insertion rank, last value <= est] intersects
+        # [rk, rk + L*(n div k)]: duplicates stretch the upper end
+        # past the bound, and an est ABOVE max(values) (a lone tail
+        # count bubbled to a wide ancestor) has insertion rank n+1 —
+        # so the lo_rank bound must NOT be clamped to n
         hi_rank = bisect.bisect_right(svals, est)
         lo_rank = bisect.bisect_left(svals, est) + 1
         assert hi_rank >= rk, (p, rk, hi_rank, n, k)
-        assert lo_rank <= min(n, rk + _QD_L * (n // k)), \
+        assert lo_rank <= rk + _QD_L * (n // k), \
             (p, rk, lo_rank, n, k)
 
 

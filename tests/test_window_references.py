@@ -267,8 +267,7 @@ def test_b159_qdigest_contract(spark):
         hi_rank = bisect.bisect_right(vals, r["qdigest_cents"])
         lo_rank = bisect.bisect_left(vals, r["qdigest_cents"]) + 1
         assert hi_rank >= rk, (r["pct"], rk, hi_rank)
-        assert lo_rank <= min(n, rk + L * (n // k)), \
-            (r["pct"], rk, lo_rank)
+        assert lo_rank <= rk + L * (n // k), (r["pct"], rk, lo_rank)
         assert r["n_nodes"] <= 3 * k                # classic size bound
 
 
@@ -394,5 +393,5 @@ def test_b160_sliding_qdigest_contract(spark):
             hi_rank = bisect.bisect_right(win, row["qdigest_cents"])
             lo_rank = bisect.bisect_left(win, row["qdigest_cents"]) + 1
             assert hi_rank >= rk, (str(d), p, rk, hi_rank)
-            assert lo_rank <= min(n_w, rk + L * (n_w // k)), \
+            assert lo_rank <= rk + L * (n_w // k), \
                 (str(d), p, rk, lo_rank)

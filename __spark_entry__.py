@@ -117,6 +117,32 @@ _DRIVER_VERIFIED = [
     "b56_date_spine_zero_fill", "b57_interarrival_histogram",
     "c47_vocab_truncation", "c48_hard_negative_mining",
     "b58_topn_with_ties", "c50_corpus_datacard",
+    # --- r06 greens (CORRECTNESS_r06.json: 50/50 hash_match) ---
+    "b155_streaming_datasource_restart", "b153_hll_portable_sketch",
+    "b154_sliding_hll_distinct", "b145_streaming_cdc_upsert",
+    "b148_dense_global_ids", "b149_ece_calibration_bins",
+    "b150_simpson_reversal_audit", "b151_asof_tolerance_nearest",
+    "b152_interval_union_coverage", "c129_edit_distance_verify",
+    "c130_jsd_lang_divergence", "c131_cluster_purity_mi",
+    "b137_theil_sen_slope", "b138_l_diversity",
+    "b139_holt_linear_forecast", "b141_countmin_frequency",
+    "b144_bloom_membership", "b146_clamped_running_balance",
+    "b147_top_session_paths", "c124_priority_sample",
+    "c125_minhash_estimate_error", "c126_sampled_quantiles",
+    "c127_knn_label_consistency", "c128_dsir_importance",
+    "c51_source_dup_rate", "c52_triangle_census",
+    "c53_dup_span_flagging", "c54_bigram_lm_score",
+    "c55_ngram_novelty", "c56_cluster_cohesion",
+    "c57_length_percentile_filter", "c58_source_embedding_drift",
+    "c60_exact_substring_decontam", "c61_mislabel_candidates",
+    "c62_template_detection", "c63_embedding_qa_audit",
+    "c64_source_overlap_matrix", "c65_effective_token_yield",
+    "c67_target_encoding", "c68_skipgram_pairs",
+    "c69_hapax_rate", "c70_containment_pairs",
+    "c71_winsorized_mean", "c72_dup_quality_contingency",
+    "c73_distribution_drift_tv", "c74_cross_lang_dups",
+    "c75_inverse_dup_weighting", "c76_feature_covariance",
+    "c77_curation_funnel", "c78_text_embedding_join",
 ]
 
 
@@ -125,40 +151,31 @@ _DRIVER_VERIFIED = [
 # already green in the local mirror for several rounds.  Also holds
 # previously-green names whose implementation changed after their
 # last driver row (r06: b153/b154 — the HLL all-zero rank clamp).
-# The r06 window (per VERDICT r05 tasks 1+8): new-code names first
-# (b155 datasource-restart is brand new; b153/b154 changed; the
-# round-9/10 families never checked), then the c5x-c9x curation tier
-# — the oldest never-checked cohort — to fill the ~50-slot window.
+# The r07 window (per VERDICT r06 tasks 1+2): this round's brand-new
+# additions first (never driver-checked new code is worth the most),
+# then the r06 additions that shipped behind the r06 window
+# (b156-b160 + c132), then the c79-c103 cohort (oldest never-checked),
+# then b59+ fills the rest of the ~50-slot window in registry order
+# via the `front` bucket of _rotated().
 _NEW_THIS_ROUND = [
-    # brand-new / changed this round
-    "b155_streaming_datasource_restart",
-    "b153_hll_portable_sketch", "b154_sliding_hll_distinct",
-    # round-9/10 additions, never driver-checked
-    "b145_streaming_cdc_upsert", "b148_dense_global_ids",
-    "b149_ece_calibration_bins", "b150_simpson_reversal_audit",
-    "b151_asof_tolerance_nearest", "b152_interval_union_coverage",
-    "c129_edit_distance_verify", "c130_jsd_lang_divergence",
-    "c131_cluster_purity_mi", "b137_theil_sen_slope",
-    "b138_l_diversity", "b139_holt_linear_forecast",
-    "b141_countmin_frequency", "b144_bloom_membership",
-    "b146_clamped_running_balance", "b147_top_session_paths",
-    "c124_priority_sample", "c125_minhash_estimate_error",
-    "c126_sampled_quantiles", "c127_knn_label_consistency",
-    "c128_dsir_importance",
-    # c5x-c9x curation tier (oldest never-checked cohort)
-    "c51_source_dup_rate", "c52_triangle_census",
-    "c53_dup_span_flagging", "c54_bigram_lm_score",
-    "c55_ngram_novelty", "c56_cluster_cohesion",
-    "c57_length_percentile_filter", "c58_source_embedding_drift",
-    "c60_exact_substring_decontam", "c61_mislabel_candidates",
-    "c62_template_detection", "c63_embedding_qa_audit",
-    "c64_source_overlap_matrix", "c65_effective_token_yield",
-    "c67_target_encoding", "c68_skipgram_pairs", "c69_hapax_rate",
-    "c70_containment_pairs", "c71_winsorized_mean",
-    "c72_dup_quality_contingency", "c73_distribution_drift_tv",
-    "c74_cross_lang_dups", "c75_inverse_dup_weighting",
-    "c76_feature_covariance", "c77_curation_funnel",
-    "c78_text_embedding_join",
+    # brand-new this round (r07)
+    "b161_streaming_retraction_restart",
+    "b162_reservoir_sample_merge", "b163_tdigest_quantiles",
+    "c133_rank_biased_overlap", "c134_ndcg_eval",
+    "b164_bounded_lag_dedup", "c135_suffix_array_lcp_dup",
+    # r06 additions, shipped behind the r06 window — never checked
+    "b156_mips_norm_pruned_topk", "b157_skew_salt_audit",
+    "b158_incremental_agg_retraction", "b159_qdigest_quantiles",
+    "b160_sliding_qdigest", "c132_average_precision",
+    # c79-c103 cohort (oldest never-checked)
+    "c79_idf_weighted_containment", "c80_lsh_precision_audit",
+    "c81_shard_balance_audit", "c82_bpe_pair_counts",
+    "c85_feature_hash_bow", "c86_jl_projection",
+    "c87_semantic_dedup", "c88_lookback_dedup",
+    "c89_unigram_surprise", "c90_zipf_slope_audit",
+    "c91_ann_recall_eval", "c92_dedup_threshold_sweep",
+    "c94_quantile_normalization", "c95_poisson_bootstrap",
+    "c96_gini_concentration", "c97_decontam_needle_sweep",
 ]
 
 

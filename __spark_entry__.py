@@ -160,9 +160,9 @@ _DRIVER_VERIFIED = [
 _NEW_THIS_ROUND = [
     # brand-new this round (r07)
     "b161_streaming_retraction_restart",
-    "b162_reservoir_sample_merge", "b163_tdigest_quantiles",
-    "c133_rank_biased_overlap", "c134_ndcg_eval",
-    "b164_bounded_lag_dedup", "c135_suffix_array_lcp_dup",
+    "b162_zonemap_skipping_audit", "b163_join_cardinality_estimate",
+    "b164_range_partition_boundaries", "c133_rank_biased_overlap",
+    "c134_ndcg_eval", "c135_token_suffix_lcp_dup",
     # r06 additions, shipped behind the r06 window — never checked
     "b156_mips_norm_pruned_topk", "b157_skew_salt_audit",
     "b158_incremental_agg_retraction", "b159_qdigest_quantiles",

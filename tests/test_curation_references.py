@@ -14,6 +14,7 @@ from collections import Counter
 import pandas as pd
 import pytest
 
+from tests.conftest import round_half_up, tdiv
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -320,9 +321,7 @@ def test_c67_matches_python_loo_encoding(spark):
         assert row["avg_loo_ppm"] == _t67_tdiv(sum(loos), n)
 
 
-def _t67_tdiv(a: int, b: int) -> int:
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+_t67_tdiv = tdiv
 
 
 def test_c70_matches_python_set_containment(spark, docs):
@@ -404,10 +403,7 @@ def _seq_cosine(a, b) -> float:
     return dp / (math.sqrt(na) * math.sqrt(nb))
 
 
-def _half_up(x: float, digits: int) -> float:
-    from decimal import ROUND_HALF_UP, Decimal
-    return float(Decimal(repr(x)).quantize(
-        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+_half_up = round_half_up
 
 
 def test_b138_matches_counter_l_diversity(spark, docs):

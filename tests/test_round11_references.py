@@ -6,18 +6,16 @@ DuckDB oracle (the tests/test_sketch_references.py pattern).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
+from tests.conftest import md5_48
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
 
 SF_SMALL = "/root/testdata/sf0.001"
 
 
-def _md5_48(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+_md5_48 = md5_48
 
 
 def _events() -> pd.DataFrame:

@@ -16,26 +16,18 @@ in both engines).
 
 from __future__ import annotations
 
-import hashlib
 import math
 import re
 from collections import Counter, defaultdict
-from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_SMALL, md5_48, round_half_up, tdiv
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
 
 
-def _md5_48(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
-
-
-def _tdiv(a: int, b: int) -> int:
-    """Truncate-toward-zero integer division (Spark div, DuckDB //)."""
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+_md5_48 = md5_48
+_tdiv = tdiv
 
 
 def test_b137_matches_brute_force_pair_median(spark):
@@ -161,11 +153,7 @@ def test_b154_matches_python_sliding_hll(spark):
         assert row["distinct_exact"] == len(users)
 
 
-def _round_half_up(x: float, digits: int) -> float:
-    """Spark F.round: BigDecimal.valueOf(double) (shortest repr, same
-    as Python repr) quantized HALF_UP."""
-    return float(Decimal(repr(x)).quantize(
-        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+_round_half_up = round_half_up
 
 
 def test_c127_matches_brute_force_knn(spark):

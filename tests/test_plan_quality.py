@@ -849,13 +849,52 @@ def test_c100_agreement_stage_is_equi_join(spark):
     assert p.count("BroadcastNestedLoopJoin") <= 2
 
 
+def _grouped_arrow_over_raw_scans(df):
+    """Offending grouped-Arrow nodes: FlatMapGroupsInPandas (the
+    applyInPandas physical node — it funnels a whole group into one
+    Python task) whose subtree reaches a file scan WITHOUT passing
+    through an aggregate.  Grouped Python state is only 100 TB-safe
+    when its input is already sketch/block-bounded by an upstream
+    aggregation; per-row MapInPandas (decode/quantize maps) is exempt
+    — it streams Arrow batches and never concentrates a group."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    bad = []
+
+    def kids(n):
+        c = n.children()
+        return [c.apply(i) for i in range(c.size())]
+
+    def scan_before_agg(n):
+        name = n.nodeName()
+        if "Aggregate" in name:
+            return False
+        if (name.startswith("Scan parquet") or "FileScan" in name
+                or name.startswith("BatchScan")):
+            return True
+        return any(scan_before_agg(k) for k in kids(n))
+
+    def walk(n):
+        if "FlatMapGroupsInPandas" in n.nodeName():
+            if any(scan_before_agg(k) for k in kids(n)):
+                bad.append(n.toString()[:200])
+        for k in kids(n):
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
 def test_no_registry_query_collapses_a_raw_scan(spark):
-    """Registry-wide sweep of the headline scale property: NO query
-    may put a SinglePartition exchange over a raw file scan (only
+    """Registry-wide sweep of the headline scale properties: NO query
+    may (a) put a SinglePartition exchange over a raw file scan (only
     post-aggregate block/bucket tables may collapse — they are tiny
-    by construction).  ~4 min at sf0.001; this is the one test that
-    asserts the 100 TB story for every query at once, so it earns
-    the wall-clock."""
+    by construction) or (b) run a grouped-Arrow (applyInPandas) task
+    directly over a raw file scan (grouped Python state must be
+    sketch-bounded by an upstream aggregation).  ~4 min at sf0.001;
+    this is the one test that asserts the 100 TB story for every
+    query at once, so it earns the wall-clock."""
     bad = {}
     for i, (name, spec) in enumerate(REGISTRY.items()):
         if i % 50 == 0:
@@ -863,10 +902,164 @@ def test_no_registry_query_collapses_a_raw_scan(spark):
             # 277-plan sweep from tipping the JVM over
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         df = spec.fn(spark, SF_SMALL)
-        b = _single_partition_exchanges_over_raw_scans(df)
+        b = (_single_partition_exchanges_over_raw_scans(df)
+             + _grouped_arrow_over_raw_scans(df))
         if b:
             bad[name] = b[0][:120]
     assert not bad, f"raw-scan global collapses: {bad}"
+
+
+def test_grouped_arrow_gate_catches_raw_scan_group_apply(spark):
+    """Negative control: applyInPandas directly over a parquet scan
+    (whole source groups funneled into Python with no bounding
+    aggregate) must be flagged, or the grouped-Arrow half of the
+    sweep above proves nothing."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["source"]].head(1)
+
+    badq = docs.groupBy("source").applyInPandas(f, "source string")
+    assert _grouped_arrow_over_raw_scans(badq)
+    # ...and the same group-apply above a bounding aggregate is fine
+    agg = docs.groupBy("source").count()
+
+    def g(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["source"]].head(1)
+
+    okq = agg.groupBy("source").applyInPandas(g, "source string")
+    assert not _grouped_arrow_over_raw_scans(okq)
+
+
+def test_single_partition_gate_blind_spot_is_checkpoint_laundering(
+        spark):
+    """DOCUMENTED BLIND SPOT (r06 ADVICE): the SinglePartition gate
+    exempts every 'Scan ExistingRDD' leaf because a localCheckpoint
+    erases lineage — the physical plan cannot show whether the
+    checkpointed relation was a bounded post-aggregate sketch or a
+    raw corpus scan.  This control pins the limitation: a checkpoint
+    of a RAW scan followed by a global sort passes the plan gate
+    silently.  The compensating control is source-level:
+    test_checkpoint_sites_are_audited() fails the suite whenever a
+    localCheckpoint call site appears outside the audited allowlist,
+    so every new checkpoint is consciously reviewed for boundedness
+    before it can hide anything from this gate."""
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    laundered = docs.localCheckpoint()
+    badq = laundered.select(
+        "doc_id",
+        F.sum("n_chars").over(W.orderBy("doc_id")
+                              .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+    # the gate does NOT catch it — that is the documented blind spot
+    assert not _single_partition_exchanges_over_raw_scans(badq)
+
+
+def test_checkpoint_sites_are_audited():
+    """Enforce the claim the SinglePartition exemption rests on:
+    every localCheckpoint() call site in non-test engine source is
+    individually audited for boundedness.  AST-walks the package and
+    compares (module, enclosing function) against the allowlist
+    below; adding a checkpoint anywhere else fails until the new
+    site is reviewed and added here with a rationale."""
+    import ast
+    import pathlib
+
+    pkg = (pathlib.Path(__file__).resolve().parent.parent
+           / "tp_airflow_gtfs_snowflake_spark")
+    # (module, enclosing def) -> why the checkpointed relation is
+    # bounded (or why checkpointing corpus-scale lineage is safe)
+    audited = {
+        # --- iterative lineage truncation: the checkpointed relation
+        # IS corpus-scale (edges / label / word state), but none ever
+        # feeds a SinglePartition exchange — the loops re-shuffle on
+        # keys each round; lineage cut is the point
+        ("operators/bpe.py", "bpe_token_frequencies"),
+        ("operators/bpe.py", "encode_words"),
+        ("operators/bpe.py", "learn_bpe"),
+        ("operators/components.py", "connected_components"),
+        ("operators/components.py", "kcore_peel"),
+        ("operators/components.py", "pagerank"),
+        ("operators/components.py", "pagerank_int"),
+        ("operators/hierarchy.py", "tree_depths"),
+        ("operators/similarity.py", "cell_blocked_neardup"),
+        # --- catalog maintenance: partition-scoped relations (the
+        # touched partitions only, read once / written once)
+        ("catalog.py", "compact_partitions"),
+        ("catalog.py", "erase_keys"),
+        ("catalog.py", "merge_replace"),
+        # --- streaming micro-batch state: batch-sized / group-sized
+        ("streaming/rt_stream.py", "process"),
+        ("streaming/sketch_state.py", "merge"),
+        ("plans/driver_queries_round12.py", "apply_batch"),  # b161
+        # --- driver queries: shared-scan reuse of bounded
+        # post-aggregate block/sketch relations (each audited in the
+        # round it shipped; PLANS.md carries the plan rows)
+        ("plans/driver_queries_graph.py", "c93_component_density_audit"),
+        ("plans/driver_queries_round10.py", "b150_simpson_reversal_audit"),
+        ("plans/driver_queries_round10.py", "b153_hll_portable_sketch"),
+        ("plans/driver_queries_round10.py", "b154_sliding_hll_distinct"),
+        ("plans/driver_queries_round10.py", "c130_jsd_lang_divergence"),
+        ("plans/driver_queries_round10.py", "c131_cluster_purity_mi"),
+        ("plans/driver_queries_round11.py", "b156_mips_norm_pruned_topk"),
+        ("plans/driver_queries_round11.py", "b157_skew_salt_audit"),
+        ("plans/driver_queries_round11.py",
+         "b158_incremental_agg_retraction"),
+        ("plans/driver_queries_round11.py", "b159_qdigest_quantiles"),
+        ("plans/driver_queries_round11.py", "b160_sliding_qdigest"),
+        ("plans/driver_queries_round11.py", "c132_average_precision"),
+        ("plans/driver_queries_round6.py",
+         "b109_exact_global_median_two_pass"),
+        ("plans/driver_queries_round6.py", "b112_periodicity_detection"),
+        ("plans/driver_queries_round6.py", "b113_future_activity_labels"),
+        ("plans/driver_queries_round6.py", "c100_dedup_method_agreement"),
+        ("plans/driver_queries_round6.py", "c103_vocab_overlap_matrix"),
+        ("plans/driver_queries_round6.py", "c84_bpe_fertility_by_lang"),
+        ("plans/driver_queries_round6.py", "c89_unigram_surprise"),
+        ("plans/driver_queries_round6.py", "c94_quantile_normalization"),
+        ("plans/driver_queries_round6.py", "c98_triangle_count"),
+        ("plans/driver_queries_round7.py", "b123_spearman_corr"),
+        ("plans/driver_queries_round7.py", "b125_cuped_adjustment"),
+        ("plans/driver_queries_round7.py", "b126_mad_outliers"),
+        ("plans/driver_queries_round7.py", "b128_peak_concurrency"),
+        ("plans/driver_queries_round7.py", "c105_bigram_lm_score"),
+        ("plans/driver_queries_round7.py", "c106_link_prediction"),
+        ("plans/driver_queries_round7.py", "c108_ngram_novelty"),
+        ("plans/driver_queries_round7.py", "c113_neardup_evidence"),
+        ("plans/driver_queries_round7.py", "c114_dedup_mixture_shift"),
+        ("plans/driver_queries_round8.py", "b141_countmin_frequency"),
+        ("plans/driver_queries_round8.py", "c116_markov_stationary_int"),
+        ("plans/driver_queries_round8.py", "c119_modularity_int"),
+        ("plans/driver_queries_round8.py", "c123_lsh_band_sweep"),
+        ("plans/driver_queries_round8.py", "c124_priority_sample"),
+    }
+    found = set()
+    for path in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        stack: list[str] = []
+
+        def walk(node, stack):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                stack = stack + [node.name]
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "localCheckpoint"):
+                fn = stack[-1] if stack else "<module>"
+                found.add((str(path.relative_to(pkg)), fn))
+            for child in ast.iter_child_nodes(node):
+                walk(child, stack)
+
+        walk(tree, stack)
+    unaudited = found - audited
+    stale = audited - found
+    assert not unaudited, (
+        f"unaudited localCheckpoint sites (review boundedness, then "
+        f"add with rationale): {sorted(unaudited)}")
+    assert not stale, f"allowlist entries with no call site: {sorted(stale)}"
 
 
 def test_c105_vocab_joinbacks_are_broadcast_equi(spark):

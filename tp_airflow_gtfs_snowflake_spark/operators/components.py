@@ -85,7 +85,8 @@ def dedup_keep_canonical(docs: DataFrame, edges: DataFrame,
 
 
 def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
-                 n_iter: int = 3, checkpoint: bool = True) -> DataFrame:
+                 n_iter: int = 3, checkpoint: bool = True,
+                 ckpt_every: int = 4) -> DataFrame:
     """PageRank in EXACT integer (ppm) arithmetic: rank_0 = 1e6 per
     node, rank_{k+1} = 150000 + 85 * sum_in(rank_k div outdeg) div 100
     (damping 0.85 as the 85/100 rational).  Truncating integer
@@ -100,7 +101,16 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
     weighting — the consumer here — that is the same signal with a
     hard cross-engine correctness check attached.  Same scale shape
     as `pagerank`: per round one edges⋈ranks equi-join plus one
-    groupBy(dst) sum, lineage cut per round.
+    groupBy(dst) sum.
+
+    `ckpt_every`: lineage is cut every that-many rounds (plus the
+    shared inputs up front).  Each eager checkpoint costs a full job
+    submission — on a loaded scheduler that floor is ~100 ms/job, so
+    per-round cuts dominate wall time for small n_iter (the r07
+    profile of c104's drift: 6 checkpoint jobs, GC/deser < 3% of
+    task time).  A handful of join+agg rounds is well within
+    Catalyst's planning budget; cut only as often as lineage growth
+    demands, not every round.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if checkpoint:
@@ -113,7 +123,7 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
         eo = eo.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1000000).cast("long"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (eo.join(ranks.withColumnRenamed("node", "a"), "a")
                    .select(F.col("b").alias("node"),
                            F.expr("rank div outdeg").alias("c")))
@@ -123,7 +133,7 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
                          (F.lit(150000).cast("long")
                           + F.expr("85 * coalesce(s, 0L) div 100"))
                          .cast("long").alias("rank")))
-        if checkpoint:
+        if checkpoint and (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

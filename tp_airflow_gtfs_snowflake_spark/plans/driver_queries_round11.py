@@ -595,7 +595,10 @@ _QD_PCTS = (1, 5, 25, 50, 75, 95, 99)
 def _qd_compress_dict(cur: dict, thr: int) -> dict:
     """Level-synchronous bottom-up q-digest compress over heap-id
     counts (leaf ids in [U, 2U)); exact integer math mirroring the
-    oracle's unrolled per-level CTEs."""
+    oracle's unrolled per-level CTEs.  The input dict is copied at
+    entry — callers (and the property tests) may reuse their dict
+    after compressing."""
+    cur = dict(cur)
     for lv in range(_QD_L, 0, -1):
         lo, hi = 1 << lv, 1 << (lv + 1)
         fams: dict = {}

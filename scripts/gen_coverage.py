@@ -1,41 +1,81 @@
-"""Regenerate COVERAGE.md from the query registry.
+"""Regenerate COVERAGE.md from the query registry + driver artifacts.
 
 Usage: python scripts/gen_coverage.py  (from the repo root)
+
+Each registry row carries its driver-verification provenance: the
+first round whose CORRECTNESS_r{N}.json holds a green value-hash row
+for the name (or a rows-only record for no-oracle names), so "every
+oracle-able query has a driver row" is checkable in one read.
 """
 
 from __future__ import annotations
 
+import json
 import pathlib
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY  # noqa: E402
 
 HEADER = """# COVERAGE — SURVEY §2 operator inventory → engine surface
 
-Machine-generated from the query registry (`plans/driver_queries*.py`);
-regenerate with `python scripts/gen_coverage.py`.  Every row below is a
-`queries()` entry the driver cross-checks against DuckDB at sf0.01
-("oracle" column; `rows-only` = non-SQL-expressible, weaker check).
+Machine-generated from the query registry (`plans/driver_queries*.py`)
+and the driver artifacts (`CORRECTNESS_r*.json`); regenerate with
+`python scripts/gen_coverage.py`.  Every row below is a `queries()`
+entry the driver cross-checks against DuckDB at sf0.01:
 
-## Query registry ({n} entries)
+- **oracle** — `value-hash` = full row-count + schema + value-hash
+  compare; `rows-only` = non-SQL-expressible (custom stateful
+  streaming / probabilistic recall), weaker rows-returned check.
+- **driver** — `hash rNN` = first round with a green value-hash row in
+  CORRECTNESS_rNN.json; `rows rNN` = first rows-only driver record
+  (no-oracle names can never hash-match); `pending` = not yet inside
+  a driver window (the rotation in `__spark_entry__.py` surfaces
+  these first).  Local-mirror status for pending names: the full
+  registry is green under `scripts/validate_registry.py` at sf0.01
+  and sf0.1 (see NOTES.md round records).
 
-| query id | oracle | covers |
-|---|---|---|"""
+## Query registry ({n} entries): {summary}
 
-STATIC_TAIL = pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+| query id | oracle | driver | covers |
+|---|---|---|---|"""
+
+COVERAGE_MD = ROOT / "COVERAGE.md"
+
+
+def driver_status() -> dict[str, str]:
+    status: dict[str, str] = {}
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        rnd = path.stem.split("_r")[1].lstrip("0") or "0"
+        d = json.loads(path.read_text())
+        for name, rec in d.items():
+            if name in status:
+                continue
+            if rec.get("hash_match"):
+                status[name] = f"hash r{rnd}"
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
+                status[name] = f"rows r{rnd}"
+    return status
 
 
 def main() -> None:
-    existing = STATIC_TAIL.read_text().split("\n## Non-query surface", 1)
+    existing = COVERAGE_MD.read_text().split("\n## Non-query surface", 1)
     tail = ("\n## Non-query surface" + existing[1]) if len(existing) == 2 else ""
-    lines = [HEADER.format(n=len(REGISTRY))]
+    status = driver_status()
+    n_hash = sum(1 for name in REGISTRY if status.get(name, "").startswith("hash"))
+    n_rows = sum(1 for name in REGISTRY if status.get(name, "").startswith("rows"))
+    n_pend = len(REGISTRY) - n_hash - n_rows
+    summary = (f"{n_hash} driver value-hash green, {n_rows} driver "
+               f"rows-only, {n_pend} pending a driver window")
+    lines = [HEADER.format(n=len(REGISTRY), summary=summary)]
     for name, spec in REGISTRY.items():
         oracle = "value-hash" if spec.oracle else "rows-only"
-        lines.append(f"| `{name}` | {oracle} | {spec.note} |")
-    STATIC_TAIL.write_text("\n".join(lines) + "\n" + tail)
-    print(f"wrote COVERAGE.md with {len(REGISTRY)} registry rows")
+        drv = status.get(name, "pending")
+        lines.append(f"| `{name}` | {oracle} | {drv} | {spec.note} |")
+    COVERAGE_MD.write_text("\n".join(lines) + "\n" + tail)
+    print(f"wrote COVERAGE.md: {len(REGISTRY)} rows — {summary}")
 
 
 if __name__ == "__main__":

@@ -101,6 +101,12 @@ HEADLINE = [
     "c132_average_precision",      # blocked-rank exact AP eval
     "b159_qdigest_quantiles",      # mergeable q-digest quantile sketch
     "b160_sliding_qdigest",        # trailing-window quantile merge
+    "b162_zonemap_skipping_audit",  # min/max file-stats pruning audit
+    "b163_join_cardinality_estimate",  # NDV-histogram CBO estimate
+    "b164_range_partition_boundaries",  # sample-based sort planning
+    "c133_rank_biased_overlap",    # top-weighted ranking similarity
+    "c134_ndcg_eval",              # graded ranking eval per source
+    "c135_token_suffix_lcp_dup",   # suffix-array repeated-span scan
 ]
 
 

@@ -516,3 +516,61 @@ def test_c97_matches_python_needle_sweep(spark, docs):
                     docs_hit.add(did)
         ref[nl] = (hits, len(docs_hit))
     assert got == ref
+
+
+def test_c86_matches_python_projection(spark, emb):
+    got = {(r.vec_id, r.j): r.val
+           for r in _run(spark, "c86_jl_projection")}
+    # the sign is the first md5 hex BYTE of "(i-1)-j" mod 2
+    import hashlib
+    ref = {}
+    for vid, (v, _) in emb.items():
+        q = [math.floor(float(x) * 1_000_000) for x in v]
+        for j in range(8):
+            tot = 0
+            for i, qq in enumerate(q):
+                b = int(hashlib.md5(f"{i}-{j}".encode())
+                        .hexdigest()[:2], 16)
+                tot += qq * (1 - 2 * (b % 2))
+            ref[(vid, j)] = tot
+    assert got == ref
+
+
+def test_c89_matches_python_surprise(spark, docs):
+    toks = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks.extend((did, w) for w in _words(t))
+    vocab = Counter(w for _, w in toks)
+    n = len(toks)
+    per_doc = defaultdict(lambda: [0, 0])
+    for did, w in toks:
+        per_doc[did][0] += 1
+        per_doc[did][1] += n.bit_length() - vocab[w].bit_length()
+    scored = sorted(
+        ((s * 1_000_000 // c, did, c, s)
+         for did, (c, s) in per_doc.items()),
+        key=lambda t: (-t[0], t[1]))[:20]
+    rows = _run(spark, "c89_unigram_surprise")
+    assert [(r.doc_id, r.n_tokens, r.sum_surprise, r.avg_surprise_ppm)
+            for r in rows] == \
+        [(did, c, s, a) for a, did, c, s in scored]
+
+
+def test_c94_matches_python_quantile_norm(spark, docs):
+    xs = sorted(zip(docs["n_chars"], docs["doc_id"]))
+    gx = [int(x) for x, _ in xs]          # global sorted values
+    ng = len(gx)
+    ref = defaultdict(lambda: [0, 0, None, None])
+    for src, g in docs.groupby("source"):
+        vals = sorted(zip(g["n_chars"], g["doc_id"]))
+        ns = len(vals)
+        for r in range(1, ns + 1):
+            m = gx[(r * ng + ns - 1) // ns - 1]   # 1-based gr
+            e = ref[src]
+            e[0] += 1
+            e[1] += m
+            e[2] = m if e[2] is None else min(e[2], m)
+            e[3] = m if e[3] is None else max(e[3], m)
+    got = {r.source: (r.n_docs, r.sum_mapped, r.min_mapped, r.max_mapped)
+           for r in _run(spark, "c94_quantile_normalization")}
+    assert got == {k: tuple(v) for k, v in ref.items()}

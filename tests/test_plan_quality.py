@@ -995,7 +995,7 @@ def test_checkpoint_sites_are_audited():
         # --- streaming micro-batch state: batch-sized / group-sized
         ("streaming/rt_stream.py", "process"),
         ("streaming/sketch_state.py", "merge"),
-        ("plans/driver_queries_round12.py", "apply_batch"),  # b161
+        ("operators/incremental.py", "retraction_apply_batch"),  # b161
         # --- driver queries: shared-scan reuse of bounded
         # post-aggregate block/sketch relations (each audited in the
         # round it shipped; PLANS.md carries the plan rows)

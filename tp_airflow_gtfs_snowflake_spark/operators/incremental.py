@@ -189,3 +189,86 @@ def merge_upsert(
         writer = writer.mode("overwrite")
     writer.parquet(table_path)
     return n
+
+
+def retraction_apply_batch(
+    spark,
+    updates: DataFrame,
+    *,
+    ustate_path: str,
+    adj_path: str,
+    epoch_id: int,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    value_col: str = "value_cents",
+    order_col: str = "ord",
+) -> None:
+    """Apply one micro-batch of latest-wins upserts to an incrementally
+    maintained grouped aggregate WITH RETRACTIONS (the streaming-matview
+    delta algebra; the streaming twin of b158's batch form, value-
+    oracled across a restart by b161).
+
+    State: ``ustate_path`` holds latest-per-key rows (maintained by
+    `merge_upsert`); ``adj_path`` is an epoch-partitioned ±adjustment
+    log — the served view is the SUMMED LOG, never recomputed from
+    user state.  Per batch: collapse the batch to latest-per-key (one
+    hash agg), join ONCE against the state, and for each key whose
+    batch row strictly wins emit a retraction of the old contribution
+    (possibly from a DIFFERENT group) plus an addition of the new one.
+
+    At-least-once replay safety (the crash window between the two
+    writes): on redelivery of an already-applied batch, every batch
+    row compares EQUAL to the state's order key, the strict ``>``
+    win predicate excludes it, the winners frame is EMPTY — and a
+    dynamic-partition-overwrite of zero rows touches no partitions,
+    so the original epoch's adjustment rows survive intact while the
+    latest-wins upsert is idempotent by construction.  (Pinned by
+    tests/test_round12.py::test_retraction_batch_replay_is_noop.)
+    """
+    if updates.isEmpty():
+        return
+    blat = (updates.groupBy(key_col)
+            .agg(F.max_by(F.struct(group_col, value_col),
+                          F.col(order_col)).alias("_n"),
+                 F.max(order_col).alias(order_col))
+            .select(key_col, order_col,
+                    F.col(f"_n.{group_col}").alias("new_grp"),
+                    F.col(f"_n.{value_col}").alias("new_val")))
+    try:
+        old = (spark.read.parquet(ustate_path)
+               .select(key_col,
+                       F.col(group_col).alias("old_grp"),
+                       F.col(value_col).alias("old_val"),
+                       F.col(order_col).alias("old_ord")))
+    except Exception:
+        old = None
+    if old is not None:
+        winners = (blat.join(old, key_col, "left")
+                   .filter(F.col("old_ord").isNull()
+                           | (F.col(order_col) > F.col("old_ord"))))
+    else:
+        winners = (blat
+                   .withColumn("old_grp", F.lit(None).cast("string"))
+                   .withColumn("old_val", F.lit(None).cast("long")))
+    winners = winners.localCheckpoint()  # feeds both branches
+    retract = (winners.filter(F.col("old_grp").isNotNull())
+               .select(F.col("old_grp").alias(group_col),
+                       F.lit(-1).cast("long").alias("d_users"),
+                       (-F.col("old_val")).alias("d_cents")))
+    add = (winners
+           .select(F.col("new_grp").alias(group_col),
+                   F.lit(1).cast("long").alias("d_users"),
+                   F.col("new_val").alias("d_cents")))
+    # adjustment log first (epoch-keyed dynamic overwrite)...
+    (retract.unionByName(add)
+     .withColumn("ingest_epoch", F.lit(int(epoch_id)).cast("long"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ingest_epoch").parquet(adj_path))
+    # ...then the keyed state upsert (idempotent latest-wins)
+    merge_upsert(spark,
+                 blat.select(key_col,
+                             F.col("new_grp").alias(group_col),
+                             F.col("new_val").alias(value_col),
+                             order_col),
+                 ustate_path, key_cols=[key_col], order_col=order_col)

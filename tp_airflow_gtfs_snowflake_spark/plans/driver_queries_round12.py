@@ -612,7 +612,7 @@ def c135_token_suffix_lcp_dup(spark: SparkSession,
 def b161_streaming_retraction_restart(spark: SparkSession,
                                       sf_dir: str) -> DataFrame:
     from tp_airflow_gtfs_snowflake_spark.operators.incremental import (
-        merge_upsert)
+        retraction_apply_batch)
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts")
@@ -641,61 +641,9 @@ def b161_streaming_retraction_restart(spark: SparkSession,
                                   19, "0")))
                    .select("user_id", "event_type", "value_cents",
                            "ord"))
-            if upd.isEmpty():
-                return
-            # batch-local latest per user (one hash agg, no window)
-            blat = (upd.groupBy("user_id")
-                    .agg(F.max_by(
-                        F.struct("event_type", "value_cents"),
-                        F.col("ord")).alias("_n"),
-                        F.max("ord").alias("ord"))
-                    .select("user_id", "ord",
-                            F.col("_n.event_type").alias("new_type"),
-                            F.col("_n.value_cents").alias("new_cents")))
-            try:
-                old = (spark.read.parquet(ustate)
-                       .select("user_id",
-                               F.col("event_type").alias("old_type"),
-                               F.col("value_cents").alias("old_cents"),
-                               F.col("ord").alias("old_ord")))
-            except Exception:
-                old = None
-            if old is not None:
-                j = blat.join(old, "user_id", "left")
-                winners = j.filter(
-                    F.col("old_ord").isNull()
-                    | (F.col("ord") > F.col("old_ord")))
-            else:
-                winners = (blat
-                           .withColumn("old_type",
-                                       F.lit(None).cast("string"))
-                           .withColumn("old_cents",
-                                       F.lit(None).cast("long")))
-            winners = winners.localCheckpoint()  # feeds both branches
-            retract = (winners.filter(F.col("old_type").isNotNull())
-                       .select(F.col("old_type").alias("event_type"),
-                               F.lit(-1).cast("long").alias("d_users"),
-                               (-F.col("old_cents")).alias("d_cents")))
-            add = (winners
-                   .select(F.col("new_type").alias("event_type"),
-                           F.lit(1).cast("long").alias("d_users"),
-                           F.col("new_cents").alias("d_cents")))
-            # adjustment log first (epoch-keyed dynamic overwrite:
-            # a replayed epoch overwrites itself, never doubles)...
-            (retract.unionByName(add)
-             .withColumn("ingest_epoch",
-                         F.lit(int(epoch_id)).cast("long"))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("ingest_epoch").parquet(adj))
-            # ...then the keyed state upsert (idempotent latest-wins)
-            merge_upsert(spark,
-                         blat.select("user_id",
-                                     F.col("new_type")
-                                     .alias("event_type"),
-                                     F.col("new_cents")
-                                     .alias("value_cents"), "ord"),
-                         ustate, key_cols=["user_id"], order_col="ord")
+            retraction_apply_batch(
+                spark, upd, ustate_path=ustate, adj_path=adj,
+                epoch_id=epoch_id)
 
         q = (stream.writeStream.foreachBatch(apply_batch)
              .option("checkpointLocation", ckpt)

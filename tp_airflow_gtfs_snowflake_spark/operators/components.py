@@ -62,7 +62,13 @@ def connected_components(edges: DataFrame, src: str = "d1",
                       .groupBy("node")
                       .agg(F.min("component").alias("component")))
         if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY checkpoint: the convergence count below is the
+            # first action, so it materializes the round's labels as
+            # a side effect — one job per round instead of two (an
+            # eager materialization followed by the count).  Each
+            # job submission costs ~100 ms of scheduler floor on a
+            # loaded container (BASELINE.md r07 profile).
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))

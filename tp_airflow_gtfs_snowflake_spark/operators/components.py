@@ -146,7 +146,8 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
 
 def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
              damping: float = 0.85, n_iter: int = 10,
-             checkpoint: bool = True) -> DataFrame:
+             checkpoint: bool = True,
+             ckpt_every: int = 4) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     (node, rank) with ranks normalized so an isolated-free graph sums
     to ~|V| (per-node teleport of (1-d), the GraphX convention).
@@ -170,7 +171,7 @@ def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
         eo = eo.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (eo.join(ranks.withColumnRenamed("node", "a"), "a")
                    .select(F.col("b").alias("node"),
                            (F.col("rank") / F.col("outdeg")).alias("c")))
@@ -180,7 +181,10 @@ def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
                          (F.lit(1.0 - damping)
                           + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
                          .alias("rank")))
-        if checkpoint:
+        # lineage is linear in rounds (ranks appears once per round),
+        # so cut every ckpt_every rounds — each eager checkpoint is a
+        # full job submission (scheduler-floor rule, BASELINE.md r07)
+        if checkpoint and (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

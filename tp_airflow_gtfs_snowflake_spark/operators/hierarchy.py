@@ -51,7 +51,10 @@ def tree_depths(parents: DataFrame, *, node_col: str = "node",
                        (F.col("d") + F.col("d2")).alias("d"),
                        "d2"))
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            # lazy: the `moved` count below is the first action and
+            # materializes the round — one job per round, not two
+            # (scheduler-floor rule, BASELINE.md r07 profile)
+            nxt = nxt.localCheckpoint(eager=False)
         moved = nxt.filter(F.col("d2") > 0).limit(1).count()
         state = nxt.drop("d2")
         if moved == 0:

@@ -55,7 +55,8 @@ def driver_status() -> dict[str, str]:
                 continue
             if rec.get("hash_match"):
                 status[name] = f"hash r{rnd}"
-            elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
+            elif (rec.get("err") == "no_oracle"
+                  and rec.get("spark_rows") is not None):
                 status[name] = f"rows r{rnd}"
     return status
 

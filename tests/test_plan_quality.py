@@ -759,46 +759,59 @@ def test_b104_pointer_doubling_rounds_are_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _plan_kids(n):
+    c = n.children()
+    return [c.apply(i) for i in range(c.size())]
+
+
+def _scan_before_agg(n):
+    """True iff the subtree reaches a raw FILE scan without passing
+    through an aggregate.  A localCheckpoint reads back as
+    "Scan ExistingRDD" and is exempt: the repo's checkpoint
+    discipline only materializes bounded post-aggregate sketch/block
+    state — enforced site-by-site by
+    test_checkpoint_sites_are_audited, with the residual blind spot
+    pinned by the checkpoint-laundering negative control below."""
+    name = n.nodeName()
+    if "Aggregate" in name:
+        return False
+    if (name.startswith("Scan parquet") or "FileScan" in name
+            or name.startswith("BatchScan")):
+        return True
+    return any(_scan_before_agg(k) for k in _plan_kids(n))
+
+
+def _offending_plan_nodes(df, is_offender):
+    """Shared traversal for the raw-scan gates: unwrap AQE, walk the
+    physical plan, and flag nodes where ``is_offender(node)`` holds
+    AND some child subtree reaches a raw file scan without an
+    intervening aggregate."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    bad = []
+
+    def walk(n):
+        if is_offender(n) and any(_scan_before_agg(k)
+                                  for k in _plan_kids(n)):
+            bad.append(n.toString()[:200])
+        for k in _plan_kids(n):
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
 def _single_partition_exchanges_over_raw_scans(df):
     """Offending SinglePartition exchanges: ones whose subtree reaches
     a file scan WITHOUT passing through an aggregate.  Collapsing a
     post-aggregate (block/bucket) table to one partition is fine — it
     is tiny by construction; collapsing a raw scan is the global-sort
     anti-pattern that falls over at 100 TB."""
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.nodeName() == "AdaptiveSparkPlan":
-        plan = plan.initialPlan()
-    bad = []
-
-    def kids(n):
-        c = n.children()
-        return [c.apply(i) for i in range(c.size())]
-
-    def scan_before_agg(n):
-        name = n.nodeName()
-        if "Aggregate" in name:
-            return False
-        # raw FILE scans only: a localCheckpoint reads back as
-        # "Scan ExistingRDD", and the repo's checkpoint discipline
-        # only ever materializes bounded post-aggregate sketch/block
-        # state (every site is audited in PLANS.md) — collapsing one
-        # is not the 100 TB global-sort anti-pattern this gate pins
-        if (name.startswith("Scan parquet") or "FileScan" in name
-                or name.startswith("BatchScan")):
-            return True
-        return any(scan_before_agg(k) for k in kids(n))
-
-    def walk(n):
-        if (n.nodeName() == "Exchange"
-                and "SinglePartition" in n.outputPartitioning().toString()):
-            for k in kids(n):
-                if scan_before_agg(k):
-                    bad.append(n.toString()[:200])
-        for k in kids(n):
-            walk(k)
-
-    walk(plan)
-    return bad
+    return _offending_plan_nodes(
+        df, lambda n: (n.nodeName() == "Exchange"
+                       and "SinglePartition"
+                       in n.outputPartitioning().toString()))
 
 
 def test_two_pass_prefix_ops_have_no_global_sort_over_facts(spark):
@@ -857,33 +870,8 @@ def _grouped_arrow_over_raw_scans(df):
     when its input is already sketch/block-bounded by an upstream
     aggregation; per-row MapInPandas (decode/quantize maps) is exempt
     — it streams Arrow batches and never concentrates a group."""
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.nodeName() == "AdaptiveSparkPlan":
-        plan = plan.initialPlan()
-    bad = []
-
-    def kids(n):
-        c = n.children()
-        return [c.apply(i) for i in range(c.size())]
-
-    def scan_before_agg(n):
-        name = n.nodeName()
-        if "Aggregate" in name:
-            return False
-        if (name.startswith("Scan parquet") or "FileScan" in name
-                or name.startswith("BatchScan")):
-            return True
-        return any(scan_before_agg(k) for k in kids(n))
-
-    def walk(n):
-        if "FlatMapGroupsInPandas" in n.nodeName():
-            if any(scan_before_agg(k) for k in kids(n)):
-                bad.append(n.toString()[:200])
-        for k in kids(n):
-            walk(k)
-
-    walk(plan)
-    return bad
+    return _offending_plan_nodes(
+        df, lambda n: "FlatMapGroupsInPandas" in n.nodeName())
 
 
 def test_no_registry_query_collapses_a_raw_scan(spark):

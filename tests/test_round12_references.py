@@ -133,7 +133,7 @@ def test_c133_matches_python_rbo(spark):
     rbo = 0.0
     for depth in range(1, 51):
         ov = sum(1 for m in ms if m <= depth)
-        rbo += (1 - 0.9) * 0.9 ** (depth - 1) * ov / depth
+        rbo += 0.1 * 0.9 ** (depth - 1) * ov / depth
     row = (REGISTRY["c133_rank_biased_overlap"]
            .fn(spark, SF_SMALL).collect())[0]
     assert row.k == 50

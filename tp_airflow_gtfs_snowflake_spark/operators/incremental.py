@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime as dt
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,7 +114,10 @@ def incremental_rollup_refresh(
         existing = spark.read.parquet(rollup_path)
         wm = existing.agg(F.max("rollup_watermark").alias("wm")) \
             .collect()[0]["wm"] or EPOCH_FLOOR
-    except Exception:
+    except AnalysisException:
+        # missing path = first build; any OTHER failure must propagate
+        # (treating a transient read error as "no rollup yet" would
+        # recompute from the epoch floor and double-append)
         wm = EPOCH_FLOOR
     fresh = src.filter(F.col(watermark_col) > F.lit(wm))
     touched = sorted(r[0] for r in
@@ -162,7 +166,10 @@ def merge_upsert(
     try:
         existing = spark.read.parquet(table_path)
         first_build = False
-    except Exception:
+    except AnalysisException:
+        # missing path = first build; any OTHER failure must propagate
+        # (a transient read error mistaken for first-build would
+        # OVERWRITE the table with only this batch's keys)
         existing = None
         first_build = True
 
@@ -240,7 +247,11 @@ def retraction_apply_batch(
                        F.col(group_col).alias("old_grp"),
                        F.col(value_col).alias("old_val"),
                        F.col(order_col).alias("old_ord")))
-    except Exception:
+    except AnalysisException:
+        # missing path = first batch; any OTHER failure must propagate
+        # (old=None on a transient error would re-add every batch key
+        # without retracting its previous contribution — the served
+        # adjustment log would double-count permanently)
         old = None
     if old is not None:
         winners = (blat.join(old, key_col, "left")

@@ -304,6 +304,10 @@ def b164_range_partition_boundaries(spark: SparkSession,
 
 _RBO_K = 50
 _RBO_P = 0.9
+_RBO_W = 0.1   # 1 - p, as the SAME literal in both engines: DuckDB
+               # evaluates (1 - 0.9) in DECIMAL (exactly 0.1) while a
+               # Python 1 - 0.9 double is 0.09999999999999998 — start
+               # both sides from the identical double instead
 
 
 @_register(
@@ -330,7 +334,7 @@ _RBO_P = 0.9
     SELECT CAST({_RBO_K} AS BIGINT) AS k,
            CAST(max(CASE WHEN d = {_RBO_K} THEN ov END) AS BIGINT)
              AS overlap_at_k,
-           CAST(round(sum((1 - {_RBO_P}) * power({_RBO_P}, d - 1)
+           CAST(round(sum({_RBO_W} * power({_RBO_P}, d - 1)
                           * ov / d) * 1000000) AS BIGINT) AS rbo_ppm
     FROM ov
     """,
@@ -366,15 +370,20 @@ def c133_rank_biased_overlap(spark: SparkSession,
     m = (a.join(b, "doc_id")
          .select(F.greatest("ra", "rb").alias("m")))
     d = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
-    ov = (d.crossJoin(m)
-          .groupBy("d")
-          .agg(F.sum(F.when(F.col("m") <= F.col("d"), 1).otherwise(0))
-               .alias("ov")))
+    # left-join the spine back so DISJOINT rankings (empty m) still
+    # yield a 50-row ov with zeros — matching the oracle's correlated
+    # count, which returns 0 rather than losing the spine
+    ov = (d.join(d.crossJoin(m)
+                 .groupBy("d")
+                 .agg(F.sum(F.when(F.col("m") <= F.col("d"), 1)
+                            .otherwise(0)).alias("ov")),
+                 "d", "left")
+          .select("d", F.coalesce("ov", F.lit(0)).alias("ov")))
     return ov.agg(
         F.lit(_RBO_K).cast("long").alias("k"),
         F.max(F.when(F.col("d") == _RBO_K, F.col("ov")))
         .cast("long").alias("overlap_at_k"),
-        F.round(F.sum((1 - _RBO_P)
+        F.round(F.sum(F.lit(_RBO_W)
                       * F.pow(F.lit(_RBO_P), F.col("d") - 1)
                       * F.col("ov") / F.col("d")) * 1000000)
         .cast("long").alias("rbo_ppm"))

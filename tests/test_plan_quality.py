@@ -7,7 +7,6 @@ single-shuffle plan, and hot paths stay inside whole-stage codegen.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_ORACLE, SF_SMALL

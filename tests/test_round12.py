@@ -8,7 +8,6 @@ adjustment write and the checkpoint commit).
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from tp_airflow_gtfs_snowflake_spark.operators.incremental import (

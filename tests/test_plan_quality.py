@@ -873,13 +873,75 @@ def _grouped_arrow_over_raw_scans(df):
         df, lambda n: "FlatMapGroupsInPandas" in n.nodeName())
 
 
+_BOUNDED_NODES = ("Aggregate", "Limit", "TakeOrdered", "Range",
+                  "LocalTableScan", "Scan ExistingRDD",
+                  "ReusedExchange", "Subquery")
+
+
+def _structurally_bounded(n):
+    """True iff every leaf of the subtree is bounded by construction:
+    an aggregate, a limit/top-k, a literal/range relation, or an
+    audited checkpoint read-back — i.e. NOT proportional to fact
+    cardinality at 100 TB."""
+    if any(b in n.nodeName() for b in _BOUNDED_NODES):
+        return True
+    ks = _plan_kids(n)
+    return bool(ks) and all(_structurally_bounded(k) for k in ks)
+
+
+# Queries whose nested-loop BUILD side is a literal-filtered slice of
+# a fact scan — bounded by a SELECTIVE literal predicate rather than
+# by plan structure, which this gate cannot prove.  Each entry is the
+# documented IVF/ANN shape (broadcast the k query/probe/centroid
+# vectors, scan the corpus once); adding a name here requires the
+# same review.
+_BNLJ_FILTERED_BUILD_OK = {
+    "c02_cosine_topk", "c09_ivf_ann", "c18_kmeans_ivf_ann",
+    "c26_pq_ann", "c26b_pq_kmeans_ann", "c48_hard_negative_mining",
+    "c91_ann_recall_eval",
+}
+
+
+def _unbounded_nested_loop_builds(df):
+    """Offending nested-loop joins: a CartesianProduct with no
+    broadcast side at all, or a BroadcastNestedLoopJoin whose EVERY
+    broadcast side is structurally unbounded (no aggregate / limit /
+    literal / checkpoint anywhere below the exchange).  Broadcasting
+    an unbounded relation is the join anti-pattern that OOMs every
+    executor at 100 TB."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    bad = []
+
+    def walk(n):
+        name = n.nodeName()
+        if "CartesianProduct" in name:
+            bad.append("cartesian: " + n.toString()[:150])
+        elif "BroadcastNestedLoopJoin" in name:
+            bsides = [k for k in _plan_kids(n)
+                      if "BroadcastExchange" in k.nodeName()
+                      or "BroadcastQueryStage" in k.nodeName()]
+            if not bsides or not any(_structurally_bounded(b)
+                                     for b in bsides):
+                bad.append("unbounded build: " + n.toString()[:150])
+        for k in _plan_kids(n):
+            walk(k)
+
+    walk(plan)
+    return bad
+
+
 def test_no_registry_query_collapses_a_raw_scan(spark):
     """Registry-wide sweep of the headline scale properties: NO query
     may (a) put a SinglePartition exchange over a raw file scan (only
     post-aggregate block/bucket tables may collapse — they are tiny
-    by construction) or (b) run a grouped-Arrow (applyInPandas) task
+    by construction), (b) run a grouped-Arrow (applyInPandas) task
     directly over a raw file scan (grouped Python state must be
-    sketch-bounded by an upstream aggregation).  ~4 min at sf0.001;
+    sketch-bounded by an upstream aggregation), or (c) run a
+    nested-loop join without a structurally bounded broadcast side
+    (outside the reviewed literal-filter ANN allowlist).  ~4 min at
+    sf0.001;
     this is the one test that asserts the 100 TB story for every
     query at once, so it earns the wall-clock."""
     bad = {}
@@ -891,9 +953,24 @@ def test_no_registry_query_collapses_a_raw_scan(spark):
         df = spec.fn(spark, SF_SMALL)
         b = (_single_partition_exchanges_over_raw_scans(df)
              + _grouped_arrow_over_raw_scans(df))
+        if name not in _BNLJ_FILTERED_BUILD_OK:
+            b += _unbounded_nested_loop_builds(df)
         if b:
             bad[name] = b[0][:120]
     assert not bad, f"raw-scan global collapses: {bad}"
+
+
+def test_nested_loop_gate_catches_raw_cross_join(spark):
+    """Negative control for the nested-loop half of the sweep: a
+    crossJoin of two raw fact scans (no bounded side anywhere) must
+    be flagged, and a crossJoin against a broadcast aggregate must
+    pass."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    badq = docs.crossJoin(F.broadcast(li.select("l_orderkey")))
+    assert _unbounded_nested_loop_builds(badq)
+    okq = docs.crossJoin(F.broadcast(li.agg(F.count("*").alias("n"))))
+    assert not _unbounded_nested_loop_builds(okq)
 
 
 def test_grouped_arrow_gate_catches_raw_scan_group_apply(spark):

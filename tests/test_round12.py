@@ -102,3 +102,36 @@ def test_same_group_update_keeps_user_count_stable(spark, tmp_path):
         spark, _batch(spark, [(1, "click", 130, "b")]),
         ustate_path=ustate, adj_path=adj, epoch_id=1)
     assert _view(spark, adj) == {"click": (1, 130)}
+
+
+def test_retraction_randomized_against_model(spark, tmp_path):
+    """Seeded-random sequences of upserts (shuffled arrival order,
+    duplicate users within a batch, cross-group moves, stale
+    redeliveries) — the summed adjustment log must equal a
+    from-scratch latest-wins model after EVERY batch."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        ustate = str(tmp_path / f"ustate_{seed}")
+        adj = str(tmp_path / f"adj_{seed}")
+        groups = ["click", "view", "purchase"]
+        # a global stream of versioned updates: (user, grp, val, ord)
+        events = [(u, rng.choice(groups), rng.randrange(1, 500),
+                   f"{v:04d}")
+                  for u in range(8) for v in rng.sample(range(100), 6)]
+        rng.shuffle(events)
+        model = {}  # user -> (ord, grp, val), latest-wins
+        for ep, lo in enumerate(range(0, len(events), 12)):
+            batch = events[lo:lo + 12]
+            retraction_apply_batch(
+                spark, _batch(spark, batch),
+                ustate_path=ustate, adj_path=adj, epoch_id=ep)
+            for u, g, v, o in batch:
+                if u not in model or o > model[u][0]:
+                    model[u] = (o, g, v)
+            ref = {}
+            for o, g, v in model.values():
+                n, c = ref.get(g, (0, 0))
+                ref[g] = (n + 1, c + v)
+            assert _view(spark, adj) == ref, (seed, ep)

@@ -21,10 +21,11 @@ def test_queries_and_oracle_share_order_and_keys():
 
 def test_rotation_front_window_is_unverified():
     q = list(entry.queries())
-    verified = set(entry._DRIVER_VERIFIED)
-    prio = [n for n in entry._NEW_THIS_ROUND if n in REGISTRY]
-    # this round's new/changed queries lead, in order, even if an
-    # earlier (now-stale) driver row exists for them
+    verified = entry._driver_verified() - set(entry._REVERIFY_CHANGED)
+    prio = [n for n in entry._NEW_THIS_ROUND + entry._REVERIFY_CHANGED
+            if n in REGISTRY and n not in verified]
+    # this round's pins lead, in order; names with a green driver row
+    # drop out of the pin automatically (stale pins burn no slots)
     assert q[:len(prio)] == prio
     rest = q[len(prio):]
     n_front = len(rest) - len(verified - set(prio))
@@ -39,5 +40,16 @@ def test_rotation_loses_nothing():
 
 
 def test_verified_names_exist_in_registry():
-    missing = set(entry._DRIVER_VERIFIED) - set(REGISTRY)
-    assert not missing, f"stale _DRIVER_VERIFIED entries: {missing}"
+    """The artifact-derived verified set must reference only live
+    registry names (a rename would silently re-open its old name's
+    slot and orphan the artifact row)."""
+    missing = entry._driver_verified() - set(REGISTRY)
+    assert not missing, f"verified names not in registry: {missing}"
+
+
+def test_verified_derivation_counts_match_artifacts():
+    """The derivation reads every committed CORRECTNESS artifact:
+    hash-green + exercised rows-only rows, first-seen wins.  Pin the
+    r01-r06 total so a parsing regression (or an accidentally
+    deleted artifact) is caught loudly."""
+    assert len(entry._driver_verified()) >= 246

@@ -1,0 +1,92 @@
+"""Cross-engine arithmetic conventions the oracle mirror rests on,
+pinned as three-way properties (Spark / DuckDB / python reference):
+
+- integer division: Spark `div` == DuckDB `//` == truncate-toward-zero
+  (tests/conftest.tdiv) — NOT python floor division on negatives;
+- double rounding: F.round(x, 6) == DuckDB round(CAST(x AS DOUBLE), 6)
+  == conftest.round_half_up(x, 6) (half-away-from-zero at the digit);
+- the modulo companion: Spark % == DuckDB % (sign follows dividend).
+
+A regression in any of these silently flips value hashes across ~200
+oracled queries, so they get their own loud gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import round_half_up, tdiv
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(
+    st.integers(min_value=-10**17, max_value=10**17),
+    st.integers(min_value=-10**9, max_value=10**9).filter(lambda b: b)),
+    min_size=1, max_size=40))
+def test_integer_div_three_way(spark, pairs):
+    py = [tdiv(a, b) for a, b in pairs]
+    got = [r.q for r in
+           spark.createDataFrame(pairs, "a long, b long")
+           .select(F.expr("a div b").alias("q")).collect()]
+    assert got == py
+    con = duckdb.connect()
+    duck = [con.execute("SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)",
+                        [a, b]).fetchone()[0] for a, b in pairs]
+    assert duck == py
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(
+    st.integers(min_value=-10**17, max_value=10**17),
+    st.integers(min_value=-10**9, max_value=10**9).filter(lambda b: b)),
+    min_size=1, max_size=40))
+def test_modulo_two_way(spark, pairs):
+    got = [r.m for r in
+           spark.createDataFrame(pairs, "a long, b long")
+           .select(F.expr("a % b").alias("m")).collect()]
+    con = duckdb.connect()
+    duck = [con.execute("SELECT CAST(? AS BIGINT) % CAST(? AS BIGINT)",
+                        [a, b]).fetchone()[0] for a, b in pairs]
+    assert got == duck
+    # and both equal the a - tdiv(a,b)*b identity (sign of dividend)
+    assert got == [a - tdiv(a, b) * b for a, b in pairs]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.floats(min_value=-1e9, max_value=1e9,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=40))
+def test_round6_three_way(spark, vals):
+    py = [round_half_up(v, 6) for v in vals]
+    got = [r.r for r in
+           spark.createDataFrame([(v,) for v in vals], "v double")
+           .select(F.round("v", 6).alias("r")).collect()]
+    assert got == py
+    con = duckdb.connect()
+    duck = [con.execute("SELECT round(CAST(? AS DOUBLE), 6)",
+                        [v]).fetchone()[0] for v in vals]
+    assert duck == py
+
+
+def test_round6_known_boundaries(spark):
+    """Deterministic boundary probes (kept out of hypothesis so the
+    exact cases are visible): halves at digit 0 and 6, negatives."""
+    vals = [2.5, 3.5, -2.5, 0.5, 1.0000005, 2.0000015, -1.0000005,
+            0.1234565, 0.1234575]
+    py = [round_half_up(v, 6) for v in vals]
+    got = [r.r for r in
+           spark.createDataFrame([(v,) for v in vals], "v double")
+           .select(F.round("v", 6).alias("r")).collect()]
+    assert got == py
+    con = duckdb.connect()
+    duck = [con.execute("SELECT round(CAST(? AS DOUBLE), 6)",
+                        [v]).fetchone()[0] for v in vals]
+    assert duck == py

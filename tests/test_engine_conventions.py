@@ -14,7 +14,6 @@ oracled queries, so they get their own loud gate.
 from __future__ import annotations
 
 import duckdb
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -78,9 +77,11 @@ def test_round6_three_way(spark, vals):
 
 def test_round6_known_boundaries(spark):
     """Deterministic boundary probes (kept out of hypothesis so the
-    exact cases are visible): halves at digit 0 and 6, negatives."""
-    vals = [2.5, 3.5, -2.5, 0.5, 1.0000005, 2.0000015, -1.0000005,
-            0.1234565, 0.1234575]
+    exact cases are visible): halves at digit 6, negatives — AND the
+    digit-0 halves checked at digit 0, where half-up vs half-even
+    actually differ (at digit 6 the 2.5-family are fixed points under
+    every convention, so only round(v, 0) probes the convention)."""
+    vals = [1.0000005, 2.0000015, -1.0000005, 0.1234565, 0.1234575]
     py = [round_half_up(v, 6) for v in vals]
     got = [r.r for r in
            spark.createDataFrame([(v,) for v in vals], "v double")
@@ -90,3 +91,15 @@ def test_round6_known_boundaries(spark):
     duck = [con.execute("SELECT round(CAST(? AS DOUBLE), 6)",
                         [v]).fetchone()[0] for v in vals]
     assert duck == py
+    # digit-0: half-away-from-zero in BOTH engines (2.5 -> 3, not the
+    # banker's 2; -2.5 -> -3) and in the python reference
+    halves = [0.5, 1.5, 2.5, 3.5, -0.5, -2.5]
+    py0 = [round_half_up(v, 0) for v in halves]
+    assert py0 == [1.0, 2.0, 3.0, 4.0, -1.0, -3.0]
+    got0 = [r.r for r in
+            spark.createDataFrame([(v,) for v in halves], "v double")
+            .select(F.round("v", 0).alias("r")).collect()]
+    assert got0 == py0
+    duck0 = [con.execute("SELECT round(CAST(? AS DOUBLE), 0)",
+                         [v]).fetchone()[0] for v in halves]
+    assert duck0 == py0

@@ -22,8 +22,12 @@ def test_queries_and_oracle_share_order_and_keys():
 def test_rotation_front_window_is_unverified():
     q = list(entry.queries())
     verified = entry._driver_verified() - set(entry._REVERIFY_CHANGED)
-    prio = [n for n in entry._NEW_THIS_ROUND + entry._REVERIFY_CHANGED
-            if n in REGISTRY and n not in verified]
+    oracled = {n for n, s in REGISTRY.items() if s.oracle}
+    # reconstruct prio with _rotated's EXACT filter (oracled, not just
+    # registered; dict dedups a name pinned in both lists)
+    prio = list(dict.fromkeys(
+        n for n in entry._NEW_THIS_ROUND + entry._REVERIFY_CHANGED
+        if n in oracled and n not in verified))
     # this round's pins lead, in order; names with a green driver row
     # drop out of the pin automatically (stale pins burn no slots)
     assert q[:len(prio)] == prio

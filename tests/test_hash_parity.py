@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 
 import duckdb
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

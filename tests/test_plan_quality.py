@@ -902,13 +902,24 @@ _BNLJ_FILTERED_BUILD_OK = {
 }
 
 
-def _unbounded_nested_loop_builds(df):
+def _unbounded_nested_loop_builds(df, allow_filtered_build=False):
     """Offending nested-loop joins: a CartesianProduct with no
-    broadcast side at all, or a BroadcastNestedLoopJoin whose EVERY
-    broadcast side is structurally unbounded (no aggregate / limit /
-    literal / checkpoint anywhere below the exchange).  Broadcasting
-    an unbounded relation is the join anti-pattern that OOMs every
-    executor at 100 TB."""
+    broadcast side at all (NEVER waivable), or a
+    BroadcastNestedLoopJoin whose EVERY broadcast side is
+    structurally unbounded (no aggregate / limit / literal /
+    checkpoint anywhere below the exchange).  Broadcasting an
+    unbounded relation is the join anti-pattern that OOMs every
+    executor at 100 TB.  ``allow_filtered_build`` waives ONLY the
+    unbounded-build finding — for the reviewed ANN queries whose
+    build side is a literal-filtered fact slice this structural
+    check cannot prove bounded.
+
+    Known lenience (documented, mirrors the r06 ADVICE posture on
+    ExistingRDD): any Aggregate makes a subtree 'bounded', yet a
+    group-by over a high-cardinality key is proportional to key
+    cardinality — structural analysis cannot see group counts.  The
+    per-query PLANS.md audit and SCALE.md notes carry that judgment;
+    this gate pins the grosser shapes (raw scans, bare cartesians)."""
     plan = df._jdf.queryExecution().executedPlan()
     if plan.nodeName() == "AdaptiveSparkPlan":
         plan = plan.initialPlan()
@@ -922,8 +933,9 @@ def _unbounded_nested_loop_builds(df):
             bsides = [k for k in _plan_kids(n)
                       if "BroadcastExchange" in k.nodeName()
                       or "BroadcastQueryStage" in k.nodeName()]
-            if not bsides or not any(_structurally_bounded(b)
-                                     for b in bsides):
+            if not bsides or (not allow_filtered_build
+                              and not any(_structurally_bounded(b)
+                                          for b in bsides)):
                 bad.append("unbounded build: " + n.toString()[:150])
         for k in _plan_kids(n):
             walk(k)
@@ -952,9 +964,10 @@ def test_no_registry_query_collapses_a_raw_scan(spark):
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         df = spec.fn(spark, SF_SMALL)
         b = (_single_partition_exchanges_over_raw_scans(df)
-             + _grouped_arrow_over_raw_scans(df))
-        if name not in _BNLJ_FILTERED_BUILD_OK:
-            b += _unbounded_nested_loop_builds(df)
+             + _grouped_arrow_over_raw_scans(df)
+             + _unbounded_nested_loop_builds(
+                 df, allow_filtered_build=(
+                     name in _BNLJ_FILTERED_BUILD_OK)))
         if b:
             bad[name] = b[0][:120]
     assert not bad, f"raw-scan global collapses: {bad}"

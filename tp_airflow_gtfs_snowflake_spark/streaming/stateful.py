@@ -269,14 +269,25 @@ def timed_out_sessions(feed_stream: DataFrame, *,
         if not merged:
             return
         *closed, (start, end, n) = merged
+        # A timer below the current watermark is ILLEGAL to register
+        # (the engine throws INVALID_TIMEOUT_TIMESTAMP) — and also
+        # unnecessary: the watermark already proves no event can
+        # extend the trailing session (later rows below the watermark
+        # are dropped by withWatermark), so emit it eagerly instead.
+        expiry_ms = (end + gap_seconds) * 1000
+        if expiry_ms <= state.getCurrentWatermarkMs():
+            closed.append((start, end, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, end, n))
+            # re-arm: expire when the watermark proves the gap elapsed
+            state.setTimeoutTimestamp(expiry_ms)
         if closed:
             yield pd.DataFrame(
                 [{"vehicle_id": key[0], "session_start": s,
                   "session_end": e, "n_reports": c}
                  for s, e, c in closed])
-        state.update((start, end, n))
-        # re-arm: expire when the watermark proves the gap elapsed
-        state.setTimeoutTimestamp((end + gap_seconds) * 1000)
 
     pos = _positions(feed_stream).select(
         "vehicle_id", "timestamp_epoch", "ts")
@@ -343,15 +354,27 @@ def timed_out_user_sessions(events_stream: DataFrame, *,
         if not merged:
             return
         *closed, (start, end, n) = merged
+        # timers are millisecond-granular; round the expiry UP so it
+        # never fires a microsecond-fraction early.  A timer at/below
+        # the current watermark is ILLEGAL to register (the engine
+        # throws INVALID_TIMEOUT_TIMESTAMP — observed when a batch
+        # jumps the watermark far past a session close, e.g. a
+        # concurrent writer landing a sentinel in the same poll) and
+        # unnecessary: the watermark already proves the trailing
+        # session can never be extended, so emit it eagerly.
+        expiry_ms = -(-(end + gap_us) // 1000)
+        if expiry_ms <= state.getCurrentWatermarkMs():
+            closed.append((start, end, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, end, n))
+            state.setTimeoutTimestamp(expiry_ms)
         if closed:
             yield pd.DataFrame(
                 [{"user_id": key[0], "session_start_us": s,
                   "session_end_us": e, "n_events": c}
                  for s, e, c in closed])
-        state.update((start, end, n))
-        # timers are millisecond-granular; round the expiry UP so it
-        # never fires a microsecond-fraction early
-        state.setTimeoutTimestamp(-(-(end + gap_us) // 1000))
 
     rows = events_stream.select(
         F.col("user_id").cast("long").alias("user_id"),

@@ -658,3 +658,75 @@ def test_merge_gap_intervals_shared_helper():
     assert _merge_gap_intervals(list(reversed(iv)), 30) == got
     assert iv[0] == [100, 110, 2]
     assert _merge_gap_intervals([], 30) == []
+
+
+def test_watermark_jump_emits_stale_session_instead_of_crashing(
+        spark, tmp_path):
+    """Regression (r07): applyInPandasWithState does NOT drop
+    below-watermark input rows, so a batch whose rows close BEFORE an
+    already-advanced watermark used to register an event-time timer
+    below the watermark — Spark throws INVALID_TIMEOUT_TIMESTAMP and
+    the query dies (observed in the b136 driver when a sentinel and
+    phase-2 files landed in adjacent polls).  The sessionizer must
+    instead emit the provably-closed trailing session eagerly."""
+    from pyspark.sql import functions as F
+
+    from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+        timed_out_user_sessions)
+
+    t0_us = 1_709_532_000_000_000
+    gap_us = 300 * 1_000_000
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        (spark.createDataFrame(rows, "user_id long, ts_us long")
+         .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+         .coalesce(1).write.mode("append").parquet(landing))
+
+    def drain(max_files=None):
+        reader = spark.readStream.schema("user_id long, ts timestamp")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        stream = reader.parquet(landing)
+        out = timed_out_user_sessions(stream, gap_seconds=300,
+                                      watermark="1 second")
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: user 1 opens a session at t0 (watermark ~ t0)
+    land([(1, t0_us), (1, t0_us + 1_000_000)])
+    drain()
+    # run 2, ONE file per batch: batch 1 is a sentinel 100 gaps ahead
+    # (the watermark jumps at its end); batch 2 carries user 2's OLD
+    # rows — the late-events filter lags one batch, so they still
+    # reach the handler, whose timer registration is then validated
+    # against the JUMPED watermark.  The unclamped code died here
+    # with INVALID_TIMEOUT_TIMESTAMP (verified: reverting the clamp
+    # makes this test fail with STREAM_FAILED).
+    land([(99, t0_us + 100 * gap_us)])
+    import time
+    time.sleep(1.1)  # distinct file modification times => batch order
+    land([(2, t0_us + 2 * gap_us), (2, t0_us + 2 * gap_us + 5_000_000)])
+    drain(max_files=1)
+    # one more run so remaining timers (user 1) fire
+    land([(99, t0_us + 101 * gap_us)])
+    drain()
+
+    rows = spark.read.parquet(sink).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 2's session was emitted EXACTLY once, eagerly, despite its
+    # close predating the watermark
+    assert len(by_user.get(2, [])) == 1
+    s2 = by_user[2][0]
+    assert (s2.session_start_us, s2.session_end_us, s2.n_events) == \
+        (t0_us + 2 * gap_us, t0_us + 2 * gap_us + 5_000_000, 2)
+    # user 1's session closed exactly once too (timer or eager path)
+    assert len(by_user.get(1, [])) == 1
+    assert by_user[1][0].n_events == 2

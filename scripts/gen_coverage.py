@@ -37,6 +37,16 @@ entry the driver cross-checks against DuckDB at sf0.01:
   registry is green under `scripts/validate_registry.py` at sf0.01
   and sf0.1 (see NOTES.md round records).
 
+Window plan (r08): the 50-slot driver window holds this round's 5
+additions plus the 45 never-checked oracle-able names — closing the
+oracle-able backlog to ZERO.  The 10 never-windowed **rows-only**
+names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83, c84) are
+explicitly DEFERRED to the r09 window: they can never hash-match, so
+they must not displace a value-hash slot while oracle-able names are
+still pending; once the backlog is zero the rotation surfaces them
+automatically (rows-only bucket sorts ahead of already-verified
+names in `__spark_entry__._rotated`).
+
 ## Query registry ({n} entries): {summary}
 
 | query id | oracle | driver | covers |
@@ -46,19 +56,32 @@ COVERAGE_MD = ROOT / "COVERAGE.md"
 
 
 def driver_status() -> dict[str, str]:
-    status: dict[str, str] = {}
+    """First-green provenance, latest-row-wins validity (ADVICE r07):
+    the round shown is the FIRST green driver row, but a name whose
+    MOST RECENT row is red is labelled REGRESSED — matching
+    __spark_entry__._driver_verified(), which re-opens that slot —
+    so the doc can never claim 'verified' for a regressed query."""
+    first_green: dict[str, str] = {}
+    latest_green: dict[str, bool] = {}
+    latest_rnd: dict[str, str] = {}
     for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         rnd = path.stem.split("_r")[1].lstrip("0") or "0"
         d = json.loads(path.read_text())
         for name, rec in d.items():
-            if name in status:
-                continue
             if rec.get("hash_match"):
-                status[name] = f"hash r{rnd}"
+                kind = "hash"
             elif (rec.get("err") == "no_oracle"
                   and rec.get("spark_rows") is not None):
-                status[name] = f"rows r{rnd}"
-    return status
+                kind = "rows"
+            else:
+                kind = None
+            latest_green[name] = kind is not None
+            latest_rnd[name] = rnd
+            if kind is not None and name not in first_green:
+                first_green[name] = f"{kind} r{rnd}"
+    return {name: (prov if latest_green[name]
+                   else f"REGRESSED r{latest_rnd[name]} (was {prov})")
+            for name, prov in first_green.items()}
 
 
 def main() -> None:

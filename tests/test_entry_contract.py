@@ -52,8 +52,40 @@ def test_verified_names_exist_in_registry():
 
 
 def test_verified_derivation_counts_match_artifacts():
-    """The derivation reads every committed CORRECTNESS artifact:
-    hash-green + exercised rows-only rows, first-seen wins.  Pin the
-    r01-r06 total so a parsing regression (or an accidentally
-    deleted artifact) is caught loudly."""
-    assert len(entry._driver_verified()) >= 246
+    """The derivation reads every committed CORRECTNESS artifact with
+    LATEST-row-wins (ADVICE r07 fixed this docstring: a later red row
+    re-opens the slot).  Two independent guards replace the stale
+    hardcoded count floor (which could not detect a lost artifact
+    once windows start re-verifying old names):
+
+    1. every BENCH_r*.json round must have its CORRECTNESS sibling
+       (the driver writes both per round), and each artifact must
+       parse as a dict of >= 40 rows — a deleted or truncated
+       artifact trips loudly even though _driver_verified() itself
+       degrades silently by design;
+    2. the verified set must equal an independent recomputation that
+       walks the artifacts in REVERSE order with first-seen-wins
+       (equivalent semantics, different code path)."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(entry.__file__).resolve().parent
+    c_rounds = {p.stem.split("_r")[1] for p in root.glob("CORRECTNESS_r*.json")}
+    b_rounds = {p.stem.split("_r")[1] for p in root.glob("BENCH_r*.json")}
+    assert b_rounds <= c_rounds, \
+        f"CORRECTNESS artifact missing for rounds {sorted(b_rounds - c_rounds)}"
+    assert len(c_rounds) >= 7  # r01-r07 are committed history
+
+    last: dict = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json"), reverse=True):
+        recs = json.loads(path.read_text())  # corrupt artifact fails HERE
+        assert isinstance(recs, dict) and len(recs) >= 40, \
+            f"{path.name} suspiciously small ({len(recs)} rows)"
+        for name, rec in recs.items():
+            if name not in last:
+                last[name] = bool(
+                    rec.get("hash_match")
+                    or (rec.get("err") == "no_oracle"
+                        and rec.get("spark_rows") is not None))
+    expect = frozenset(n for n, green in last.items() if green)
+    assert entry._driver_verified() == expect

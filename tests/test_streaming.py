@@ -730,3 +730,41 @@ def test_watermark_jump_emits_stale_session_instead_of_crashing(
     # user 1's session closed exactly once too (timer or eager path)
     assert len(by_user.get(1, [])) == 1
     assert by_user[1][0].n_events == 2
+
+
+def test_timer_at_watermark_equality_is_legal():
+    """Contract pin for the sessionizers' eager-close clamp (ADVICE
+    r07): PySpark's setTimeoutTimestamp rejects only timestamps
+    STRICTLY below the watermark, so the clamp must use `<` — at
+    exact equality (end + gap == watermark) the timer stays legal and
+    must stay armed, because a next-batch event at ts == end + gap
+    passes the lagging late filter and extends the session under the
+    gap<= merge rule.  If a future PySpark makes equality illegal,
+    this fails first and the clamps in streaming/stateful.py must
+    revert to `<=`."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def mk():
+        return GroupState(
+            optionalValue=Row(v=1),
+            batchProcessingTimeMs=1_000_000,
+            eventTimeWatermarkMs=500_000,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            hasTimedOut=False,
+            watermarkPresent=True,
+            defined=True,
+            updated=False,
+            removed=False,
+            timeoutTimestamp=GroupState.NO_TIMESTAMP,
+            keyAsUnsafe=b"",
+            valueSchema=StructType([StructField("v", LongType())]),
+        )
+
+    state = mk()
+    state.setTimeoutTimestamp(500_000)  # == watermark: legal, keeps timer
+    assert state._timeout_timestamp == 500_000
+    with pytest.raises(Exception, match="INVALID_TIMEOUT_TIMESTAMP"):
+        mk().setTimeoutTimestamp(499_999)  # strictly below: illegal

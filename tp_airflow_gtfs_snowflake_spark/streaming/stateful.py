@@ -269,13 +269,19 @@ def timed_out_sessions(feed_stream: DataFrame, *,
         if not merged:
             return
         *closed, (start, end, n) = merged
-        # A timer below the current watermark is ILLEGAL to register
-        # (the engine throws INVALID_TIMEOUT_TIMESTAMP) — and also
-        # unnecessary: the watermark already proves no event can
+        # A timer STRICTLY below the current watermark is ILLEGAL to
+        # register (the engine throws INVALID_TIMEOUT_TIMESTAMP) — and
+        # also unnecessary: the watermark already proves no event can
         # extend the trailing session (later rows below the watermark
         # are dropped by withWatermark), so emit it eagerly instead.
+        # Equality keeps the timer path: setTimeoutTimestamp rejects
+        # only `timestampMs < watermark` (pinned by
+        # test_timer_at_watermark_equality_is_legal), and an event at
+        # exactly end+gap — deliverable because the late filter lags a
+        # batch and merged by the gap<= rule — must still be able to
+        # extend the session rather than see it split early.
         expiry_ms = (end + gap_seconds) * 1000
-        if expiry_ms <= state.getCurrentWatermarkMs():
+        if expiry_ms < state.getCurrentWatermarkMs():
             closed.append((start, end, n))
             if state.exists:
                 state.remove()
@@ -355,15 +361,19 @@ def timed_out_user_sessions(events_stream: DataFrame, *,
             return
         *closed, (start, end, n) = merged
         # timers are millisecond-granular; round the expiry UP so it
-        # never fires a microsecond-fraction early.  A timer at/below
-        # the current watermark is ILLEGAL to register (the engine
-        # throws INVALID_TIMEOUT_TIMESTAMP — observed when a batch
-        # jumps the watermark far past a session close, e.g. a
+        # never fires a microsecond-fraction early.  A timer STRICTLY
+        # below the current watermark is ILLEGAL to register (the
+        # engine throws INVALID_TIMEOUT_TIMESTAMP — observed when a
+        # batch jumps the watermark far past a session close, e.g. a
         # concurrent writer landing a sentinel in the same poll) and
         # unnecessary: the watermark already proves the trailing
-        # session can never be extended, so emit it eagerly.
+        # session can never be extended, so emit it eagerly.  At exact
+        # equality the timer stays legal (setTimeoutTimestamp rejects
+        # only `<`) and must stay armed — a next-batch event at
+        # ts == end+gap passes the lagging late filter and extends
+        # the session under the gap<= merge rule.
         expiry_ms = -(-(end + gap_us) // 1000)
-        if expiry_ms <= state.getCurrentWatermarkMs():
+        if expiry_ms < state.getCurrentWatermarkMs():
             closed.append((start, end, n))
             if state.exists:
                 state.remove()

@@ -34,8 +34,8 @@ from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
-from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (_positions,
-                                                                ODOMETER_SCHEMA)
+from tp_airflow_gtfs_snowflake_spark.streaming.stateful import (
+    _merge_gap_intervals, _positions, ODOMETER_SCHEMA, USER_SESSION_SCHEMA)
 
 _ODO_STATE = StructType([
     StructField("n", LongType()),
@@ -87,3 +87,121 @@ def vehicle_odometer_tws(feed_stream: DataFrame, *,
                 outputStructType=ODOMETER_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# ------------------------------------------- timer-driven sessionizer
+
+_TWS_SESSION_STATE = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+    # the armed timer's expiry: transformWithState keeps a SET of
+    # timers per key (unlike GroupState's single timeout slot), so a
+    # re-arm must deleteTimer() the old one explicitly or the session
+    # would emit once per historical expiry.
+    StructField("timer_ms", LongType()),
+])
+
+
+class UserSessionProcessor(StatefulProcessor):
+    """Gap-timeout sessionizer on the Spark-4 timer API — the
+    transformWithState twin of ``stateful.timed_out_user_sessions``
+    (same merge rule, same microsecond output, same eager-close
+    watermark clamp), completing the migration pair for the
+    timer-driven shape.
+
+    Same known limit as the GroupState twin: sessions closed by an
+    in-batch gap are emitted eagerly and exactly once; the trailing
+    open session emits from :meth:`handleExpiredTimer` when the
+    watermark passes ``end + gap``.
+
+    The eager-close clamp mirrors stateful.py: a trailing session
+    whose expiry is STRICTLY below the current watermark is provably
+    closed (later rows below the watermark never reach the handler),
+    so it is emitted now instead of arming a below-watermark timer —
+    the watermark-jump shape that crashed the GroupState path with
+    INVALID_TIMEOUT_TIMESTAMP (b136, r07) and whose engine behavior
+    on a TWS below-watermark registerTimer is version-dependent.  At
+    exact equality the timer stays armed: a next-batch event at
+    ts == end + gap passes the lagging late filter and extends the
+    session under the gap<= merge rule.
+    """
+
+    def __init__(self, gap_seconds: int = 1800) -> None:
+        self._gap_us = gap_seconds * 1_000_000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", _TWS_SESSION_STATE)
+
+    def _emit(self, key, sessions) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{"user_id": key[0], "session_start_us": s,
+              "session_end_us": e, "n_events": c}
+             for s, e, c in sessions])
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
+                        timerValues) -> Iterator[pd.DataFrame]:
+        intervals: list[list[int]] = []
+        old_timer = None
+        if self._sess.exists():
+            s0, e0, n0, old_timer = self._sess.get()
+            intervals.append([s0, e0, n0])
+        epochs: list[int] = []
+        for pdf in rows:
+            if len(pdf):
+                epochs.extend(int(x) for x in pdf["ts_us"])
+        intervals.extend([e, e, 1] for e in sorted(epochs))
+        merged = _merge_gap_intervals(intervals, self._gap_us)
+        if not merged:
+            return
+        *closed, (start, end, n) = merged
+        expiry_ms = -(-(end + self._gap_us) // 1000)  # ceil: never early
+        if expiry_ms < timerValues.getCurrentWatermarkInMs():
+            closed.append((start, end, n))
+            if self._sess.exists():
+                self._sess.clear()
+            if old_timer is not None:
+                self._handle.deleteTimer(old_timer)
+        else:
+            self._sess.update((start, end, n, expiry_ms))
+            if old_timer != expiry_ms:
+                if old_timer is not None:
+                    self._handle.deleteTimer(old_timer)
+                self._handle.registerTimer(expiry_ms)
+        if closed:
+            yield self._emit(key, closed)
+
+    def handleExpiredTimer(self, key, timerValues,
+                           expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():
+            return
+        start, end, n, timer_ms = self._sess.get()
+        if timer_ms != expiredTimerInfo.getExpiryTimeInMs():
+            return  # stale timer raced a re-arm; the live one will fire
+        self._sess.clear()
+        yield self._emit(key, [(start, end, n)])
+
+    def close(self) -> None:
+        pass
+
+
+def timed_out_user_sessions_tws(events_stream: DataFrame, *,
+                                gap_seconds: int = 1800,
+                                watermark: str = "1 second") -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``stateful.timed_out_user_sessions`` — same input contract
+    ``(user_id long, ts timestamp)``, same output schema."""
+    from pyspark.sql import functions as F
+
+    rows = events_stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"))
+    return (rows.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserSessionProcessor(gap_seconds),
+                outputStructType=USER_SESSION_SCHEMA,
+                outputMode="Append",
+                timeMode="EventTime"))

@@ -69,31 +69,20 @@ def _driver_verified() -> frozenset:
 # already green in the local mirror for several rounds.  Names that
 # gain a green driver row drop out of this pin AUTOMATICALLY (the
 # prio bucket excludes the derived verified set), so a stale list
-# wastes no window slots.  The r07 window (per VERDICT r06 tasks
-# 1+2): this round's brand-new additions first, then the r06
-# additions that shipped behind the r06 window (b156-b160 + c132),
-# then the c79-c103 cohort (oldest never-checked), then b59+ fills
-# the rest of the ~50-slot window in registry order via the `front`
-# bucket of _rotated().
+# wastes no window slots.  The r08 window (per VERDICT r07 tasks
+# 1+2): this round's 5 brand-new additions first, then the 45
+# never-checked oracle-able names fill the 50-slot window exactly in
+# registry order via the `front` bucket of _rotated() — closing the
+# oracle-able backlog to ZERO.  The 10 never-windowed rows-only
+# names are deferred to r09 (documented in COVERAGE.md): the
+# rows_only bucket sorts ahead of verified names, so r09's window
+# picks them up automatically once `front` is empty.
 _NEW_THIS_ROUND = [
-    # brand-new this round (r07)
-    "b161_streaming_retraction_restart",
-    "b162_zonemap_skipping_audit", "b163_join_cardinality_estimate",
-    "b164_range_partition_boundaries", "c133_rank_biased_overlap",
-    "c134_ndcg_eval", "c135_token_suffix_lcp_dup",
-    # r06 additions, shipped behind the r06 window — never checked
-    "b156_mips_norm_pruned_topk", "b157_skew_salt_audit",
-    "b158_incremental_agg_retraction", "b159_qdigest_quantiles",
-    "b160_sliding_qdigest", "c132_average_precision",
-    # c79-c103 cohort (oldest never-checked)
-    "c79_idf_weighted_containment", "c80_lsh_precision_audit",
-    "c81_shard_balance_audit", "c82_bpe_pair_counts",
-    "c85_feature_hash_bow", "c86_jl_projection",
-    "c87_semantic_dedup", "c88_lookback_dedup",
-    "c89_unigram_surprise", "c90_zipf_slope_audit",
-    "c91_ann_recall_eval", "c92_dedup_threshold_sweep",
-    "c94_quantile_normalization", "c95_poisson_bootstrap",
-    "c96_gini_concentration", "c97_decontam_needle_sweep",
+    # brand-new this round (r08): lakehouse-maintenance tier +
+    # suffix-LCP / graph-community extensions
+    "b165_zorder_clustering_audit", "b166_compaction_bin_packing",
+    "b167_delete_vector_audit", "c136_crossdoc_suffix_lcp",
+    "c137_label_propagation_communities",
 ]
 
 

@@ -1060,6 +1060,8 @@ def test_checkpoint_sites_are_audited():
         ("operators/bpe.py", "learn_bpe"),
         ("operators/components.py", "connected_components"),
         ("operators/components.py", "kcore_peel"),
+        ("operators/components.py", "label_propagation"),  # c137: edge
+        # set + per-round labels, re-shuffled on node keys each round
         ("operators/components.py", "pagerank"),
         ("operators/components.py", "pagerank_int"),
         ("operators/hierarchy.py", "tree_depths"),

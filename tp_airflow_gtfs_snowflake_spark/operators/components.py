@@ -144,6 +144,51 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
     return ranks
 
 
+def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
+                      n_iter: int = 4, checkpoint: bool = True,
+                      ckpt_every: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair graph, FIXED rounds and a deterministic tiebreak:
+    every node starts labelled with its own id, and each round every
+    node simultaneously adopts the most frequent label among its
+    neighbors (self excluded), ties broken by MINIMUM label.
+
+    Fixed-round + min-tiebreak makes the result a pure function of
+    the edge multiset — engine- and partitioning-independent, so a
+    SQL oracle can unroll the rounds and match bit-for-bit (the
+    pagerank_int discipline), and the classic sync-LPA oscillation
+    (bipartite flip-flop) can't become non-termination.
+
+    Returns (node, label) for every node with at least one edge.
+    Scale shape mirrors connected_components: each round is one
+    edges⋈labels equi-join, one (node, label) count, and one max_by
+    reduce per node — no driver-side graph; lineage cut every
+    ``ckpt_every`` rounds (scheduler-floor rule, BASELINE.md r07:
+    each eager checkpoint is a full job submission)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for i in range(n_iter):
+        cand = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "label"))
+        counts = (cand.groupBy("node", "label")
+                  .agg(F.count("*").alias("cnt")))
+        # most-frequent label, min-label tiebreak: max over the
+        # (cnt, -label) struct — exact integers, order-independent
+        labels = (counts.groupBy("node")
+                  .agg(F.max_by("label",
+                                F.struct(F.col("cnt"),
+                                         (-F.col("label")).alias("nl")))
+                       .alias("label")))
+        if checkpoint and (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def pagerank(edges: DataFrame, src: str = "a", dst: str = "b",
              damping: float = 0.85, n_iter: int = 10,
              checkpoint: bool = True,

@@ -43,16 +43,20 @@ def connected_components(edges: DataFrame, src: str = "d1",
     # here each iteration would recompute the whole upstream pair
     # derivation (shingle explode + LSH + verify join — the expensive
     # part of near-dup edges) from scratch.  One checkpoint makes every
-    # round read a compact (a, b) table instead.
+    # round read a compact (a, b) table instead.  LAZY (r08, the c104
+    # scheduler-floor treatment extended upfront): round 1's
+    # convergence count is the first action and materializes sym and
+    # the initial labels as side effects — two fewer job submissions
+    # (~100 ms floor each, BASELINE.md r07) for identical state.
     if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
+        sym = sym.localCheckpoint(eager=False)
     # Start from the cheapest admissible labelling: min(self, direct
     # neighbors).  Saves one full propagation round.
     labels = (sym.groupBy("a")
               .agg(F.least(F.first("a"), F.min("b")).alias("component"))
               .withColumnRenamed("a", "node"))
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # candidate for node a: the label of each neighbor b

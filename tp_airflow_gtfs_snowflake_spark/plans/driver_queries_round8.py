@@ -718,7 +718,10 @@ def c119_modularity_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_graph import (
         _edges)
 
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy: CC's round-1 convergence count is the first action and
+    # materializes the (expensive) pair derivation as a side effect —
+    # one fewer job submission (r08 drift fix; BASELINE.md)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     comp = connected_components(edges)
     m = edges.agg(F.count("*").cast("long").alias("m"))
     sym = (edges.select(F.col("d1").alias("node"))
@@ -726,7 +729,10 @@ def c119_modularity_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
     per = (comp.join(deg, "node")
            .groupBy(F.col("component").alias("c"))
-           .agg(F.countDistinct("node").cast("long").alias("n_nodes"),
+           # count(*) == countDistinct(node): comp is keyed by node
+           # (one row per node), so the cheaper single-phase agg is
+           # value-identical and drops the distinct Expand
+           .agg(F.count("*").cast("long").alias("n_nodes"),
                 F.sum("deg").cast("long").alias("deg_sum")))
     inn = (edges.join(comp.withColumnRenamed("node", "d1"), "d1")
            .groupBy(F.col("component").alias("c"))

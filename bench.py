@@ -107,6 +107,11 @@ HEADLINE = [
     "c133_rank_biased_overlap",    # top-weighted ranking similarity
     "c134_ndcg_eval",              # graded ranking eval per source
     "c135_token_suffix_lcp_dup",   # suffix-array repeated-span scan
+    "b165_zorder_clustering_audit",  # Morton vs linear zone-map skip
+    "b166_compaction_bin_packing",   # manifest first-fit rewrite plan
+    "b167_delete_vector_audit",      # MoR delete-fraction decisions
+    "c136_crossdoc_suffix_lcp",      # cross-doc suffix adjacency LCP
+    "c137_label_propagation_communities",  # sync LPA, fixed rounds
 ]
 
 

@@ -1462,3 +1462,68 @@ def test_c132_rank_decomposition_avoids_global_sort(spark):
     assert p.count("documents.parquet") == 0  # behind the checkpoint
     assert "Scan ExistingRDD" in p  # checkpointed scored docs
     assert "BroadcastHashJoin" in p  # histogram cums broadcast back
+
+
+# ------------------------------------------------- round-13 additions
+
+def test_b165_zorder_audit_is_manifest_scale(spark):
+    """Both layout audits collapse the fact to |files| rows with ONE
+    narrow grouped aggregate each; the only join is the broadcast of
+    the 1-row max(partkey/suppkey) scalar (a bounded-build BNLJ), and
+    no global sort or cartesian product appears — the audit must cost
+    two aggregate passes, never a table rewrite."""
+    import re
+    p = _plan(spark, "b165_zorder_clustering_audit")
+    assert "CartesianProduct" not in p
+    # scalar max rides as ONE broadcast per layout branch (node ids,
+    # not raw substring count — the detail section repeats each node)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+    assert "SortMergeJoin" not in p
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    for r in reads:  # scan reads exactly the two key columns
+        assert r.split("struct<")[1].count(":") <= 2, f"unpruned: {r}"
+
+
+def test_b166_compaction_window_sits_above_manifest_aggregate(spark):
+    """The cumulative-size window is single-partition BY DESIGN — but
+    only over the |files| manifest: a HashAggregate (the file-id
+    group-by) must appear BELOW the Window in the plan, never a raw
+    scan (the exact lenience the registry-wide SinglePartition gate
+    grants, asserted here explicitly for the query that uses it)."""
+    p = _plan(spark, "b166_compaction_bin_packing")
+    import re
+    w = re.search(r"\(\d+\) Window\b", p)
+    assert w is not None
+    assert "HashAggregate" in p[:w.start()], \
+        "manifest aggregate must precede the planning window"
+
+
+def test_c136_suffix_window_is_partitioned(spark):
+    """The corpus-wide suffix sort must shard by first token — a
+    partitionBy-less window here would be the classic global-sort
+    scale killer on the exploded suffix relation."""
+    p = _plan(spark, "c136_crossdoc_suffix_lcp")
+    import re
+    assert re.search(r"\(\d+\) Window\b", p)
+    assert "SinglePartition" not in p
+    # the shuffle feeding the window hashes on the first-token key
+    assert "hashpartitioning" in p
+
+
+def test_c137_lpa_rounds_are_visible_joins(spark):
+    """Fixed-round LPA keeps every round in ONE visible lineage
+    (lazy/absent mid-loop checkpoints at 4 rounds): 4 label joins, no
+    cartesian, no single-partition collapse."""
+    p = _plan(spark, "c137_label_propagation_communities")
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+
+
+def test_b167_delete_audit_single_aggregate(spark):
+    """One grouped aggregate from fact to manifest; no join at all."""
+    p = _plan(spark, "b167_delete_vector_audit")
+    for k in ("Join", "CartesianProduct", "Window"):
+        assert k not in p, k
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 1
+    assert reads[0].split("struct<")[1].count(":") == 3

@@ -944,16 +944,110 @@ def _unbounded_nested_loop_builds(df, allow_filtered_build=False):
     return bad
 
 
+# Group-key-cardinality review (r08, closing the documented
+# Aggregate-lenience blind spot): every query whose plan sorts or
+# windows a SinglePartition-collapsed relation relies on that
+# relation being SMALL — but the structural gate can only see "there
+# is an Aggregate below", not the group-key cardinality.  This dict
+# is the per-query judgment: each entry names WHAT bounds the
+# collapsed relation at 100 TB.  The registry sweep fails any query
+# that gains this shape without an entry here.
+_SP_ORDERING_REVIEWED = {
+    "b46_period_over_period": "|periods| — calendar-bounded",
+    "b47_equidepth_histogram": "block-offset table (two-pass form)",
+    "c45_token_budget_apportionment": "|sources| (single digits)",
+    "b55_pareto_contribution": "|groups| = dimension keys; beyond "
+        "~1e8 groups switch to the b107 block-offset two-pass",
+    "b72_cumulative_distinct_users": "|days| — calendar-bounded",
+    "b85_chisq_independence": "contingency cells (types x bands)",
+    "b87_topk_other_rollup": "k+1 rows per group after top-k fold",
+    "b96_mann_whitney": "distinct-value rank histogram",
+    "b97_ks_test": "distinct-value ECDF support",
+    "b98_percent_of_parent": "|category hierarchy nodes|",
+    "b99_survival_curve": "|duration buckets|",
+    "b106_skyline_docs": "block table (two-pass form)",
+    "b107_pps_systematic_sample": "block-offset table (two-pass form)",
+    "c90_zipf_slope_audit": "top-R term ranks (R literal)",
+    "c94_quantile_normalization": "block table (two-pass form)",
+    "b131_seasonal_index": "|month x dow| cells",
+    "b133_neyman_allocation": "|strata|",
+    "c126_sampled_quantiles": "bottom-k deterministic sample (k rows)",
+    "b148_dense_global_ids": "block-offset table (two-pass form)",
+    "b149_ece_calibration_bins": "|calibration bins| (literal)",
+    "c132_average_precision": "blocked-rank offset table",
+    "b159_qdigest_quantiles": "q-digest partials (digest-size bound)",
+    "b160_sliding_qdigest": "q-digest partials (digest-size bound)",
+    "b166_compaction_bin_packing": "|files| manifest (~800k at 100TB)",
+}
+
+_SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")
+
+
+def _sp_ordering_exchanges(df):
+    """SinglePartition exchanges whose consumer (parent or
+    grandparent, to see through InputAdapter/WholeStageCodegen
+    wrappers) does ordering work — the shape where the collapsed
+    relation is materialized AND sorted on one task, i.e. where the
+    Aggregate lenience actually carries load.  Final scalar
+    aggregates (partial -> final two-phase) are excluded: their
+    consumer is the final Aggregate, bounded by construction."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    found = []
+
+    def walk(n, ancestors):
+        if (n.nodeName() == "Exchange"
+                and "SinglePartition"
+                in n.outputPartitioning().toString()
+                and any(a.nodeName().startswith(_SP_ORDER_CONSUMERS)
+                        for a in ancestors[-2:])):
+            found.append(n.toString()[:120])
+        for k in _plan_kids(n):
+            walk(k, ancestors + [n])
+
+    walk(plan, [])
+    return found
+
+
+def test_sp_ordering_detector_negative_control(spark):
+    """A global cumsum window over a post-aggregate relation passes
+    the raw-scan gate (the Aggregate lenience) but MUST be seen by
+    the SP-ordering detector — otherwise the review dict above
+    enforces nothing.  A final scalar aggregate must NOT be seen."""
+    from pyspark.sql import Window as W
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    agg = docs.groupBy("source").count()
+    windowed = agg.select(
+        "source",
+        F.sum("count").over(W.orderBy("source")
+                            .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+    assert not _single_partition_exchanges_over_raw_scans(windowed)
+    assert _sp_ordering_exchanges(windowed)
+    scalar = docs.agg(F.count("*").alias("n"))
+    assert not _sp_ordering_exchanges(scalar)
+
+
+def test_sp_ordering_review_names_are_live():
+    """Every reviewed name must still exist in the registry (a rename
+    would silently orphan its review)."""
+    missing = set(_SP_ORDERING_REVIEWED) - set(REGISTRY)
+    assert not missing, f"reviewed names not in registry: {missing}"
+
+
 def test_no_registry_query_collapses_a_raw_scan(spark):
     """Registry-wide sweep of the headline scale properties: NO query
     may (a) put a SinglePartition exchange over a raw file scan (only
     post-aggregate block/bucket tables may collapse — they are tiny
     by construction), (b) run a grouped-Arrow (applyInPandas) task
     directly over a raw file scan (grouped Python state must be
-    sketch-bounded by an upstream aggregation), or (c) run a
+    sketch-bounded by an upstream aggregation), (c) run a
     nested-loop join without a structurally bounded broadcast side
-    (outside the reviewed literal-filter ANN allowlist).  ~4 min at
-    sf0.001;
+    (outside the reviewed literal-filter ANN allowlist), or (d) sort
+    or window a SinglePartition-collapsed relation without a
+    group-key-cardinality entry in _SP_ORDERING_REVIEWED (the r08
+    widening of the Aggregate lenience).  ~4 min at sf0.001;
     this is the one test that asserts the 100 TB story for every
     query at once, so it earns the wall-clock."""
     bad = {}
@@ -968,6 +1062,9 @@ def test_no_registry_query_collapses_a_raw_scan(spark):
              + _unbounded_nested_loop_builds(
                  df, allow_filtered_build=(
                      name in _BNLJ_FILTERED_BUILD_OK)))
+        if name not in _SP_ORDERING_REVIEWED:
+            b += ["unreviewed SP-ordering: " + s
+                  for s in _sp_ordering_exchanges(df)]
         if b:
             bad[name] = b[0][:120]
     assert not bad, f"raw-scan global collapses: {bad}"

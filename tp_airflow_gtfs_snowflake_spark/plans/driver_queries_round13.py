@@ -115,7 +115,7 @@ def _zo_audit_sql(layout: str, fid: str) -> str:
     """,
     "Z-ORDER CLUSTERING audit — the multi-dimensional layout decision "
     "behind Delta OPTIMIZE ZORDER / Iceberg sort orders, made value-"
-    f"checkable: both join keys bucket into {_ZO_B} quantile-scaled "
+    f"checkable: both join keys bucket into {_ZO_B} max-scaled "
     "cells, files are equi-width ranges of either the Morton-"
     "interleaved code (zorder) or the first dimension alone (linear), "
     "and per-file (min,max) zone maps classify a 2-D quarter-box "

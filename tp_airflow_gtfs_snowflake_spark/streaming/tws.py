@@ -116,9 +116,13 @@ class UserSessionProcessor(StatefulProcessor):
     watermark passes ``end + gap``.
 
     The eager-close clamp mirrors stateful.py: a trailing session
-    whose expiry is STRICTLY below the current watermark is provably
-    closed (later rows below the watermark never reach the handler),
-    so it is emitted now instead of arming a below-watermark timer —
+    whose expiry is STRICTLY below the current watermark is treated
+    as closed — the engine contract drops sub-watermark rows once the
+    late filter catches up, so only a one-batch filter lag could
+    still deliver an extender, the same bridged-gap exactness the
+    eager-emission family already trades away (see the GroupState
+    twin's known-limit note).  It is emitted now instead of arming a
+    below-watermark timer —
     the watermark-jump shape that crashed the GroupState path with
     INVALID_TIMEOUT_TIMESTAMP (b136, r07) and whose engine behavior
     on a TWS below-watermark registerTimer is version-dependent.  At

@@ -205,8 +205,8 @@ def _jaccard_edges(docs: pd.DataFrame) -> list[tuple[int, int]]:
 
 
 def test_c137_matches_python_sync_lpa(spark):
-    """4 rounds of synchronous LPA with an explicit adjacency-list
-    loop and (count desc, label asc) tiebreak."""
+    """4 rounds of synchronous self-inclusive LPA with an explicit
+    adjacency-list loop and (count desc, label asc) tiebreak."""
     edges = _jaccard_edges(_docs())
     assert edges, "fixture must contain near-dup pairs"
     adj: dict[int, list[int]] = {}
@@ -218,6 +218,7 @@ def test_c137_matches_python_sync_lpa(spark):
         new = {}
         for n, nbrs in adj.items():
             cnt = Counter(labels[m] for m in nbrs)
+            cnt[labels[n]] += 1  # self-inclusive vote
             best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
             new[n] = best[0]
         labels = new

@@ -154,14 +154,22 @@ def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected pair graph, FIXED rounds and a deterministic tiebreak:
     every node starts labelled with its own id, and each round every
-    node simultaneously adopts the most frequent label among its
-    neighbors (self excluded), ties broken by MINIMUM label.
+    node simultaneously adopts the most frequent label among itself
+    plus its neighbors, ties broken by MINIMUM label.
+
+    The vote INCLUDES the node's own current label on purpose: a
+    neighbors-only sync vote makes every isolated PAIR — the most
+    common near-dup shape — swap labels forever (the classic
+    bipartite oscillation; found by this repo's own property test),
+    ending wherever the round budget cuts it.  Self-inclusion turns
+    the pair into a tie that the min-tiebreak resolves, so pairs and
+    cliques converge to the minimum id.
 
     Fixed-round + min-tiebreak makes the result a pure function of
     the edge multiset — engine- and partitioning-independent, so a
     SQL oracle can unroll the rounds and match bit-for-bit (the
-    pagerank_int discipline), and the classic sync-LPA oscillation
-    (bipartite flip-flop) can't become non-termination.
+    pagerank_int discipline), and any residual oscillation on larger
+    bipartite structures still can't become non-termination.
 
     Returns (node, label) for every node with at least one edge.
     Scale shape mirrors connected_components: each round is one
@@ -178,7 +186,8 @@ def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
               .withColumn("label", F.col("node")))
     for i in range(n_iter):
         cand = (sym.join(labels.withColumnRenamed("node", "b"), "b")
-                .select(F.col("a").alias("node"), "label"))
+                .select(F.col("a").alias("node"), "label")
+                .unionByName(labels))  # self-inclusive vote
         counts = (cand.groupBy("node", "label")
                   .agg(F.count("*").alias("cnt")))
         # most-frequent label, min-label tiebreak: max over the

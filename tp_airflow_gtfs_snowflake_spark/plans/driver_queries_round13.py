@@ -427,15 +427,20 @@ _LPA_ROUNDS = 4
 
 
 def _lpa_round_sql(prev: str, cur: str) -> str:
+    # the vote includes the node's own current label (see
+    # operators.components.label_propagation: neighbors-only sync
+    # voting makes isolated pairs swap labels forever)
     return f"""
     {cur} AS (
       SELECT node, lbl FROM (
         SELECT node, lbl,
                row_number() OVER (PARTITION BY node
                                   ORDER BY cnt DESC, lbl) AS rn
-        FROM (SELECT s.a AS node, l.lbl, count(*) AS cnt
-              FROM sym s JOIN {prev} l ON l.node = s.b
-              GROUP BY s.a, l.lbl))
+        FROM (SELECT node, lbl, count(*) AS cnt FROM (
+                SELECT s.a AS node, l.lbl
+                FROM sym s JOIN {prev} l ON l.node = s.b
+                UNION ALL SELECT node, lbl FROM {prev})
+              GROUP BY node, lbl))
       WHERE rn = 1)"""
 
 
@@ -449,7 +454,10 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
     "near-dup pair graph (c08 Jaccard>=0.5 edges, shared with "
     "c19/c119): every node starts as its own label, and each of "
     f"{_LPA_ROUNDS} FIXED rounds reassigns every node the most "
-    "frequent label among its neighbors, ties broken by MINIMUM "
+    "frequent label among itself and its neighbors (self-inclusive: "
+    "a neighbors-only sync vote makes isolated PAIRS — the dominant "
+    "dup shape — swap labels forever; caught by the property suite), "
+    "ties broken by MINIMUM "
     "label — exact integer counts + deterministic tiebreak make the "
     "result a pure function of the edge multiset, so DuckDB unrolls "
     "the same rounds and matches bit-for-bit (the c104 pagerank_int "

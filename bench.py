@@ -112,6 +112,9 @@ HEADLINE = [
     "b167_delete_vector_audit",      # MoR delete-fraction decisions
     "c136_crossdoc_suffix_lcp",      # cross-doc suffix adjacency LCP
     "c137_label_propagation_communities",  # sync LPA, fixed rounds
+    "b168_changepoint_binary_segmentation",  # prefix-sum split argmax
+    "b169_partition_transform_audit",  # partition-spec dry-run scores
+    "c138_greedy_max_coverage_selection",  # submodular corpus picks
 ]
 
 

@@ -978,6 +978,10 @@ _SP_ORDERING_REVIEWED = {
     "b159_qdigest_quantiles": "q-digest partials (digest-size bound)",
     "b160_sliding_qdigest": "q-digest partials (digest-size bound)",
     "b166_compaction_bin_packing": "|files| manifest (~800k at 100TB)",
+    "b168_changepoint_binary_segmentation":
+        "|days| — calendar-bounded; partition by series at scale",
+    "c138_greedy_max_coverage_selection":
+        "TakeOrdered(1) argmax per round — k rows total",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")
@@ -1188,6 +1192,12 @@ def test_checkpoint_sites_are_audited():
         ("plans/driver_queries_round11.py", "b159_qdigest_quantiles"),
         ("plans/driver_queries_round11.py", "b160_sliding_qdigest"),
         ("plans/driver_queries_round11.py", "c132_average_precision"),
+        # c138: distinct (doc, shingle) relation reused k+1 times by
+        # the greedy rounds — corpus-scale like CC's edges, never
+        # feeds a SinglePartition exchange (each round re-shuffles on
+        # doc/shingle keys); lineage cut is the point
+        ("plans/driver_queries_round14.py",
+         "c138_greedy_max_coverage_selection"),
         ("plans/driver_queries_round6.py",
          "b109_exact_global_median_two_pass"),
         ("plans/driver_queries_round6.py", "b112_periodicity_detection"),

@@ -149,8 +149,8 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
 
 
 def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
-                      n_iter: int = 4, checkpoint: bool = True,
-                      ckpt_every: int = 4) -> DataFrame:
+                      n_iter: int = 4,
+                      checkpoint: bool = True) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected pair graph, FIXED rounds and a deterministic tiebreak:
     every node starts labelled with its own id, and each round every
@@ -174,14 +174,19 @@ def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
     Returns (node, label) for every node with at least one edge.
     Scale shape mirrors connected_components: each round is one
     edges⋈labels equi-join, one (node, label) count, and one max_by
-    reduce per node — no driver-side graph; lineage cut every
-    ``ckpt_every`` rounds (scheduler-floor rule, BASELINE.md r07:
-    each eager checkpoint is a full job submission)."""
+    reduce per node — no driver-side graph.  Lineage is cut with a
+    LAZY checkpoint EVERY round (not on a ckpt_every cadence): the
+    self-inclusive vote references `labels` twice per round (the
+    propagate join AND the self row), so the uncut plan DOUBLES per
+    round — pointer-doubling-class growth, measured 62 exchanges at
+    4 rounds vs 5 with per-round cuts.  eager=False keeps it at one
+    job total (scheduler-floor rule, BASELINE.md r07)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
     if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
+        sym = sym.localCheckpoint(eager=False)  # lazy: first action
+        # materializes the (possibly expensive) pair derivation once
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for i in range(n_iter):
@@ -197,8 +202,8 @@ def label_propagation(edges: DataFrame, src: str = "a", dst: str = "b",
                                 F.struct(F.col("cnt"),
                                          (-F.col("label")).alias("nl")))
                        .alias("label")))
-        if checkpoint and (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
-            labels = labels.localCheckpoint(eager=True)
+        if checkpoint and i + 1 < n_iter:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 

@@ -1634,3 +1634,31 @@ def test_b167_delete_audit_single_aggregate(spark):
     reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert len(reads) == 1
     assert reads[0].split("struct<")[1].count(":") == 3
+
+
+def test_b169_partition_audit_is_aggregate_only(spark):
+    """Three candidate transforms = three narrow grouped aggregates;
+    no join anywhere (the dry-run must never correlate data), every
+    scan pruned to the three audited columns."""
+    p = _plan(spark, "b169_partition_transform_audit")
+    for k in ("Join", "CartesianProduct"):
+        assert k not in p, k
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 3
+    for r in reads:
+        assert r.split("struct<")[1].count(":") <= 3, f"unpruned: {r}"
+
+
+def test_b168_changepoint_windows_sit_above_daily_aggregate(spark):
+    """The prefix-sum windows are single-partition BY DESIGN but only
+    over the |days| daily aggregate (reviewed in
+    _SP_ORDERING_REVIEWED): a HashAggregate must appear below the
+    first Window, and the raw-scan gate must see nothing."""
+    import re
+    p = _plan(spark, "b168_changepoint_binary_segmentation")
+    w = re.search(r"\(\d+\) Window\b", p)
+    assert w is not None
+    assert "HashAggregate" in p[:w.start()]
+    df = REGISTRY["b168_changepoint_binary_segmentation"].fn(
+        spark, SF_ORACLE)
+    assert not _single_partition_exchanges_over_raw_scans(df)

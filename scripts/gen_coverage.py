@@ -37,15 +37,18 @@ entry the driver cross-checks against DuckDB at sf0.01:
   registry is green under `scripts/validate_registry.py` at sf0.01
   and sf0.1 (see NOTES.md round records).
 
-Window plan (r08): the 50-slot driver window holds this round's 5
+Window plan (r08): the 50-slot driver window holds the 5 r08
 additions plus the 45 never-checked oracle-able names — closing the
-oracle-able backlog to ZERO.  The 10 never-windowed **rows-only**
-names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83, c84) are
-explicitly DEFERRED to the r09 window: they can never hash-match, so
-they must not displace a value-hash slot while oracle-able names are
-still pending; once the backlog is zero the rotation surfaces them
-automatically (rows-only bucket sorts ahead of already-verified
-names in `__spark_entry__._rotated`).
+oracle-able backlog to ZERO.  Slots 51-63 are the complete r09
+cohort, already built and locally green: the 3 r09-prep additions
+(b168/b169/c138, hash-oracled at three SFs) and the 10 never-
+windowed **rows-only** names (c26, c26b, b41, b49, c44, c59, c66,
+c82b, c83, c84), explicitly DEFERRED here because they can never
+hash-match and must not displace a value-hash slot while oracle-able
+names are pending; the rotation surfaces all 13 automatically in r09
+(rows-only bucket sorts ahead of already-verified names in
+`__spark_entry__._rotated`), leaving ~37 free r09 slots.  The whole
+cohort passed a vanilla-session sf0.01 dry run (NOTES.md r08).
 
 ## Query registry ({n} entries): {summary}
 

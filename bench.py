@@ -115,6 +115,8 @@ HEADLINE = [
     "b168_changepoint_binary_segmentation",  # prefix-sum split argmax
     "b169_partition_transform_audit",  # partition-spec dry-run scores
     "c138_greedy_max_coverage_selection",  # submodular corpus picks
+    "c139_cohens_kappa_langid",        # chance-corrected labeler eval
+    "b170_runtime_filter_reduction_audit",  # bloom semi-join savings
 ]
 
 

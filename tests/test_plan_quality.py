@@ -1662,3 +1662,29 @@ def test_b168_changepoint_windows_sit_above_daily_aggregate(spark):
     df = REGISTRY["b168_changepoint_binary_segmentation"].fn(
         spark, SF_ORACLE)
     assert not _single_partition_exchanges_over_raw_scans(df)
+
+
+def test_b170_runtime_filter_stays_key_functional(spark):
+    """The filter audit must shuffle distinct KEYS, never fact rows:
+    the probe side pre-aggregates before any bloom math (a
+    HashAggregate below the position explode), the bit set and build
+    membership ride as broadcasts, and no sort-merge join or
+    cartesian appears."""
+    import re
+    p = _plan(spark, "b170_runtime_filter_reduction_audit")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2
+    gen = re.search(r"\(\d+\) Generate\b", p)  # the position explode
+    assert gen is not None
+    assert "HashAggregate" in p[:gen.start()], \
+        "probe must pre-aggregate to keys before exploding positions"
+
+
+def test_c139_kappa_runs_on_class_marginals(spark):
+    """Kappa is one doc-level pass + |classes| marginal joins: no
+    cartesian, every join broadcast, scans pruned to the two label
+    columns' lineage."""
+    p = _plan(spark, "c139_cohens_kappa_langid")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

@@ -9,7 +9,7 @@ import math
 
 import pandas as pd
 
-from tests.conftest import round_half_up
+from tests.conftest import round_half_up, tdiv
 from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import REGISTRY
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -128,3 +128,74 @@ def test_c138_matches_python_greedy(spark):
     # coverage is monotone and <= 1e6
     cov = [c for *_, c in got]
     assert cov == sorted(cov) and cov[-1] <= 1_000_000
+
+# --------------------------------------------------------------- c139
+
+def test_c139_matches_python_kappa(spark):
+    """Kappa recomputed from the engine's own confusion relation with
+    sklearn-formula arithmetic in exact integers."""
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY as R)
+    pred = [(r.lang, r.lang_pred)
+            for r in R["c03c_lang_id"].fn(spark, SF_SMALL).collect()]
+    n = len(pred)
+    agree = sum(1 for g, p in pred if g == p)
+    from collections import Counter
+    gold = Counter(g for g, _ in pred)
+    pr = Counter(p for _, p in pred)
+    pe_num = sum(gold[c] * pr.get(c, 0) for c in gold)
+    po_ppm = agree * 1_000_000 // n
+    pe_ppm = pe_num * 1_000_000 // (n * n)
+    # tdiv: kappa can be NEGATIVE (sub-chance agreement) and Spark
+    # div / DuckDB // truncate toward zero, unlike Python's floor
+    kappa_ppm = tdiv((po_ppm - pe_ppm) * 1_000_000,
+                     1_000_000 - pe_ppm)
+    row = (R["c139_cohens_kappa_langid"]
+           .fn(spark, SF_SMALL).collect())[0]
+    assert (row.n_docs, row.n_agree) == (n, agree)
+    assert (row.po_ppm, row.pe_ppm, row.kappa_ppm) == \
+        (po_ppm, pe_ppm, kappa_ppm)
+    # the metric's reason to exist: chance-corrected <= raw accuracy
+    assert row.kappa_ppm <= row.po_ppm
+
+
+# --------------------------------------------------------------- b170
+
+def test_b170_matches_python_bloom(spark):
+    """The runtime-filter audit recomputed with an explicit Python
+    bloom (same salted md5-48 positions) over pandas relations."""
+    import hashlib
+
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    sel = orders[(orders.o_orderpriority == "1-URGENT")
+                 & (orders.o_orderdate >= pd.Timestamp("1997-01-01"))
+                 & (orders.o_orderdate < pd.Timestamp("1998-01-01"))]
+    build = {int(k) for k in sel.o_orderkey}
+
+    def pos(j, key):
+        h = hashlib.md5(f"{j}#{key}".encode()).hexdigest()[:12]
+        return int(h, 16) % 16384
+
+    bits = {pos(j, k) for k in build for j in range(4)}
+    probe = li.groupby("l_orderkey").size()
+    probe_rows = int(probe.sum())
+    exact = int(probe[probe.index.isin(build)].sum())
+    pass_rows = false_rows = 0
+    for key, nrows in probe.items():
+        if all(pos(j, int(key)) in bits for j in range(4)):
+            pass_rows += int(nrows)
+            if int(key) not in build:
+                false_rows += int(nrows)
+    r = (REGISTRY["b170_runtime_filter_reduction_audit"]
+         .fn(spark, SF_SMALL).collect())[0]
+    assert (r.probe_rows, r.probe_keys) == (probe_rows, len(probe))
+    assert (r.build_keys, r.bits_set) == (len(build), len(bits))
+    assert (r.exact_rows, r.pass_rows, r.false_pass_rows) == \
+        (exact, pass_rows, false_rows)
+    assert r.reduction_ppm == \
+        (probe_rows - pass_rows) * 1_000_000 // probe_rows
+    assert r.bit_density_ppm == len(bits) * 1_000_000 // 16384
+    # correctness property of any bloom: no false negatives
+    assert r.pass_rows >= r.exact_rows

@@ -344,3 +344,234 @@ def c138_greedy_max_coverage_selection(spark: SparkSession,
     return spark.createDataFrame(
         out_rows,
         "pick_rank int, doc_id long, gain long, coverage_ppm long")
+
+
+# ---------------------------------------------------------------------
+# c139: Cohen's kappa of the lang-id classifier vs gold labels
+# ---------------------------------------------------------------------
+
+
+@_register(
+    "c139_cohens_kappa_langid",
+    None,  # oracle attached below (wraps the shared c03c oracle SQL)
+    "COHEN'S KAPPA agreement of the c03c stopword lang-id classifier "
+    "against the gold `lang` column — the chance-corrected eval "
+    "metric the raw accuracy (po) overstates whenever the class "
+    "distribution is skewed: kappa = (po - pe) / (1 - pe) with pe "
+    "the marginal-product chance agreement.  All arithmetic is exact "
+    "integer ppm (truncating division in both engines): po_ppm from "
+    "the agree count, pe_ppm from the gold x predicted marginal "
+    "products over N^2, kappa_ppm from the two.  Reuses the exact "
+    "c03c prediction (the Spark side calls the registered query, the "
+    "oracle embeds c03c's oracle SQL as a CTE) so the two metrics "
+    "can never drift apart.  Scale shape: one doc-level pass, then "
+    "everything runs on |classes| marginals — the standard "
+    "classifier-eval audit attached to any labeling stage.",
+)
+def c139_cohens_kappa_langid(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY)
+
+    pred = REGISTRY["c03c_lang_id"].fn(spark, sf_dir) \
+        .select("lang", "lang_pred")
+    tot = pred.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1)
+              .otherwise(0)).cast("long").alias("n_agree"))
+    gold = pred.groupBy(F.col("lang").alias("cls")) \
+        .agg(F.count("*").alias("gold_n"))
+    pr = pred.groupBy(F.col("lang_pred").alias("cls")) \
+        .agg(F.count("*").alias("pred_n"))
+    pe_num = (gold.join(pr, "cls")
+              .agg(F.coalesce(F.sum(F.col("gold_n") * F.col("pred_n")),
+                              F.lit(0)).cast("long").alias("pe_num")))
+    return (tot.crossJoin(F.broadcast(pe_num))
+            .select("n_docs", "n_agree",
+                    F.expr("n_agree * 1000000 div n_docs")
+                    .cast("long").alias("po_ppm"),
+                    F.expr("pe_num * 1000000 div (n_docs * n_docs)")
+                    .cast("long").alias("pe_ppm"),
+                    F.expr("(n_agree * 1000000 div n_docs"
+                           " - pe_num * 1000000 div (n_docs * n_docs))"
+                           " * 1000000 div nullif(1000000 -"
+                           " pe_num * 1000000 div (n_docs * n_docs),"
+                           " 0)").cast("long").alias("kappa_ppm")))
+
+
+def _attach_kappa_oracle() -> None:
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY, QuerySpec)
+
+    c03c = REGISTRY["c03c_lang_id"].oracle
+    sql = f"""
+    WITH pred AS ({c03c}),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM pred
+    ), pe AS (
+      SELECT CAST(coalesce(sum(g.gold_n * p.pred_n), 0) AS BIGINT)
+               AS pe_num
+      FROM (SELECT lang AS cls, count(*) AS gold_n
+            FROM pred GROUP BY 1) g
+      JOIN (SELECT lang_pred AS cls, count(*) AS pred_n
+            FROM pred GROUP BY 1) p USING (cls)
+    )
+    SELECT n_docs, n_agree,
+           CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
+           CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT)
+             AS pe_ppm,
+           CAST((n_agree * 1000000 // n_docs
+                 - pe_num * 1000000 // (n_docs * n_docs))
+                * 1000000 // nullif(1000000 -
+                  pe_num * 1000000 // (n_docs * n_docs), 0)
+                AS BIGINT) AS kappa_ppm
+    FROM tot, pe
+    """
+    spec = REGISTRY["c139_cohens_kappa_langid"]
+    REGISTRY["c139_cohens_kappa_langid"] = QuerySpec(
+        fn=spec.fn, oracle=sql, note=spec.note)
+
+
+_attach_kappa_oracle()
+
+
+# ---------------------------------------------------------------------
+# b170: runtime-filter (Bloom semi-join) shuffle-reduction audit
+# ---------------------------------------------------------------------
+
+_RF_M = 16384      # filter bits
+_RF_K = 4          # salted portable hashes (independent, not affine:
+                   # m | 2^48 would correlate an affine family)
+_RF_LO = "1997-01-01"
+_RF_HI = "1998-01-01"
+
+_RF_H48 = "CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 12) AS BIGINT)"
+
+
+@_register(
+    "b170_runtime_filter_reduction_audit",
+    f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '{_RF_LO}'
+        AND o_orderdate <  TIMESTAMP '{_RF_HI}'
+    ), probe AS (
+      SELECT l_orderkey AS key, count(*) AS nrows
+      FROM lineitem GROUP BY 1
+    ), js AS (SELECT unnest(range(0, {_RF_K})) AS j),
+    bits AS (
+      SELECT DISTINCT
+             {_RF_H48.format(c="CAST(j AS VARCHAR) || '#' || key")}
+               % {_RF_M} AS pos
+      FROM build CROSS JOIN js
+    ), pm AS (
+      SELECT key, min(nrows) AS nrows,
+             sum(CASE WHEN
+                 {_RF_H48.format(c="CAST(j AS VARCHAR) || '#' || key")}
+                   % {_RF_M} IN (SELECT pos FROM bits)
+                 THEN 1 ELSE 0 END) AS nset
+      FROM probe CROSS JOIN js GROUP BY key
+    ), lab AS (
+      SELECT key, nrows,
+             CASE WHEN nset = {_RF_K} THEN 1 ELSE 0 END AS pass,
+             CASE WHEN key IN (SELECT key FROM build)
+                  THEN 1 ELSE 0 END AS is_match
+      FROM pm
+    )
+    SELECT CAST(sum(nrows) AS BIGINT) AS probe_rows,
+           CAST(count(*) AS BIGINT) AS probe_keys,
+           CAST((SELECT count(*) FROM build) AS BIGINT) AS build_keys,
+           CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(sum(is_match * nrows) AS BIGINT) AS exact_rows,
+           CAST(sum(pass * nrows) AS BIGINT) AS pass_rows,
+           CAST(sum(CASE WHEN pass = 1 AND is_match = 0
+                         THEN nrows ELSE 0 END) AS BIGINT)
+             AS false_pass_rows,
+           CAST((sum(nrows) - sum(pass * nrows)) * 1000000
+                // sum(nrows) AS BIGINT) AS reduction_ppm,
+           CAST((SELECT count(*) FROM bits) * 1000000 // {_RF_M}
+                AS BIGINT) AS bit_density_ppm
+    FROM lab
+    """,
+    "RUNTIME-FILTER shuffle-reduction audit — Spark's bloom runtime "
+    "filter (SPARK-32268) / Iceberg bloom pushdown, value-checked "
+    "end to end: a selective dimension slice (urgent 1997 orders) "
+    f"builds a {_RF_M}-bit k={_RF_K} Bloom over its join keys "
+    "(salted portable md5-48 hashes, so the oracle reproduces every "
+    "bit), the FACT side is probed PER DISTINCT KEY (rows ride as a "
+    "count — the filter decision is key-functional, so the audit "
+    "shuffles |keys|, never rows), and the output quantifies what "
+    "the filter buys before the real join: probe rows that pass vs "
+    "exact matches, false-pass rows (measured, not modeled — the "
+    "filter is the repo's own portable construction), the shuffle "
+    "reduction ppm, and the filter's bit density (its health "
+    "indicator: density -> 1 means the filter has saturated and "
+    "should be resized).  A filter that drops a true match would "
+    "break pass_rows >= exact_rows against the oracle.  Scale "
+    "shape: the build side collapses to distinct keys then "
+    f"<= {_RF_M} bit positions (broadcast; mergeable by bitmap OR "
+    "across build shards); the probe side pre-aggregates to "
+    "distinct keys before any filter math — at 100 TB this audit "
+    "IS the decision to enable the runtime filter for a given join.",
+)
+def b170_runtime_filter_reduction_audit(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import (
+        portable_hash48)
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    build = (orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit(_RF_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_RF_HI).cast("timestamp")))
+        .select(F.col("o_orderkey").alias("key")).distinct())
+    probe = (li.groupBy(F.col("l_orderkey").alias("key"))
+             .agg(F.count("*").alias("nrows")))
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = [portable_hash48(
+                   F.concat_ws("#", F.lit(str(j)),
+                               F.col("key").cast("string")))
+               % F.lit(_RF_M) for j in range(_RF_K)]
+        return df.withColumn("pos", F.explode(F.array(*pos)))
+
+    bits = positions(build).select("pos").distinct()
+    n_bits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    n_build = build.agg(F.count("*").cast("long").alias("build_keys"))
+    pm = (positions(probe)
+          .join(F.broadcast(bits.withColumn("hit", F.lit(1))),
+                "pos", "left")
+          .groupBy("key")
+          .agg(F.min("nrows").alias("nrows"),
+               F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nset")))
+    lab = (pm.join(F.broadcast(build.withColumn("is_m", F.lit(1))),
+                   "key", "left")
+           .select("nrows",
+                   F.when(F.col("nset") == _RF_K, 1).otherwise(0)
+                   .alias("pass"),
+                   F.coalesce(F.col("is_m"), F.lit(0)).alias("is_match")))
+    return (lab.agg(
+        F.sum("nrows").cast("long").alias("probe_rows"),
+        F.count("*").cast("long").alias("probe_keys"),
+        F.sum(F.col("is_match") * F.col("nrows")).cast("long")
+        .alias("exact_rows"),
+        F.sum(F.col("pass") * F.col("nrows")).cast("long")
+        .alias("pass_rows"),
+        F.sum(F.when((F.col("pass") == 1) & (F.col("is_match") == 0),
+                     F.col("nrows")).otherwise(0)).cast("long")
+        .alias("false_pass_rows"),
+        F.expr("(sum(nrows) - sum(pass * nrows)) * 1000000 "
+               "div sum(nrows)").cast("long").alias("reduction_ppm"))
+        .crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .withColumn("bit_density_ppm",
+                    F.expr(f"bits_set * 1000000 div {_RF_M}")
+                    .cast("long"))
+        .select("probe_rows", "probe_keys", "build_keys", "bits_set",
+                "exact_rows", "pass_rows", "false_pass_rows",
+                "reduction_ppm", "bit_density_ppm"))

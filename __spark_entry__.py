@@ -38,6 +38,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # list name-for-name before deleting it.)
 
 @functools.lru_cache(maxsize=1)
+def _latest_rows() -> tuple:
+    """(name -> green?, name -> round of its latest driver row), both
+    latest-row-wins over the committed CORRECTNESS artifacts."""
+    import json
+    import pathlib
+    green: dict = {}
+    rnd: dict = {}
+    root = pathlib.Path(__file__).resolve().parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            recs = json.loads(path.read_text())
+            n = int(path.stem.split("_r")[1])
+        except (OSError, ValueError):
+            continue  # one corrupt artifact must not sink the others
+        for name, rec in recs.items():
+            green[name] = bool(
+                rec.get("hash_match")
+                or (rec.get("err") == "no_oracle"
+                    and rec.get("spark_rows") is not None))
+            rnd[name] = n
+    return green, rnd
+
+
 def _driver_verified() -> frozenset:
     """Names whose MOST RECENT driver record is green (hash-match, or
     an exercised rows-only row for no-oracle names).  Latest-row-wins:
@@ -46,21 +69,8 @@ def _driver_verified() -> frozenset:
     the r03 row wins).  If no artifact parses the set is empty and the
     rotation degrades to plain registry order — wasted signal, never
     wrong answers; the repo gate pins the expected count."""
-    import json
-    import pathlib
-    last: dict = {}
-    root = pathlib.Path(__file__).resolve().parent
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            recs = json.loads(path.read_text())
-        except (OSError, ValueError):
-            continue  # one corrupt artifact must not sink the others
-        for name, rec in recs.items():
-            last[name] = bool(
-                rec.get("hash_match")
-                or (rec.get("err") == "no_oracle"
-                    and rec.get("spark_rows") is not None))
-    return frozenset(n for n, green in last.items() if green)
+    green, _ = _latest_rows()
+    return frozenset(n for n, ok in green.items() if ok)
 
 
 
@@ -109,7 +119,15 @@ def _rotated(d: dict) -> dict:
              if k not in seen and k not in prio and k in oracled}
     rows_only = {k: v for k, v in d.items()
                  if k not in seen and k not in prio and k not in oracled}
-    back = {k: v for k, v in d.items() if k in seen and k not in prio}
+    # Free window slots spill into `back`, so order it by STALENESS
+    # (oldest latest-driver-row round first, registry order within a
+    # round; VERDICT r08 task 4): registry order alone would re-confirm
+    # the same early names every round, while ~250 names' latest
+    # driver signal dates from r01-r03.
+    _, last_rnd = _latest_rows()
+    back = {k: d[k] for k in sorted(
+        (k for k in d if k in seen and k not in prio),
+        key=lambda k: last_rnd.get(k, 0))}
     return {**prio, **front, **rows_only, **back}
 
 

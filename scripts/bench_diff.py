@@ -102,8 +102,11 @@ def main() -> None:
     flagged.sort(key=lambda k: qo[k] - qn[k])
     for k in flagged[:a.top]:
         d = qn[k] - qo[k]
+        # same zero guard as classify(): an old time parsed as 0.00
+        # would otherwise raise ZeroDivisionError here
+        pct = f"{d / qo[k]:+.0%}" if qo[k] > 0 else "n/a"
         print(f"  {classify(k):10s} {k}: {qo[k]:.2f} -> {qn[k]:.2f} "
-              f"({d:+.2f}s, {d / qo[k]:+.0%})")
+              f"({d:+.2f}s, {pct})")
     if not flagged:
         print("  no per-query deltas beyond the "
               f"{a.abs_floor}s/{a.rel:.0%} band")

@@ -143,9 +143,13 @@ def test_c139_matches_python_kappa(spark):
     from collections import Counter
     gold = Counter(g for g, _ in pred)
     pr = Counter(p for _, p in pred)
-    pe_num = sum(gold[c] * pr.get(c, 0) for c in gold)
+    # per-class ppm marginals (ADVICE r08): each factor <= 1e6, so the
+    # product sum stays inside int64 at any doc count — the naive
+    # pe_num * 1e6 / N^2 form overflows past ~3M docs
     po_ppm = agree * 1_000_000 // n
-    pe_ppm = pe_num * 1_000_000 // (n * n)
+    pe_ppm = sum((gold[c] * 1_000_000 // n)
+                 * (pr[c] * 1_000_000 // n)
+                 for c in gold if c in pr) // 1_000_000
     # tdiv: kappa can be NEGATIVE (sub-chance agreement) and Spark
     # div / DuckDB // truncate toward zero, unlike Python's floor
     kappa_ppm = tdiv((po_ppm - pe_ppm) * 1_000_000,

@@ -465,8 +465,11 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
     "non-termination).  Scale shape mirrors connected_components: "
     "each round is ONE edges-x-labels equi-join plus one "
     "(node,label) count and one max_by per node — two shuffles per "
-    "round, no driver-side graph; lineage is cut on the ckpt_every "
-    "cadence (scheduler-floor rule, BASELINE.md r07).  Against c19 "
+    "round, no driver-side graph; lineage is cut by a LAZY "
+    "checkpoint EVERY round (the self-inclusive vote references "
+    "labels twice, so the uncut plan doubles per round — 62 vs 5 "
+    "exchanges measured at 4 rounds; pointer-doubling-class cadence, "
+    "BASELINE.md r08).  Against c19 "
     "components this answers a different question: components give "
     "reachability (everything transitively linked), LPA gives "
     "density (a chain of borderline matches splits into its dense "

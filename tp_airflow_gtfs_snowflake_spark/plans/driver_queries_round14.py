@@ -13,6 +13,12 @@ driver window in r09 behind the r08 cohort).
   data selection): k rounds of "pick the document covering the most
   not-yet-covered shingles" — the classic submodular selection
   primitive behind coverage-driven training-data curation.
+- c139: Cohen's kappa for the stopword lang-id against synthetic
+  gold labels — chance-corrected classifier eval in truncating
+  integer ppm arithmetic.
+- b170: runtime-filter (Bloom) reduction audit — measured, not
+  modeled, shuffle-reduction and false-pass rates for the
+  SPARK-32268-style join filter decision.
 
 Reference contract: none of these exist in the reference (its
 analytic surface is the KPI list, README.md:116-129); they extend the
@@ -360,8 +366,11 @@ def c138_greedy_max_coverage_selection(spark: SparkSession,
     "distribution is skewed: kappa = (po - pe) / (1 - pe) with pe "
     "the marginal-product chance agreement.  All arithmetic is exact "
     "integer ppm (truncating division in both engines): po_ppm from "
-    "the agree count, pe_ppm from the gold x predicted marginal "
-    "products over N^2, kappa_ppm from the two.  Reuses the exact "
+    "the agree count, pe_ppm from the PER-CLASS ppm marginals "
+    "(sum(gold_ppm * pred_ppm) div 1e6 — each factor <= 1e6, so "
+    "every intermediate stays far inside int64 at ANY doc count; "
+    "the naive gold_n * pred_n * 1e6 over N^2 form overflows past "
+    "~3M docs, ADVICE r08), kappa_ppm from the two.  Reuses the exact "
     "c03c prediction (the Spark side calls the registered query, the "
     "oracle embeds c03c's oracle SQL as a CTE) so the two metrics "
     "can never drift apart.  Scale shape: one doc-level pass, then "
@@ -383,20 +392,22 @@ def c139_cohens_kappa_langid(spark: SparkSession,
         .agg(F.count("*").alias("gold_n"))
     pr = pred.groupBy(F.col("lang_pred").alias("cls")) \
         .agg(F.count("*").alias("pred_n"))
-    pe_num = (gold.join(pr, "cls")
-              .agg(F.coalesce(F.sum(F.col("gold_n") * F.col("pred_n")),
-                              F.lit(0)).cast("long").alias("pe_num")))
-    return (tot.crossJoin(F.broadcast(pe_num))
+    pe = (gold.join(pr, "cls")
+          .crossJoin(F.broadcast(tot.select("n_docs")))
+          .agg(F.coalesce(F.sum(F.expr(
+              "(gold_n * 1000000 div n_docs)"
+              " * (pred_n * 1000000 div n_docs)")),
+              F.lit(0)).cast("long").alias("pe_cross"))
+          .select(F.expr("pe_cross div 1000000")
+                  .cast("long").alias("pe_ppm")))
+    return (tot.crossJoin(F.broadcast(pe))
             .select("n_docs", "n_agree",
                     F.expr("n_agree * 1000000 div n_docs")
                     .cast("long").alias("po_ppm"),
-                    F.expr("pe_num * 1000000 div (n_docs * n_docs)")
-                    .cast("long").alias("pe_ppm"),
-                    F.expr("(n_agree * 1000000 div n_docs"
-                           " - pe_num * 1000000 div (n_docs * n_docs))"
-                           " * 1000000 div nullif(1000000 -"
-                           " pe_num * 1000000 div (n_docs * n_docs),"
-                           " 0)").cast("long").alias("kappa_ppm")))
+                    F.col("pe_ppm"),
+                    F.expr("(n_agree * 1000000 div n_docs - pe_ppm)"
+                           " * 1000000 div nullif(1000000 - pe_ppm, 0)")
+                    .cast("long").alias("kappa_ppm")))
 
 
 def _attach_kappa_oracle() -> None:
@@ -412,21 +423,20 @@ def _attach_kappa_oracle() -> None:
                   AS BIGINT) AS n_agree
       FROM pred
     ), pe AS (
-      SELECT CAST(coalesce(sum(g.gold_n * p.pred_n), 0) AS BIGINT)
-               AS pe_num
+      SELECT CAST(coalesce(sum((g.gold_n * 1000000 // t.n_docs)
+                               * (p.pred_n * 1000000 // t.n_docs)), 0)
+                  // 1000000 AS BIGINT) AS pe_ppm
       FROM (SELECT lang AS cls, count(*) AS gold_n
             FROM pred GROUP BY 1) g
       JOIN (SELECT lang_pred AS cls, count(*) AS pred_n
             FROM pred GROUP BY 1) p USING (cls)
+      CROSS JOIN tot t
     )
     SELECT n_docs, n_agree,
            CAST(n_agree * 1000000 // n_docs AS BIGINT) AS po_ppm,
-           CAST(pe_num * 1000000 // (n_docs * n_docs) AS BIGINT)
-             AS pe_ppm,
-           CAST((n_agree * 1000000 // n_docs
-                 - pe_num * 1000000 // (n_docs * n_docs))
-                * 1000000 // nullif(1000000 -
-                  pe_num * 1000000 // (n_docs * n_docs), 0)
+           pe_ppm,
+           CAST((n_agree * 1000000 // n_docs - pe_ppm)
+                * 1000000 // nullif(1000000 - pe_ppm, 0)
                 AS BIGINT) AS kappa_ppm
     FROM tot, pe
     """

@@ -88,11 +88,11 @@ def _driver_verified() -> frozenset:
 # rows_only bucket sorts ahead of verified names, so r09's window
 # picks them up automatically once `front` is empty.
 _NEW_THIS_ROUND = [
-    # brand-new this round (r08): lakehouse-maintenance tier +
-    # suffix-LCP / graph-community extensions
-    "b165_zorder_clustering_audit", "b166_compaction_bin_packing",
-    "b167_delete_vector_audit", "c136_crossdoc_suffix_lcp",
-    "c137_label_propagation_communities",
+    # brand-new this round (r09): lakehouse write-path/expiry/depth
+    # tier + the Gopher repetition gap (the r08-prep names
+    # b168/b169/b170/c138/c139 surface automatically via `front`)
+    "b171_zorder_write_layout_check", "b172_snapshot_expiry_audit",
+    "b173_clustering_depth_audit", "c140_gopher_repetition",
 ]
 
 

@@ -117,6 +117,10 @@ HEADLINE = [
     "c138_greedy_max_coverage_selection",  # submodular corpus picks
     "c139_cohens_kappa_langid",        # chance-corrected labeler eval
     "b170_runtime_filter_reduction_audit",  # bloom semi-join savings
+    "b171_zorder_write_layout_check",  # materialized z-layout footers
+    "b172_snapshot_expiry_audit",      # expiry/orphan reclaim ledger
+    "b173_clustering_depth_audit",     # sweep-line overlap depth
+    "c140_gopher_repetition",          # top-2gram/dup-2gram rules
 ]
 
 

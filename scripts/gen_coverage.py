@@ -37,18 +37,16 @@ entry the driver cross-checks against DuckDB at sf0.01:
   registry is green under `scripts/validate_registry.py` at sf0.01
   and sf0.1 (see NOTES.md round records).
 
-Window plan (r08): the 50-slot driver window holds the 5 r08
-additions plus the 45 never-checked oracle-able names — closing the
-oracle-able backlog to ZERO.  Slots 51-63 are the complete r09
-cohort, already built and locally green: the 3 r09-prep additions
-(b168/b169/c138, hash-oracled at three SFs) and the 10 never-
-windowed **rows-only** names (c26, c26b, b41, b49, c44, c59, c66,
-c82b, c83, c84), explicitly DEFERRED here because they can never
-hash-match and must not displace a value-hash slot while oracle-able
-names are pending; the rotation surfaces all 13 automatically in r09
-(rows-only bucket sorts ahead of already-verified names in
-`__spark_entry__._rotated`), leaving ~37 free r09 slots.  The whole
-cohort passed a vanilla-session sf0.01 dry run (NOTES.md r08).
+Window plan (r09): slots 1-4 are the r09 additions (b171-b173 +
+c140, hash-oracled at three SFs), slots 5-9 the r08-prep names
+(b168/b169/b170/c138/c139), slots 10-19 the 10 never-windowed
+**rows-only** names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83,
+c84 — they can never hash-match; one rows-exercised record each
+closes registry provenance COMPLETELY).  The remaining ~31 slots
+spill into the `back` bucket, which is now ordered by STALENESS
+(oldest latest-driver-row round first — VERDICT r08 task 4), so free
+slots re-confirm the r02-era cohort instead of the same early names
+every round.
 
 ## Query registry ({n} entries): {summary}
 

@@ -982,6 +982,10 @@ _SP_ORDERING_REVIEWED = {
         "|days| — calendar-bounded; partition by series at scale",
     "c138_greedy_max_coverage_selection":
         "TakeOrdered(1) argmax per round — k rows total",
+    "b173_clustering_depth_audit":
+        "|files|*2 day events pre-summed per day — manifest scale "
+        "(~1.6M at 100TB); shard by year via b128's two-pass "
+        "prefix sum if it outgrows one task",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")
@@ -1222,6 +1226,13 @@ def test_checkpoint_sites_are_audited():
         ("plans/driver_queries_round8.py", "c119_modularity_int"),
         ("plans/driver_queries_round8.py", "c123_lsh_band_sweep"),
         ("plans/driver_queries_round8.py", "c124_priority_sample"),
+        # r09 additions: |files| / |snapshots| manifests built once
+        # from the fact (b172/b173); c140's (doc,gram) counts are
+        # corpus-scale like c138's shingles — both consumers
+        # re-shuffle on doc_id, never a SinglePartition exchange
+        ("plans/driver_queries_round15.py", "b172_snapshot_expiry_audit"),
+        ("plans/driver_queries_round15.py", "audit"),  # b173 per-layout zm
+        ("plans/driver_queries_round15.py", "c140_gopher_repetition"),
     }
     found = set()
     for path in sorted(pkg.rglob("*.py")):
@@ -1688,3 +1699,79 @@ def test_c139_kappa_runs_on_class_marginals(spark):
     p = _plan(spark, "c139_cohens_kappa_langid")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+# ------------------------------------------------- round-15 additions
+
+def test_b171_write_input_is_pruned_and_result_is_metadata(spark):
+    """The bucketed write input must be ONE parquet scan pruned to
+    the two key columns plus the 1-row scalar-max broadcast (bounded
+    BNLJ); the RESULT relation is footer metadata re-parallelized —
+    it must contain no parquet read and no join at all (the data
+    rode the write pass, never the driver)."""
+    import re
+
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round15 \
+        import _zo_bucketed
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    bp = _zo_bucketed(spark, SF_ORACLE)._jdf.queryExecution() \
+        .explainString(mode)
+    assert "CartesianProduct" not in bp
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", bp)) == 1
+    # two pruned passes: the 1-row scalar max + the data pass (the
+    # b165 shape — a scalar bound always costs its own narrow pass)
+    reads = [ln for ln in bp.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 2
+    for r in reads:
+        assert r.split("struct<")[1].count(":") == 2, f"unpruned: {r}"
+
+    p = _plan(spark, "b171_zorder_write_layout_check")
+    assert "ReadSchema" not in p, "result must be footer metadata only"
+    assert "Join" not in p
+
+
+def test_b172_expiry_runs_on_checkpointed_manifest(spark):
+    """The |files| manifest is built once behind a lazy checkpoint:
+    the result plan reads only Scan ExistingRDD leaves (no re-scan
+    of orders), the snapshot ledgers join on |snapshots| rows, and
+    the 1-row head relation rides as bounded BNLJ broadcasts."""
+    p = _plan(spark, "b172_snapshot_expiry_audit")
+    assert "CartesianProduct" not in p
+    assert "ReadSchema" not in p, "fact re-scanned past the manifest cut"
+    assert "Scan ExistingRDD" in p
+
+
+def test_b173_sweep_windows_sit_above_manifest_aggregate(spark):
+    """Both layouts' sweep windows are single-partition BY DESIGN but
+    only over pre-summed day events derived from the checkpointed
+    |files| zone-map manifest (reviewed in _SP_ORDERING_REVIEWED):
+    the fact is never re-scanned and a day-level HashAggregate sits
+    below each Window."""
+    import re
+    p = _plan(spark, "b173_clustering_depth_audit")
+    assert "CartesianProduct" not in p
+    assert "ReadSchema" not in p, "fact re-scanned past the manifest cut"
+    ws = [m.start() for m in re.finditer(r"\(\d+\) Window\b", p)]
+    assert len(ws) == 2
+    assert "HashAggregate" in p[:ws[0]], \
+        "day events must be pre-summed below the sweep window"
+
+
+def test_c140_repetition_is_one_gram_shuffle_plus_topk(spark):
+    """One (doc,gram) count feeds both the argmax window and the
+    per-doc totals via the checkpoint cut; the window is partitioned
+    by doc (never SinglePartition), Spark 4's WindowGroupLimit prunes
+    before the rank sort, the doc-props join-back is broadcast equi,
+    and the final top-k compiles to TakeOrderedAndProject."""
+    import re
+    p = _plan(spark, "c140_gopher_repetition")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "SinglePartition" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "WindowGroupLimit" in p
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 1, "documents must be scanned once past the cut"
+    assert reads[0].split("struct<")[1].count(":") == 3

@@ -93,6 +93,7 @@ _NEW_THIS_ROUND = [
     # b168/b169/b170/c138/c139 surface automatically via `front`)
     "b171_zorder_write_layout_check", "b172_snapshot_expiry_audit",
     "b173_clustering_depth_audit", "c140_gopher_repetition",
+    "b174_streaming_bloom_prefilter",
 ]
 
 

@@ -37,12 +37,12 @@ entry the driver cross-checks against DuckDB at sf0.01:
   registry is green under `scripts/validate_registry.py` at sf0.01
   and sf0.1 (see NOTES.md round records).
 
-Window plan (r09): slots 1-4 are the r09 additions (b171-b173 +
-c140, hash-oracled at three SFs), slots 5-9 the r08-prep names
-(b168/b169/b170/c138/c139), slots 10-19 the 10 never-windowed
+Window plan (r09): slots 1-5 are the r09 additions (b171-b174 +
+c140, hash-oracled at three SFs), slots 6-10 the r08-prep names
+(b168/b169/b170/c138/c139), slots 11-20 the 10 never-windowed
 **rows-only** names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83,
 c84 — they can never hash-match; one rows-exercised record each
-closes registry provenance COMPLETELY).  The remaining ~31 slots
+closes registry provenance COMPLETELY).  The remaining ~30 slots
 spill into the `back` bucket, which is now ordered by STALENESS
 (oldest latest-driver-row round first — VERDICT r08 task 4), so free
 slots re-confirm the r02-era cohort instead of the same early names

@@ -184,3 +184,54 @@ def test_c140_matches_python_counter(spark):
     got = [(r.doc_id, r.lang, r.n_grams, r.top_gram, r.top_cnt,
             r.top2_chars_ppm, r.dup2_ppm, r.gate) for r in rows]
     assert got == want
+
+
+# --------------------------------------------------------------- b174
+
+def test_b174_streaming_matches_batch_and_bloom_math(spark):
+    """The streamed result recomputed with pandas set algebra, the
+    bitmap recomputed with hashlib.md5, and the one-sided-error
+    contract asserted from the per-batch telemetry."""
+    import hashlib
+    import math
+
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_round15 \
+        import _SB_K, _SB_M, b174_last_telemetry
+
+    li = _lineitem()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    urgent = set(o.o_orderkey[
+        (o.o_orderpriority == "1-URGENT")
+        & (o.o_orderdate >= pd.Timestamp("1997-01-01"))
+        & (o.o_orderdate < pd.Timestamp("1998-01-01"))])
+    hit = li[li.l_orderkey.isin(urgent)]
+    want = {}
+    for flag, g in hit.groupby("l_returnflag"):
+        want[flag] = (len(g), g.l_orderkey.nunique(),
+                      int(sum(math.floor(p * 100)
+                              for p in g.l_extendedprice)))
+
+    rows = (REGISTRY["b174_streaming_bloom_prefilter"]
+            .fn(spark, SF_SMALL).collect())
+    assert {r.l_returnflag: (r.n_rows, r.n_orders, r.cents)
+            for r in rows} == want
+
+    # bitmap recomputed with hashlib: positions of key k under salt j
+    def pos(j: int, k: int) -> int:
+        h = hashlib.md5(f"{j}#{k}".encode()).hexdigest()[:12]
+        return int(h, 16) % _SB_M
+    bits = {pos(j, k) for k in urgent for j in range(_SB_K)}
+    member = [all(pos(j, k) in bits for j in range(_SB_K))
+              for k in li.l_orderkey]
+    n_member = sum(member)
+
+    tel = list(b174_last_telemetry)
+    assert len(tel) == 3, "6 files at maxFilesPerTrigger=2 -> 3 batches"
+    total_in = sum(i for i, _ in tel)
+    total_pass = sum(p for _, p in tel)
+    assert total_in == len(li), "every stream row entered exactly once"
+    # the engine's pass count IS the python bloom's member count
+    assert total_pass == n_member
+    # one-sided error: never drops a true match, and it actually cut
+    assert total_pass >= len(hit)
+    assert total_pass < total_in

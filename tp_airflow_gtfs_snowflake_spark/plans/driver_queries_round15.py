@@ -19,6 +19,12 @@ Gopher text-quality gap:
   repetition family c23's quality rules did not cover: fraction of
   characters in the most common word 2-gram and duplicate-2-gram
   fraction, per document.
+- b174: STREAMING Bloom pre-filter — the b170 runtime filter applied
+  on the live path: micro-batches test rows against the broadcast
+  bitmap before the stream-static semi join; the driver hash matches
+  the batch oracle iff exactly-once held AND the filter never
+  false-negatived (the one-sided-error contract, value-checked
+  end-to-end).
 
 Reference contract: the reference's analytic surface (README.md:
 116-129 KPI list) has no lakehouse or curation layer — this tier
@@ -544,3 +550,168 @@ def c140_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("gate"))
             .orderBy(F.col("top2_chars_ppm").desc(), "doc_id")
             .limit(_GR_TOPK))
+
+
+# ---------------------------------------------------------------------
+# b174: streaming Bloom pre-filter (the b170 runtime filter applied
+#       on the live path: micro-batches pre-filter on a broadcast
+#       bitmap BEFORE the stream-static semi join)
+# ---------------------------------------------------------------------
+
+_SB_M = 16384              # filter bits (b170's geometry)
+_SB_K = 4                  # salted portable hashes
+_SB_WORDS = _SB_M // 64    # bitmap packed into 64-bit words
+_SB_FILES = 6              # lineitem rendered as 6 stream files
+_SB_LO = "1997-01-01"
+_SB_HI = "1998-01-01"
+
+# per-run telemetry for the contract tests (rows in / rows past the
+# bloom per micro-batch) — NOT part of the oracle-checked output
+b174_last_telemetry: list[tuple[int, int]] = []
+
+
+def _sb_urgent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "orders")
+            .filter((F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_orderdate")
+                       >= F.lit(_SB_LO).cast("timestamp"))
+                    & (F.col("o_orderdate")
+                       < F.lit(_SB_HI).cast("timestamp")))
+            .select(F.col("o_orderkey").alias("key")).distinct())
+
+
+@_register(
+    "b174_streaming_bloom_prefilter",
+    f"""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '{_SB_LO}'
+        AND o_orderdate <  TIMESTAMP '{_SB_HI}'
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem JOIN k ON l_orderkey = key
+    GROUP BY 1 ORDER BY 1
+    """,
+    "STREAMING twin of the b170 runtime filter — the Bloom bits "
+    "applied where they earn their keep: lineitem replayed as "
+    f"{_SB_FILES} parquet files through a rate-limited file stream "
+    "(maxFilesPerTrigger under availableNow), and every micro-batch "
+    "tests each row against the BROADCAST urgent-order bitmap "
+    f"({_SB_M} bits packed into {_SB_WORDS} longs; membership is a "
+    "pure div/mod/shiftright row expression — the exact mechanics "
+    "SPARK-32268 injects) BEFORE the stream-static broadcast semi "
+    "join and the per-batch partial aggregate.  The driver hash "
+    "matches the batch semi-join oracle IFF exactly-once held across "
+    "all micro-batches AND the filter never produced a FALSE "
+    "NEGATIVE — the one-sided-error contract of a Bloom filter, "
+    "value-checked end-to-end through the streaming path (false "
+    "passes are absorbed by the join; a single dropped match breaks "
+    "the hash).  Scale shape: the bitmap build collects <= "
+    f"{_SB_M} bit positions once (bounded by the filter geometry, "
+    "not the data — the codebook posture); batches shuffle only "
+    "per-flag partial aggregates; the sink compacts by re-summing "
+    "(additive-group maintenance, the b158/b161 posture).",
+)
+def b174_streaming_bloom_prefilter(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from tp_airflow_gtfs_snowflake_spark.operators.kmv import (
+        portable_hash48)
+
+    build = _sb_urgent_keys(spark, sf_dir)
+
+    def positions(key) -> list:
+        return [portable_hash48(
+                    F.concat_ws("#", F.lit(str(j)), key.cast("string")))
+                % F.lit(_SB_M) for j in range(_SB_K)]
+
+    # bounded collect: <= m distinct bit positions (filter geometry,
+    # never data-scaled) — the same posture as PQ codebooks
+    bit_rows = (build.select(F.explode(F.array(*positions(F.col("key"))))
+                             .alias("pos")).distinct().collect())
+    words = [0] * _SB_WORDS
+    for r in bit_rows:
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # two's-complement into signed-long literals (bit 63 sets sign)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+
+    def bloom_pass(df: DataFrame, key: str) -> DataFrame:
+        """Rows whose K hash positions are ALL set in the broadcast
+        bitmap — shiftright/element_at row expressions over projected
+        position columns (F.shiftright only takes literal bit counts,
+        so the variable-shift test goes through SQL exprs)."""
+        tmp = df.withColumn("_w", words_lit)
+        for j, p in enumerate(positions(F.col(key))):
+            tmp = tmp.withColumn(f"_h{j}", p)
+        cond = " AND ".join(
+            f"(shiftright(element_at(_w, CAST(_h{j} div 64 AS INT) + 1),"
+            f" CAST(_h{j} % 64 AS INT)) & 1) = 1"
+            for j in range(_SB_K))
+        return (tmp.filter(F.expr(cond))
+                .drop("_w", *[f"_h{j}" for j in range(_SB_K)]))
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    base = tempfile.mkdtemp(prefix="b174_stream_")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        li.repartition(_SB_FILES).write.parquet(src)
+        b174_last_telemetry.clear()
+
+        def process(batch: DataFrame, epoch_id: int) -> None:
+            # batch.count() re-reads one micro-batch of local parquet
+            # for telemetry; a production stream would attach
+            # df.observe() instead of a second action
+            n_in = batch.count()
+            passed = bloom_pass(batch, "l_orderkey")
+            matched = passed.join(F.broadcast(build),
+                                  passed.l_orderkey == build.key,
+                                  "left_semi")
+            # partials at (flag, orderkey) grain: rows bounded by the
+            # runtime filter's BUILD side (the broadcast assumption),
+            # so the sink never scales with the stream
+            partial = (matched.groupBy("l_returnflag", "l_orderkey")
+                       .agg(F.count("*").cast("long").alias("n_rows"),
+                            F.sum(F.floor(F.col("l_extendedprice")
+                                          * 100).cast("long"))
+                            .cast("long").alias("cents")))
+            n_pass = (passed.count())
+            b174_last_telemetry.append((n_in, int(n_pass)))
+            (partial.withColumn("epoch",
+                                F.lit(int(epoch_id)).cast("long"))
+             .write.mode("append").parquet(sink))
+
+        q = (spark.readStream.schema(li.schema)
+             .option("maxFilesPerTrigger", 2).parquet(src)
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        # merge the per-batch partials (additive re-sum, the b158/b161
+        # compaction posture) and re-parallelize the |flags|-row
+        # result so the temp sink can be deleted
+        rows = (spark.read.parquet(sink)
+                .groupBy("l_returnflag")
+                .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                     F.countDistinct("l_orderkey").cast("long")
+                     .alias("n_orders"),
+                     F.sum("cents").cast("long").alias("cents"))
+                .select("l_returnflag", "n_rows", "n_orders", "cents")
+                .orderBy("l_returnflag").collect())
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n_rows long, n_orders long, "
+              "cents long")

@@ -159,8 +159,12 @@ def b171_zorder_write_layout_check(spark: SparkSession,
     rows = _zo_bucketed(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="b171_zorder_")
     try:
-        # one task per file id -> exactly one parquet file per fid dir
-        (rows.repartition(F.col("fid"))
+        # each fid hashes to exactly ONE task, so partitionBy still
+        # writes exactly one parquet file per fid dir; 16 tasks (each
+        # covering ~8 of the 128 geometry-fixed fids) instead of the
+        # session default cuts task-commit overhead 4x at fixture
+        # scale — at 100 TB size this toward one task per output file
+        (rows.repartition(16, F.col("fid"))
          .write.mode("overwrite").partitionBy("fid").parquet(tmp))
         zone_maps = _footer_zone_maps(tmp)
     finally:

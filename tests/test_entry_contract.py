@@ -89,3 +89,22 @@ def test_verified_derivation_counts_match_artifacts():
                         and rec.get("spark_rows") is not None))
     expect = frozenset(n for n, green in last.items() if green)
     assert entry._driver_verified() == expect
+
+
+def test_back_bucket_is_staleness_ordered():
+    """Free window slots spill into `back`, so it must surface the
+    STALEST driver signal first (VERDICT r08 task 4): already-verified
+    names ordered by the round of their most recent driver row
+    (ascending), registry order within a round."""
+    q = list(entry.queries())
+    verified = entry._driver_verified() - set(entry._REVERIFY_CHANGED)
+    back = [n for n in q if n in verified]
+    _, last_rnd = entry._latest_rows()
+    rounds = [last_rnd[n] for n in back]
+    assert rounds == sorted(rounds), \
+        "back bucket must be oldest-latest-row first"
+    # within one round, registry order is preserved (stable sort)
+    reg = {n: i for i, n in enumerate(REGISTRY)}
+    for r in set(rounds):
+        idxs = [reg[n] for n in back if last_rnd[n] == r]
+        assert idxs == sorted(idxs)

@@ -121,6 +121,9 @@ HEADLINE = [
     "b172_snapshot_expiry_audit",      # expiry/orphan reclaim ledger
     "b173_clustering_depth_audit",     # sweep-line overlap depth
     "c140_gopher_repetition",          # top-2gram/dup-2gram rules
+    "c141_lsh_param_expected_cost",    # S-curve x observed histogram
+    "b175_file_bloom_index_audit",     # point-lookup file skipping
+    "b176_sorted_run_merge_planner",   # overlap groups -> merge tasks
 ]
 
 

@@ -42,7 +42,9 @@ c140, hash-oracled at three SFs), slots 6-10 the r08-prep names
 (b168/b169/b170/c138/c139), slots 11-20 the 10 never-windowed
 **rows-only** names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83,
 c84 — they can never hash-match; one rows-exercised record each
-closes registry provenance COMPLETELY).  The remaining ~30 slots
+closes registry provenance COMPLETELY); slots 21-23 the r10-prep
+additions built after the r09 gates (c141/b175/b176, hash-oracled at
+three SFs, surfaced automatically via `front`).  The remaining ~27 slots
 spill into the `back` bucket, which is now ordered by STALENESS
 (oldest latest-driver-row round first — VERDICT r08 task 4), so free
 slots re-confirm the r02-era cohort instead of the same early names

@@ -986,6 +986,9 @@ _SP_ORDERING_REVIEWED = {
         "|files|*2 day events pre-summed per day — manifest scale "
         "(~1.6M at 100TB); shard by year via b128's two-pass "
         "prefix sum if it outgrows one task",
+    "b176_sorted_run_merge_planner":
+        "|files| manifest rows under the interval-grouping sweep "
+        "(b166 lenience; b128 two-pass block form beyond ~1e6 files)",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")
@@ -1233,6 +1236,10 @@ def test_checkpoint_sites_are_audited():
         ("plans/driver_queries_round15.py", "b172_snapshot_expiry_audit"),
         ("plans/driver_queries_round15.py", "audit"),  # b173 per-layout zm
         ("plans/driver_queries_round15.py", "c140_gopher_repetition"),
+        # b175: distinct (fid, key) manifest reused by zone maps,
+        # bloom bits, and truth counts — manifest-scale, never feeds
+        # a SinglePartition exchange
+        ("plans/driver_queries_round16.py", "b175_file_bloom_index_audit"),
     }
     found = set()
     for path in sorted(pkg.rglob("*.py")):
@@ -1775,3 +1782,45 @@ def test_c140_repetition_is_one_gram_shuffle_plus_topk(spark):
     reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert len(reads) == 1, "documents must be scanned once past the cut"
     assert reads[0].split("struct<")[1].count(":") == 3
+
+
+# ------------------------------------------------- round-16 additions
+
+def test_c141_costs_one_pair_join_plus_literal_table(spark):
+    """Everything after the similarity histogram must run against the
+    broadcast literal p-table: exactly one shingle-equi pair join
+    feeds the histogram, the ptab join is broadcast, and no cartesian
+    or global sort appears below the final |grid|-row ordering."""
+    import re
+    p = _plan(spark, "c141_lsh_param_expected_cost")
+    assert "CartesianProduct" not in p
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p)
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    # documents feeds the shingle side(s); nothing else is scanned
+    assert all("doc_id" in r for r in reads)
+
+
+def test_b175_bloom_audit_is_manifest_relational(spark):
+    """The bit relation and probe joins must stay relational: no
+    cartesian, the probe-side relations ride as broadcasts, and the
+    only window-free SP collapse is the 1-row max(partkey) scalar."""
+    p = _plan(spark, "b175_file_bloom_index_audit")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    df = REGISTRY["b175_file_bloom_index_audit"].fn(spark, SF_ORACLE)
+    assert not _single_partition_exchanges_over_raw_scans(df)
+
+
+def test_b176_merge_planner_windows_sit_above_manifest(spark):
+    """Both interval-grouping windows are single-partition BY DESIGN
+    but only over the |files| manifest aggregate (reviewed in
+    _SP_ORDERING_REVIEWED): a HashAggregate must appear below the
+    first Window and the raw-scan gate must see nothing."""
+    import re
+    p = _plan(spark, "b176_sorted_run_merge_planner")
+    w = re.search(r"\(\d+\) Window\b", p)
+    assert w is not None
+    assert "HashAggregate" in p[:w.start()]
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 1
+    assert reads[0].split("struct<")[1].count(":") == 2

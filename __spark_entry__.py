@@ -87,13 +87,11 @@ def _driver_verified() -> frozenset:
 # names are deferred to r09 (documented in COVERAGE.md): the
 # rows_only bucket sorts ahead of verified names, so r09's window
 # picks them up automatically once `front` is empty.
-_NEW_THIS_ROUND = [
-    # brand-new this round (r09): lakehouse write-path/expiry/depth
-    # tier + the Gopher repetition gap (the r08-prep names
-    # b168/b169/b170/c138/c139 surface automatically via `front`)
-    "b171_zorder_write_layout_check", "b172_snapshot_expiry_audit",
-    "b173_clustering_depth_audit", "c140_gopher_repetition",
-    "b174_streaming_bloom_prefilter",
+_NEW_THIS_ROUND: list = [
+    # brand-new this round (r10); names are appended as each query
+    # goes oracle-green at three SFs.  Registry provenance closed in
+    # r09 (every name has a driver row), so all remaining window
+    # slots sweep the staleness-ordered `back` bucket.
 ]
 
 

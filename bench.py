@@ -208,6 +208,19 @@ def main() -> None:
         out["streaming"] = _stream_slo(spark)
     except Exception as exc:  # noqa: BLE001
         errors["_streaming"] = f"{type(exc).__name__}: {exc}"[:300]
+    # b174 is a STREAMING query (availableNow file stream + foreachBatch
+    # sink); it gets one timed end-to-end run here instead of a 4x
+    # HEADLINE slot — the number includes source materialization +
+    # 3 micro-batches + sink merge (ADVICE r09: it previously had no
+    # perf baseline anywhere).
+    try:
+        t0 = time.perf_counter()
+        REGISTRY["b174_streaming_bloom_prefilter"].fn(spark, sf_dir).count()
+        out.setdefault("streaming", {})["b174_end_to_end_seconds"] = round(
+            time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["b174_streaming_bloom_prefilter"] = \
+            f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -37,18 +37,27 @@ entry the driver cross-checks against DuckDB at sf0.01:
   registry is green under `scripts/validate_registry.py` at sf0.01
   and sf0.1 (see NOTES.md round records).
 
-Window plan (r09): slots 1-5 are the r09 additions (b171-b174 +
-c140, hash-oracled at three SFs), slots 6-10 the r08-prep names
-(b168/b169/b170/c138/c139), slots 11-20 the 10 never-windowed
-**rows-only** names (c26, c26b, b41, b49, c44, c59, c66, c82b, c83,
-c84 — they can never hash-match; one rows-exercised record each
-closes registry provenance COMPLETELY); slots 21-23 the r10-prep
-additions built after the r09 gates (c141/b175/b176, hash-oracled at
-three SFs, surfaced automatically via `front`).  The remaining ~27 slots
-spill into the `back` bucket, which is now ordered by STALENESS
-(oldest latest-driver-row round first — VERDICT r08 task 4), so free
-slots re-confirm the r02-era cohort instead of the same early names
-every round.
+Window plan (r10): registry provenance is COMPLETE as of r09 (every
+name has a driver row; latest-row-wins, 0 red), so the window is:
+slots 1-N the r10 additions (hash-oracled at three SFs before
+registration, pinned via `_NEW_THIS_ROUND`), then every remaining
+slot sweeps the `back` bucket in STALENESS order (oldest
+latest-driver-row round first — VERDICT r08 task 4), re-confirming
+the r01/r02-era cohort whose latest driver signal is oldest.
+
+**Rows-only retirement policy** (VERDICT r09 task 8 — the rule the
+repo has followed in practice since r03, now binding): a rows-only
+registration (no `oracle_sql()` entry) is admissible ONLY with
+(a) a named value-oracled twin query or byte-exact pytest reference,
+and (b) a registry note explaining why no DuckDB oracle can exist
+(e.g. probabilistic recall, engine-private hash family, iterative
+argmax whose tie-breaks are plan-order-dependent).  Both are
+enforced socially by review and mechanically surfaced:
+`scripts/validate_registry.py` prints the declared twin next to
+every ROWS-ONLY line (from `ROWS_ONLY_TWINS` in that file), and
+`tests/test_entry_contract.py::test_rows_only_set_is_pinned` pins
+the rows-only name set (currently 15) so any addition must touch
+the pin and declare its twin.
 
 ## Query registry ({n} entries): {summary}
 

@@ -91,6 +91,37 @@ def test_verified_derivation_counts_match_artifacts():
     assert entry._driver_verified() == expect
 
 
+def test_rows_only_set_is_pinned():
+    """Rows-only retirement policy (COVERAGE.md, VERDICT r09 task 8):
+    a rows-only registration is admissible only with a named
+    value-oracled twin or byte-exact pytest reference.  This pin makes
+    the policy mechanical: adding a rows-only query means editing BOTH
+    this set and scripts/validate_registry.py's ROWS_ONLY_TWINS — so
+    the justification is restated at the moment of addition, never
+    back-filled."""
+    import importlib
+
+    vr = importlib.import_module("scripts.validate_registry")
+    rows_only = {n for n, s in REGISTRY.items() if not s.oracle}
+    assert rows_only == {
+        "b23_approx_sketches", "c06f_minhash_neardup_fast",
+        "c07f_simhash_neardup_fast", "c18_kmeans_ivf_ann",
+        "c32_pagerank_centrality", "c26_pq_ann", "c26b_pq_kmeans_ann",
+        "b41_hll_partial_union", "b49_sliding_distinct_sketch",
+        "c44_mllib_tfidf", "c59_compression_ratio",
+        "c66_quality_classifier", "c82b_bpe_learn_merges",
+        "c83_bpe_token_frequencies", "c84_bpe_fertility_by_lang",
+    }
+    # every rows-only name declares its twin; no orphan declarations
+    assert set(vr.ROWS_ONLY_TWINS) == rows_only
+    # twins that are registry names must exist and be value-oracled
+    for twin_note in vr.ROWS_ONLY_TWINS.values():
+        for tok in twin_note.replace("(", " ").replace(")", " ").split():
+            if tok in REGISTRY:
+                assert REGISTRY[tok].oracle, \
+                    f"declared twin {tok} is itself rows-only"
+
+
 def test_back_bucket_is_staleness_ordered():
     """Free window slots spill into `back`, so it must surface the
     STALEST driver signal first (VERDICT r08 task 4): already-verified

@@ -69,7 +69,15 @@ def _zo_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _footer_zone_maps(path: str) -> list[tuple]:
     """Per-fid zone maps read from the WRITTEN parquet footers
     (row-group column statistics — the exact metadata a zone-map scan
-    consults), aggregated across row groups and part files."""
+    consults), aggregated across row groups and part files.
+
+    LOCAL-MODE ASSUMPTION (ADVICE r09): executors write `path` and the
+    driver os.walks it — valid only when driver and executors share a
+    filesystem (local[n], or a cluster with shared scratch such as
+    HDFS/S3A/NFS mounted at the same URI).  On a real cluster, point
+    the write at shared storage (the table format's warehouse path);
+    the footer walk then reads the SAME stats the format's manifest
+    records at commit time, so nothing else changes."""
     import os
 
     import pyarrow.parquet as pq
@@ -609,9 +617,12 @@ def _sb_urgent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"({_SB_M} bits packed into {_SB_WORDS} longs; membership is a "
     "pure div/mod/shiftright row expression — the exact mechanics "
     "SPARK-32268 injects) BEFORE the stream-static broadcast semi "
-    "join and the per-batch partial aggregate.  The driver hash "
-    "matches the batch semi-join oracle IFF exactly-once held across "
-    "all micro-batches AND the filter never produced a FALSE "
+    "join and the per-batch partial aggregate.  The sink writes "
+    "per-epoch partials with DYNAMIC PARTITION OVERWRITE (the "
+    "b155/b134 exactly-once idiom — foreachBatch is at-least-once, "
+    "so a retried batch must replace its own partition, never "
+    "append a duplicate).  The driver hash then matches the batch "
+    "semi-join oracle IFF the filter never produced a FALSE "
     "NEGATIVE — the one-sided-error contract of a Bloom filter, "
     "value-checked end-to-end through the streaming path (false "
     "passes are absorbed by the join; a single dropped match breaks "
@@ -665,6 +676,11 @@ def b174_streaming_bloom_prefilter(spark: SparkSession,
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice")
+    # LOCAL-MODE ASSUMPTION (ADVICE r09): the stream source/sink/ckpt
+    # live in a driver tempdir that executors read and write — valid
+    # only when driver and executors share a filesystem (local[n]).
+    # On a cluster these three paths must resolve to shared storage
+    # (HDFS/S3A); the stream logic is path-scheme-agnostic.
     base = tempfile.mkdtemp(prefix="b174_stream_")
     src = os.path.join(base, "src")
     sink = os.path.join(base, "sink")
@@ -692,9 +708,15 @@ def b174_streaming_bloom_prefilter(spark: SparkSession,
                             .cast("long").alias("cents")))
             n_pass = (passed.count())
             b174_last_telemetry.append((n_in, int(n_pass)))
+            # exactly-once under foreachBatch's at-least-once contract
+            # (ADVICE r09): dynamic overwrite of THIS epoch's partition
+            # — a benign batch/task retry replaces its own partials
+            # instead of double-counting them (the b155/b134 idiom)
             (partial.withColumn("epoch",
                                 F.lit(int(epoch_id)).cast("long"))
-             .write.mode("append").parquet(sink))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(sink))
 
         q = (spark.readStream.schema(li.schema)
              .option("maxFilesPerTrigger", 2).parquet(src)

@@ -92,6 +92,7 @@ _NEW_THIS_ROUND: list = [
     # goes oracle-green at three SFs.  Registry provenance closed in
     # r09 (every name has a driver row), so all remaining window
     # slots sweep the staleness-ordered `back` bucket.
+    "b177_merge_plan_execution_proof",
 ]
 
 

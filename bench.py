@@ -124,6 +124,7 @@ HEADLINE = [
     "c141_lsh_param_expected_cost",    # S-curve x observed histogram
     "b175_file_bloom_index_audit",     # point-lookup file skipping
     "b176_sorted_run_merge_planner",   # overlap groups -> merge tasks
+    "b177_merge_plan_execution_proof",  # executed merge + footer proof
 ]
 
 

@@ -989,6 +989,11 @@ _SP_ORDERING_REVIEWED = {
     "b176_sorted_run_merge_planner":
         "|files| manifest rows under the interval-grouping sweep "
         "(b166 lenience; b128 two-pass block form beyond ~1e6 files)",
+    "b177_merge_plan_execution_proof":
+        "|files| manifests only: the fid->task sweep (pre-write) and "
+        "the planner/depth re-audit (post-write, over the "
+        "createDataFrame footer manifest) — the data-scaled pass is "
+        "the broadcast-join + partitioned write, never windowed",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")

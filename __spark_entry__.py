@@ -93,6 +93,7 @@ _NEW_THIS_ROUND: list = [
     # r09 (every name has a driver row), so all remaining window
     # slots sweep the staleness-ordered `back` bucket.
     "b177_merge_plan_execution_proof",
+    "c142_label_signal_ceiling",
 ]
 
 

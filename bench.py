@@ -125,6 +125,7 @@ HEADLINE = [
     "b175_file_bloom_index_audit",     # point-lookup file skipping
     "b176_sorted_run_merge_planner",   # overlap groups -> merge tasks
     "b177_merge_plan_execution_proof",  # executed merge + footer proof
+    "c142_label_signal_ceiling",       # label-vs-null unigram TV audit
 ]
 
 

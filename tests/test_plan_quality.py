@@ -1245,6 +1245,10 @@ def test_checkpoint_sites_are_audited():
         # bloom bits, and truth counts — manifest-scale, never feeds
         # a SinglePartition exchange
         ("plans/driver_queries_round16.py", "b175_file_bloom_index_audit"),
+        # c142: (lang, null-class, word) count cells — vocabulary-
+        # scaled post-aggregate reused by four marginals; never feeds
+        # a SinglePartition exchange
+        ("plans/driver_queries_round17.py", "c142_label_signal_ceiling"),
     }
     found = set()
     for path in sorted(pkg.rglob("*.py")):

@@ -61,6 +61,56 @@ def test_b177_footer_manifest_matches_pandas_reference(b177):
     assert int(got.n_rows.sum()) == li_rows
 
 
+def _h48(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_c142_matches_pandas_reference(spark):
+    """Exact sequential recomputation of the TV audit: same truncating
+    integer-ppm arithmetic, pure python/pandas."""
+    got = (REGISTRY["c142_label_signal_ceiling"].fn(spark, SF)
+           .toPandas().set_index(["kind", "cls"]).sort_index())
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    docs["pseudo"] = ["h" + str(_h48(str(i)) % 5) for i in docs.doc_id]
+    docs["toks"] = (docs.text.str.strip().str.lower()
+                    .str.split(r" +", regex=True))
+    from collections import Counter
+    pool: Counter = Counter()
+    per: dict[tuple, Counter] = {}
+    ndocs: Counter = Counter()
+    for _, r in docs.iterrows():
+        for kind, cls in (("label", r.lang), ("hash_null", r.pseudo)):
+            per.setdefault((kind, cls), Counter()).update(r.toks)
+            ndocs[(kind, cls)] += 1
+        pool.update(r.toks)
+    n = sum(pool.values())
+    for key, cnt in per.items():
+        n_cls = sum(cnt.values())
+        tv2 = sum(abs(cnt.get(w, 0) * 1_000_000 // n_cls
+                      - cw * 1_000_000 // n)
+                  for w, cw in pool.items())
+        row = got.loc[key]
+        assert int(row.n_docs) == ndocs[key]
+        assert int(row.n_tokens) == n_cls
+        assert int(row.tv_ppm) == tv2 // 2, key
+
+
+def test_c142_label_tv_sits_in_null_band(spark):
+    """The finding itself (VERDICT r09 task 4): the lang label's TV
+    distances overlap the hash-null partition's band — text carries
+    no label signal, so c139's kappa ~ 0 is the Bayes ceiling.  Band
+    comparison is loose (same order of magnitude, overlapping
+    ranges), not exact — both are sampling noise."""
+    got = (REGISTRY["c142_label_signal_ceiling"].fn(spark, SF)
+           .toPandas())
+    lab = got[got.kind == "label"].tv_ppm
+    nul = got[got.kind == "hash_null"].tv_ppm
+    assert lab.min() < nul.max() * 3
+    assert nul.min() < lab.max() * 3
+
+
 def test_b177_postconditions_all_keep_depth_one(b177):
     """The two properties a clustering rewrite promises: the re-run
     planner finds only singleton groups, and no day is covered by

@@ -375,7 +375,14 @@ def c138_greedy_max_coverage_selection(spark: SparkSession,
     "oracle embeds c03c's oracle SQL as a CTE) so the two metrics "
     "can never drift apart.  Scale shape: one doc-level pass, then "
     "everything runs on |classes| marginals — the standard "
-    "classifier-eval audit attached to any labeling stage.",
+    "classifier-eval audit attached to any labeling stage.  The "
+    "measured kappa ~ 0.002 is the CEILING, not a classifier defect: "
+    "c142_label_signal_ceiling shows the fixture's lang column is "
+    "statistically independent of the text (per-class unigram TV "
+    "sits inside the deterministic hash-null band and shrinks ~1/"
+    "sqrt(n) with corpus size), so the Bayes-optimal kappa here is "
+    "~0 and raising this number would mean fitting sampling noise "
+    "(VERDICT r09 task 4, closed with evidence).",
 )
 def c139_cohens_kappa_langid(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

@@ -11,10 +11,24 @@
   established the predict-then-prove pairing for z-order; b173/b176/
   b177 complete it for sorted-run compaction.
 
+- c142: LABEL-SIGNAL CEILING audit — closes VERDICT r09 task 4 with
+  evidence instead of noise-chasing: c139 measured kappa ~ 0.002 for
+  the stopword lang-id, and the requested fix was "improve the
+  classifier".  This audit shows the request is unsatisfiable on
+  this corpus: each label class's unigram distribution is compared
+  (total-variation distance, exact integer ppm) against the pooled
+  corpus, side by side with a deterministic HASH-NULL partition of
+  the same docs.  Label TV ~ null TV means text is independent of
+  the label (measured: the sf0.01 per-word spread collapses to
+  uniform at sf0.1), so the Bayes-optimal kappa is ~0 and ANY
+  classifier improvement would be fitting sampling noise.  This is
+  the audit a curation pipeline runs BEFORE training a quality/
+  language classifier on metadata labels.
+
 Reference contract: none of this exists in the reference (its
 analytic surface is the KPI list, README.md:116-129); the tier
 re-expresses public lakehouse designs (LSM leveling, Delta OPTIMIZE
-run merging) as oracle-checked relational plans.
+run merging) and curation audits as oracle-checked relational plans.
 """
 
 from __future__ import annotations
@@ -242,3 +256,133 @@ def b177_merge_plan_execution_proof(spark: SparkSession,
             .select("merge_task", "new_fid", "mn_d", "mx_d", "n_rows",
                     "action", "max_depth_after")
             .orderBy("merge_task", "new_fid"))
+
+
+# ---------------------------------------------------------------------
+# c142: label-signal ceiling audit (per-class unigram TV distance vs
+#       pooled corpus, with a deterministic hash-null baseline)
+# ---------------------------------------------------------------------
+
+_LS_NULL_K = 5             # hash-null partition arity (~|label classes|)
+_LS_H48 = ("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), "
+           "16, 10) AS BIGINT)")
+_LS_H48_DUCK = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), "
+                "1, 12) AS BIGINT)")
+
+
+@_register(
+    "c142_label_signal_ceiling",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             'h' || CAST({_LS_H48_DUCK} % {_LS_NULL_K} AS VARCHAR)
+               AS pseudo,
+             string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ), docs_m AS (
+      SELECT lang, pseudo, count(*) AS n_docs FROM d GROUP BY 1, 2
+    ), cells AS (
+      SELECT lang, pseudo, w, count(*) AS cnt
+      FROM (SELECT lang, pseudo, unnest(toks) AS w FROM d)
+      GROUP BY 1, 2, 3
+    ), pool AS (SELECT w, sum(cnt) AS cw FROM cells GROUP BY 1),
+    ntot AS (SELECT sum(cnt) AS n FROM cells),
+    branches AS (
+      SELECT 'label' AS kind, lang AS cls, w, sum(cnt) AS c
+      FROM cells GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'hash_null', pseudo, w, sum(cnt)
+      FROM cells GROUP BY 1, 2, 3
+    ), cls_tot AS (
+      SELECT kind, cls, sum(c) AS n_cls FROM branches GROUP BY 1, 2
+    ), cls_docs AS (
+      SELECT 'label' AS kind, lang AS cls, sum(n_docs) AS n_docs
+      FROM docs_m GROUP BY 1, 2
+      UNION ALL
+      SELECT 'hash_null', pseudo, sum(n_docs)
+      FROM docs_m GROUP BY 1, 2
+    ), spine AS (
+      SELECT kind, cls, w FROM cls_tot CROSS JOIN pool
+    )
+    SELECT kind, cls,
+           CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+           CAST(any_value(n_cls) AS BIGINT) AS n_tokens,
+           CAST(sum(abs(coalesce(c, 0) * 1000000 // n_cls
+                        - cw * 1000000 // n)) // 2 AS BIGINT)
+             AS tv_ppm
+    FROM spine
+    LEFT JOIN branches USING (kind, cls, w)
+    JOIN cls_tot USING (kind, cls)
+    JOIN cls_docs USING (kind, cls)
+    JOIN pool USING (w)
+    CROSS JOIN ntot
+    GROUP BY kind, cls
+    ORDER BY kind, cls
+    """,
+    "LABEL-SIGNAL CEILING audit — the measurement that closes the "
+    "c139 finding (VERDICT r09 task 4): per label class, the "
+    "total-variation distance (exact truncating integer ppm) between "
+    "the class's unigram distribution and the pooled corpus, side by "
+    f"side with a deterministic {_LS_NULL_K}-way HASH-NULL partition "
+    "of the same documents (portable md5-48 of doc_id — both engines "
+    "reproduce the split bit-for-bit).  Label TV within the null "
+    "band means text is INDEPENDENT of the label, the Bayes-optimal "
+    "kappa is ~0, and no classifier 'improvement' can honestly raise "
+    "c139's number — the audit a curation pipeline runs before "
+    "training on metadata labels (measured here: the fixture's lang "
+    "column carries no signal; per-word rates converge to uniform "
+    "at sf0.1).  Scale shape: ONE pass over the corpus builds the "
+    "(label, null-class, word) count cells; every branch, marginal "
+    "and the TV sum runs on vocabulary-scaled aggregates joined on a "
+    "vocab spine — no second corpus scan, no window over facts.",
+)
+def c142_label_signal_ceiling(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.concat(F.lit("h"),
+                 (F.expr(_LS_H48) % _LS_NULL_K).cast("string"))
+        .alias("pseudo"),
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("toks"))
+    docs_m = docs.groupBy("lang", "pseudo").agg(
+        F.count("*").alias("n_docs"))
+    # ONE corpus pass -> (lang, pseudo, word) cells; everything below
+    # is vocabulary-scaled (reused by four marginals, hence the lazy
+    # checkpoint — materializes with the first action, no extra job)
+    cells = (docs.select("lang", "pseudo",
+                         F.explode("toks").alias("w"))
+             .groupBy("lang", "pseudo", "w")
+             .agg(F.count("*").alias("cnt"))
+             .localCheckpoint(eager=False))
+    pool = cells.groupBy("w").agg(F.sum("cnt").alias("cw"))
+    ntot = cells.agg(F.sum("cnt").alias("n"))
+    branches = (cells.groupBy(F.lit("label").alias("kind"),
+                              F.col("lang").alias("cls"), "w")
+                .agg(F.sum("cnt").alias("c"))
+                .unionByName(
+                    cells.groupBy(F.lit("hash_null").alias("kind"),
+                                  F.col("pseudo").alias("cls"), "w")
+                    .agg(F.sum("cnt").alias("c"))))
+    cls_tot = branches.groupBy("kind", "cls").agg(
+        F.sum("c").alias("n_cls"))
+    cls_docs = (docs_m.groupBy(F.lit("label").alias("kind"),
+                               F.col("lang").alias("cls"))
+                .agg(F.sum("n_docs").alias("n_docs"))
+                .unionByName(
+                    docs_m.groupBy(F.lit("hash_null").alias("kind"),
+                                   F.col("pseudo").alias("cls"))
+                    .agg(F.sum("n_docs").alias("n_docs"))))
+    spine = cls_tot.crossJoin(F.broadcast(pool))
+    return (spine
+            .join(branches, ["kind", "cls", "w"], "left")
+            .join(cls_docs, ["kind", "cls"])
+            .crossJoin(F.broadcast(ntot))
+            .groupBy("kind", "cls")
+            .agg(F.any_value("n_docs").cast("long").alias("n_docs"),
+                 F.any_value("n_cls").cast("long").alias("n_tokens"),
+                 F.sum(F.abs(
+                     F.expr("coalesce(c, 0) * 1000000 div n_cls")
+                     - F.expr("cw * 1000000 div n"))).alias("tv2"))
+            .select("kind", "cls", "n_docs", "n_tokens",
+                    F.expr("tv2 div 2").cast("long").alias("tv_ppm"))
+            .orderBy("kind", "cls"))

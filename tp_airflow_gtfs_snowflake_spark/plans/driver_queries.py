@@ -408,7 +408,7 @@ def b01_gtfs_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY hour_of_day
     """,
     "B2 event-time hour bucketing (timestamp_epoch, gtfs_rt_minutely.py:215)",
@@ -457,8 +457,9 @@ def b03_delay_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b04_broadcast_dim_join",
     """
     SELECT r_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(8,2))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -539,7 +540,7 @@ def b06_conditional_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b07_topk_by_aggregate",
     """
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name
@@ -570,7 +571,7 @@ def b07_topk_by_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
            CAST(hour(ts) AS BIGINT) AS hour_of_day,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events GROUP BY iso_dow, hour_of_day
     """,
     "B8 hour x day heatmap aggregation (README.md:124)",
@@ -697,7 +698,8 @@ def b12_left_anti_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
     FROM events
     WHERE ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM events)
     GROUP BY event_type

@@ -731,10 +731,10 @@ def b19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w_det AS BIGINT) AS quartile,
            lag(value) OVER w_det AS prev_value,
            lead(value) OVER w_det AS next_value,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+           CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS DOUBLE) AS running_spend
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS running_spend
     FROM events
     WINDOW w_det AS (PARTITION BY user_id ORDER BY ts, event_id),
            w_val AS (PARTITION BY user_id ORDER BY value)
@@ -1109,17 +1109,16 @@ def b28_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-                AS DOUBLE) AS sum_qty,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
                          * (1 + CAST(l_tax AS DECIMAL(18,2))))
-                AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+                AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
@@ -1154,9 +1153,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            epoch_us(o_orderdate) AS o_orderdate_us
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1194,9 +1193,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q06_forecast_revenue",
     """
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    SELECT CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1308,9 +1307,9 @@ def c07f_simhash_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -1363,8 +1362,8 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
            epoch_us(o_orderdate) AS o_orderdate_us,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
+           CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM orders
       JOIN big ON o_orderkey = big.l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -1433,8 +1432,8 @@ def q04_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_qty_revenue",
     """
     SELECT p_brand,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS DOUBLE) AS small_qty_revenue,
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS small_qty_revenue,
            CAST(count(*) AS BIGINT) AS n_small
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -1659,9 +1658,9 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str
 @_register(
     "q19_disjunctive_predicates",
     """
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    SELECT CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -1700,13 +1699,13 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str
     "q22_dormant_accounts",
     """
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+           CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
       AND c_acctbal > (
-        SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS DOUBLE) / count(*)
+        SELECT CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / count(*)
         FROM customer
         WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1876,9 +1875,9 @@ def c05d_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_revenue",
     """
     SELECT c_custkey, c_name,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1942,14 +1941,14 @@ def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q14_promo_revenue_pct",
     """
-    SELECT CAST(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT CAST(CAST(CAST(100 * sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
                      ELSE CAST(0 AS DECIMAL(18,2)) END)
-                AS DECIMAL(38,4)) AS DOUBLE)
-           / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                             * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                  AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue_pct,
+                  AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -2169,7 +2168,7 @@ def c20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,2)) AS day_rev
       FROM orders GROUP BY 1, 2)
     SELECT pri, day_no,
-           CAST(CAST(sum(day_rev) OVER w7 AS DECIMAL(38,2)) AS DOUBLE)
+           CAST(CAST(CAST(sum(day_rev) OVER w7 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
              AS rev_7d,
            CAST(count(*) OVER w7 AS BIGINT) AS n_days_7d
     FROM d

@@ -70,7 +70,7 @@ def _views(spark: SparkSession, sf_dir: str, prefix: str, *tables: str):
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
-           CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM v GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -136,9 +136,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT CAST(o_year AS BIGINT) AS o_year,
-           CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume END)
-                AS DECIMAL(38,4)) AS DOUBLE) AS nation_volume,
-           CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE)
+           CAST(CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume END)
+                AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS nation_volume,
+           CAST(CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
              AS total_volume,
            CAST(count(*) AS BIGINT) AS n_items
     FROM an GROUP BY o_year
@@ -373,7 +373,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ps AS ({_PS_SQL})
     SELECT nation, CAST(o_year AS BIGINT) AS o_year,
-           CAST(CAST(sum(amount) AS DECIMAL(38,4)) AS DOUBLE) AS profit,
+           CAST(CAST(CAST(sum(amount) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS profit,
            CAST(count(*) AS BIGINT) AS n_items
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -435,11 +435,10 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY ps_partkey
     )
     SELECT ps_partkey,
-           CAST(CAST(val AS DECIMAL(38,2)) AS DOUBLE) AS part_value
+           CAST(CAST(CAST(val AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS part_value
     FROM g
     WHERE CAST(val AS DOUBLE) > (
-      SELECT CAST(CAST(sum(ps_mincost * ps_availqty) AS DECIMAL(38,2))
-                  AS DOUBLE) * 0.005
+      SELECT CAST(CAST(CAST(sum(ps_mincost * ps_availqty) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) * 0.005
       FROM ps
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation   ON s_nationkey = n_nationkey

@@ -94,6 +94,10 @@ _NEW_THIS_ROUND: list = [
     # slots sweep the staleness-ordered `back` bucket.
     "b177_merge_plan_execution_proof",
     "c142_label_signal_ceiling",
+    "c143_shingle_containment",
+    "c144_sq8_quantization_audit",
+    "b178_gap_fill_interpolation",
+    "b179_dictionary_encoding_audit",
 ]
 
 

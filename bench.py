@@ -126,6 +126,10 @@ HEADLINE = [
     "b176_sorted_run_merge_planner",   # overlap groups -> merge tasks
     "b177_merge_plan_execution_proof",  # executed merge + footer proof
     "c142_label_signal_ceiling",       # label-vs-null unigram TV audit
+    "c143_shingle_containment",        # asymmetric doc-in-doc dedup
+    "c144_sq8_quantization_audit",     # int8 SQ recall + error audit
+    "b178_gap_fill_interpolation",     # day-spine linear gap fill
+    "b179_dictionary_encoding_audit",  # order-preserving global dict
 ]
 
 

@@ -994,6 +994,10 @@ _SP_ORDERING_REVIEWED = {
         "the planner/depth re-audit (post-write, over the "
         "createDataFrame footer manifest) — the data-scaled pass is "
         "the broadcast-join + partitioned write, never windowed",
+    "b179_dictionary_encoding_audit":
+        "|distinct dictionary values| rank over a post-distinct "
+        "relation — global dictionaries are column-cardinality-"
+        "bounded by design (Parquet/ORC dictionary-page posture)",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")

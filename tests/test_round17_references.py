@@ -111,6 +111,124 @@ def test_c142_label_tv_sits_in_null_band(spark):
     assert nul.min() < lab.max() * 3
 
 
+def test_c143_containment_vs_pandas(spark):
+    """Independent containment/Jaccard recomputation over raw text."""
+    got = (REGISTRY["c143_shingle_containment"].fn(spark, SF)
+           .toPandas())
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh = {}
+    for _, r in docs.iterrows():
+        toks = r.text.strip().lower().split()
+        sh[r.doc_id] = {" ".join(toks[i:i + 3])
+                        for i in range(len(toks) - 2)}
+    for _, r in got.iterrows():
+        a, b = sh[r.d1], sh[r.d2]
+        inter = len(a & b)
+        assert inter == r.n_common
+        assert r.containment_ppm == inter * 1_000_000 // min(len(a),
+                                                             len(b))
+        assert r.containment_ppm >= 800_000
+        jac = inter * 1_000_000 // (len(a) + len(b) - inter)
+        assert r.jaccard_ppm == jac
+        assert r.dup_class == ("wrap" if jac < 500_000 else "near_dup")
+    # every high-containment pair is present (not just the emitted set)
+    ids = list(sh)
+    n_expected = sum(
+        1 for i, d1 in enumerate(ids) for d2 in ids[i + 1:]
+        if (lambda x, y: len(x & y) * 1_000_000
+            // min(len(x), len(y)) >= 800_000 if x and y else False)
+        (sh[min(d1, d2)], sh[max(d1, d2)]))
+    assert len(got) == n_expected
+
+
+def test_c144_sq8_error_and_recall_properties(spark):
+    """SQ8 dequantization error is bounded by the quantization step:
+    per-dim |deq - q| <= step = (mx-mn)/255 + 1, so the dot error is
+    bounded by sum_i |qq_i| * step_i.  Also top-k overlap must be
+    high for a 4x compression on unit-norm data."""
+    import numpy as np
+    docs = pd.read_parquet(f"{SF}/embeddings.parquet")
+    E = np.array([np.asarray(v, dtype=np.float64)
+                  for v in docs.embedding])
+    q = (np.sign(E * 1000) * np.floor(np.abs(E * 1000) + 0.5)
+         ).astype(np.int64)
+    mn, mx = q.min(axis=0), q.max(axis=0)
+    qq = q[docs.vec_id.tolist().index(0)]
+    step = (mx - mn) // 255 + 1
+    bound = int(np.abs(qq) @ step)
+    got = (REGISTRY["c144_sq8_quantization_audit"].fn(spark, SF)
+           .toPandas())
+    assert len(got) == 20
+    assert (got.abs_err <= bound).all()
+    assert got.in_exact_topk.sum() >= 10  # recall@20 >= 0.5
+    # exact dots must match numpy exactly
+    dots = {int(v): int(d) for v, d in zip(docs.vec_id, q @ qq)}
+    for _, r in got.iterrows():
+        assert dots[r.vec_id] == r.exact_dot
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (Spark `div` / DuckDB `//`)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def test_b178_interpolation_properties(spark):
+    import numpy as np
+
+    got = (REGISTRY["b178_gap_fill_interpolation"].fn(spark, SF)
+           .toPandas())
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderpriority", "o_orderdate",
+                                      "o_totalprice"])
+    d = (pd.to_datetime(orders.o_orderdate).dt.normalize()
+         - pd.Timestamp("1992-01-01")).dt.days
+    cents = np.floor(orders.o_totalprice.values * 100).astype("int64")
+    obs = (pd.DataFrame({"prio": orders.o_orderpriority, "d": d,
+                         "c": cents})
+           .groupby(["prio", "d"])["c"].sum())
+    # full spine: every (prio, day) present exactly once
+    mn, mx = d.min(), d.max()
+    prios = orders.o_orderpriority.unique()
+    assert len(got) == len(prios) * (mx - mn + 1)
+    for (prio, day), c in obs.items():
+        row = got[(got.prio == prio) & (got.d == day)].iloc[0]
+        assert row.src == "obs" and row.cents_filled == c
+    # interpolated points match the exact truncating-div reference
+    interp = got[got.src == "interp"]
+    assert len(interp) > 0  # sf0.001 is sparse enough to have gaps
+    for prio in prios:
+        series = obs.loc[prio]
+        days = sorted(series.index)
+        for _, r in interp[interp.prio == prio].iterrows():
+            prev_d = max(x for x in days if x < r.d)
+            next_d = min(x for x in days if x > r.d)
+            pv, nv = int(series[prev_d]), int(series[next_d])
+            expect = pv + _tdiv((nv - pv) * (int(r.d) - prev_d),
+                                next_d - prev_d)
+            assert r.cents_filled == expect
+
+
+def test_b179_code_range_equals_string_range(spark):
+    got = (REGISTRY["b179_dictionary_encoding_audit"].fn(spark, SF)
+           .toPandas())
+    # the proof the query hash-checks, asserted directly
+    assert (got.in_range_str == got.in_range_code).all()
+    # codes are dense ranks of the sorted values
+    assert got.sort_values("code").value.is_monotonic_increasing
+    assert got.code.tolist() == list(range(1, len(got) + 1))
+    # fact counts reconcile with the raw join
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey"])
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    n = (li.merge(part, left_on="l_partkey", right_on="p_partkey")
+         .p_brand.value_counts())
+    for _, r in got.iterrows():
+        assert r.n_fact_rows == int(n.get(r.value, 0))
+
+
 def test_b177_postconditions_all_keep_depth_one(b177):
     """The two properties a clustering rewrite promises: the re-run
     planner finds only singleton groups, and no day is covered by

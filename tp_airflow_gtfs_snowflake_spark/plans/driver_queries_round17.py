@@ -386,3 +386,393 @@ def c142_label_signal_ceiling(spark: SparkSession,
             .select("kind", "cls", "n_docs", "n_tokens",
                     F.expr("tv2 div 2").cast("long").alias("tv_ppm"))
             .orderBy("kind", "cls"))
+
+
+# ---------------------------------------------------------------------
+# c143: shingle-CONTAINMENT asymmetric near-dup (the doc-in-doc /
+#       quote-wrap class that symmetric Jaccard under-scores)
+# ---------------------------------------------------------------------
+
+_CT_TAU = 800_000          # containment threshold (ppm)
+_CT_JAC = 500_000          # the dup pipeline's Jaccard threshold
+
+
+@_register(
+    "c143_shingle_containment",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), ' +') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                    AS sh
+           FROM t),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                      count(*) AS n_common
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+           CAST(x.n_sh AS BIGINT) AS n1, CAST(y.n_sh AS BIGINT) AS n2,
+           CAST(n_common * 1000000 // least(x.n_sh, y.n_sh) AS BIGINT)
+             AS containment_ppm,
+           CAST(n_common * 1000000 // (x.n_sh + y.n_sh - n_common)
+                AS BIGINT) AS jaccard_ppm,
+           CASE WHEN n_common * 1000000 // (x.n_sh + y.n_sh - n_common)
+                     < {_CT_JAC}
+                THEN 'wrap' ELSE 'near_dup' END AS dup_class
+    FROM common JOIN sizes x ON x.doc_id = d1
+                JOIN sizes y ON y.doc_id = d2
+    WHERE n_common * 1000000 // least(x.n_sh, y.n_sh) >= {_CT_TAU}
+    ORDER BY d1, d2
+    """,
+    "SHINGLE-CONTAINMENT asymmetric near-dup — the dedup class "
+    "symmetric Jaccard structurally under-scores: when a small "
+    "document is wholly quoted inside a large one (boilerplate "
+    "wrapping, quote inclusion, licence headers), J = |A∩B|/|A∪B| "
+    "stays below the dup threshold while containment "
+    f"C = |A∩B|/min(|A|,|B|) is ~1.  Pairs with C >= {_CT_TAU} ppm "
+    "over the c08 inverted-index join, emitting both measures in "
+    "exact truncating integer ppm plus the class flag ('wrap' = "
+    "containment-dup that the Jaccard pipeline would MISS — the "
+    "Broder containment measure, the reason CC-style pipelines "
+    "dedup with both).  Scale shape: identical to c08 — "
+    "collision-driven inverted-index join, never docs^2; at "
+    "production scale the same banded-LSH candidates feed this "
+    "verifier (min-side MinHash containment estimate), so the "
+    "exact pass stays collision-bounded.",
+)
+def c143_shingle_containment(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.0, keep_sizes=True)
+    cont = F.expr("n_common * 1000000 div least(n1, n2)")
+    jac = F.expr("n_common * 1000000 div (n1 + n2 - n_common)")
+    return (pairs
+            .withColumn("containment_ppm", cont.cast("long"))
+            .withColumn("jaccard_ppm", jac.cast("long"))
+            .filter(F.col("containment_ppm") >= _CT_TAU)
+            .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.col("n1").cast("long").alias("n1"),
+                    F.col("n2").cast("long").alias("n2"),
+                    "containment_ppm", "jaccard_ppm",
+                    F.when(F.col("jaccard_ppm") < _CT_JAC, "wrap")
+                    .otherwise("near_dup").alias("dup_class"))
+            .orderBy("d1", "d2"))
+
+
+# ---------------------------------------------------------------------
+# c144: int8 scalar-quantization (SQ8) ANN audit — recall + dot-error
+#       of the byte-compressed scan vs the exact int-grid ranking
+# ---------------------------------------------------------------------
+
+_SQ_DIM = 64
+_SQ_K = 20
+
+
+@_register(
+    "c144_sq8_quantization_audit",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), dims AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx
+      FROM (SELECT generate_subscripts(q, 1) AS pos, unnest(q) AS v
+            FROM e)
+      GROUP BY pos
+    ), dl AS (
+      SELECT list(mn ORDER BY pos) AS mnl, list(mx ORDER BY pos) AS mxl
+      FROM dims
+    ), qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+               i -> qq[i] * q[i])) AS exact_dot,
+             list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+               i -> qq[i] * (mnl[i]
+                 + ((q[i] - mnl[i]) * 255
+                    // greatest(mxl[i] - mnl[i], 1))
+                   * (mxl[i] - mnl[i]) // 255))) AS approx_dot
+      FROM e, dl, qv
+    ), rk AS (
+      SELECT vec_id, exact_dot, approx_dot,
+             row_number() OVER (ORDER BY approx_dot DESC, vec_id)
+               AS a_rk,
+             row_number() OVER (ORDER BY exact_dot DESC, vec_id)
+               AS e_rk
+      FROM scored
+    )
+    SELECT vec_id,
+           CAST(approx_dot AS BIGINT) AS approx_dot,
+           CAST(exact_dot AS BIGINT) AS exact_dot,
+           CAST(abs(exact_dot - approx_dot) AS BIGINT) AS abs_err,
+           CAST(CASE WHEN e_rk <= {_SQ_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS in_exact_topk
+    FROM rk WHERE a_rk <= {_SQ_K}
+    ORDER BY approx_dot DESC, vec_id
+    """,
+    "INT8 SCALAR-QUANTIZATION (SQ8) audit — the other standard "
+    "vector-compression baseline next to PQ (c26c): per-dimension "
+    "[min,max] ranges over the int-grid corpus (round(x*1000), the "
+    "c26c posture) quantize each component to an 8-bit code "
+    "(truncating integer arithmetic, identical in both engines), the "
+    "scan scores the DEQUANTIZED vectors against the raw query "
+    "(asymmetric distance), and the output pairs every SQ-top-k "
+    "candidate with its exact dot product, absolute error and an "
+    "in-exact-top-k flag — recall@k and error bounds of a 4x "
+    "byte-compression, value-checked bit-for-bit.  Scale shape: the "
+    "dim-range aggregate is one narrow pass collapsing to |dims| "
+    "rows (collected as literals — the codebook posture); scoring is "
+    "a narrow map feeding TakeOrdered top-k twice (approx + exact "
+    "rank), no window over the fact, and the flag join touches two "
+    "k-row relations.  At 100 TB the codes column is 1/4 the bytes "
+    "of the floats and the exact column is read only for the k "
+    "survivors — the reason every vector store ships SQ8 first.",
+)
+def c144_sq8_quantization_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qi = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x * 1000).cast("long"))
+    base = emb.select("vec_id", qi.alias("q"))
+    # |dims| range rows -> literals (bounded by dimension, the c26c
+    # codebook-collect posture); query vector likewise
+    dims = (base.select(F.posexplode("q").alias("pos", "v"))
+            .groupBy("pos").agg(F.min("v").alias("mn"),
+                                F.max("v").alias("mx"))
+            .orderBy("pos").collect())
+    mn = [int(r.mn) for r in dims]
+    mx = [int(r.mx) for r in dims]
+    qq = [int(v) for v in base.filter(F.col("vec_id") == 0)
+          .head().q]
+    arr = lambda vals: "array(" + ",".join(f"{v}L" for v in vals) + ")"
+    score_sql = f"""
+      aggregate(sequence(1, {_SQ_DIM}), 0L, (acc, i) -> acc
+        + element_at({arr(qq)}, i) * (element_at({arr(mn)}, i)
+          + ((element_at(q, i) - element_at({arr(mn)}, i)) * 255
+             div greatest(element_at({arr(mx)}, i)
+                          - element_at({arr(mn)}, i), 1L))
+            * (element_at({arr(mx)}, i) - element_at({arr(mn)}, i))
+            div 255))
+    """
+    exact_sql = f"""
+      aggregate(sequence(1, {_SQ_DIM}), 0L, (acc, i) -> acc
+        + element_at({arr(qq)}, i) * element_at(q, i))
+    """
+    scored = base.select(
+        "vec_id",
+        F.expr(exact_sql).alias("exact_dot"),
+        F.expr(score_sql).alias("approx_dot"))
+    sq_topk = (scored.orderBy(F.desc("approx_dot"), "vec_id")
+               .limit(_SQ_K))
+    exact_topk = (scored.orderBy(F.desc("exact_dot"), "vec_id")
+                  .limit(_SQ_K)
+                  .select("vec_id", F.lit(1).alias("flag")))
+    return (sq_topk.join(F.broadcast(exact_topk), "vec_id", "left")
+            .select("vec_id",
+                    F.col("approx_dot").cast("long"),
+                    F.col("exact_dot").cast("long"),
+                    F.abs(F.col("exact_dot") - F.col("approx_dot"))
+                    .cast("long").alias("abs_err"),
+                    F.coalesce("flag", F.lit(0)).cast("long")
+                    .alias("in_exact_topk"))
+            .orderBy(F.desc("approx_dot"), "vec_id"))
+
+
+# ---------------------------------------------------------------------
+# b178: time-series gap filling with linear interpolation over a
+#       generated day spine (the fill step before any seasonal model)
+# ---------------------------------------------------------------------
+
+_GF_EPOCH = "1992-01-01"
+
+
+@_register(
+    "b178_gap_fill_interpolation",
+    f"""
+    WITH obs AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '{_GF_EPOCH}', o_orderdate) AS d,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(d) AS mn, max(d) AS mx FROM obs
+    ), spine AS (
+      SELECT prio, gs.d
+      FROM (SELECT DISTINCT prio FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS d
+                  FROM bounds) gs
+    ), j AS (
+      SELECT s.prio, s.d, o.cents,
+             CASE WHEN o.cents IS NOT NULL THEN s.d END AS od
+      FROM spine s LEFT JOIN obs o ON o.prio = s.prio AND o.d = s.d
+    ), w AS (
+      SELECT prio, d, cents,
+             last_value(od IGNORE NULLS) OVER wp AS prev_d,
+             last_value(cents IGNORE NULLS) OVER wp AS prev_v,
+             first_value(od IGNORE NULLS) OVER wn AS next_d,
+             first_value(cents IGNORE NULLS) OVER wn AS next_v
+      FROM j
+      WINDOW wp AS (PARTITION BY prio ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY prio ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT prio, CAST(d AS BIGINT) AS d,
+           CAST(CASE
+             WHEN cents IS NOT NULL THEN cents
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+               THEN prev_v + (next_v - prev_v) * (d - prev_d)
+                    // (next_d - prev_d)
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v END AS BIGINT) AS cents_filled,
+           CASE WHEN cents IS NOT NULL THEN 'obs'
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN 'interp'
+                ELSE 'hold' END AS src
+    FROM w ORDER BY prio, d
+    """,
+    "TIME-SERIES GAP FILL + LINEAR INTERPOLATION — the densification "
+    "step every seasonal/trend model assumes: per-priority daily "
+    "revenue joined onto a GENERATED day spine (sequence/"
+    "generate_series over the observed [min,max] — missing days "
+    "exist as rows, the prerequisite b112/b121 skip), gaps filled by "
+    "exact integer linear interpolation between the bracketing "
+    "observations (truncating division agrees in both engines, "
+    "verified incl. negative slopes), boundary gaps held at the "
+    "nearest observation, and every row labeled obs/interp/hold so "
+    "downstream models can weight real vs imputed points.  Scale "
+    "shape: one fact aggregate to (series, day) grain, then two "
+    "PARTITIONED windows per series over the |series| x |days| "
+    "spine — no SinglePartition anywhere; series shard across "
+    "executors and the spine is calendar-bounded.",
+)
+def b178_gap_fill_interpolation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(f"datediff(o_orderdate, date'{_GF_EPOCH}')").alias("d"),
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+        .alias("c"))
+    obs = o.groupBy("prio", "d").agg(F.sum("c").alias("cents"))
+    bounds = obs.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d"))
+    spine = (obs.select("prio").distinct()
+             .crossJoin(F.broadcast(days)))
+    j = (spine.join(obs, ["prio", "d"], "left")
+         .withColumn("od", F.when(F.col("cents").isNotNull(),
+                                  F.col("d"))))
+    wp = (W.partitionBy("prio").orderBy("d")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wn = (W.partitionBy("prio").orderBy("d")
+          .rowsBetween(0, W.unboundedFollowing))
+    w = (j.withColumn("prev_d", F.last("od", True).over(wp))
+         .withColumn("prev_v", F.last("cents", True).over(wp))
+         .withColumn("next_d", F.first("od", True).over(wn))
+         .withColumn("next_v", F.first("cents", True).over(wn)))
+    interp = F.expr("prev_v + (next_v - prev_v) * (d - prev_d) "
+                    "div (next_d - prev_d)")
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    return (w.select(
+        "prio", F.col("d").cast("long").alias("d"),
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(both, interp)
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v")).cast("long")
+        .alias("cents_filled"),
+        F.when(F.col("cents").isNotNull(), "obs")
+        .when(both, "interp").otherwise("hold").alias("src"))
+        .orderBy("prio", "d"))
+
+
+# ---------------------------------------------------------------------
+# b179: order-preserving global dictionary encoding + code-range
+#       predicate proof (late materialization through integer codes)
+# ---------------------------------------------------------------------
+
+_DE_LO = "Brand#2"
+_DE_HI = "Brand#4"
+
+
+@_register(
+    "b179_dictionary_encoding_audit",
+    f"""
+    WITH d AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS code
+      FROM (SELECT DISTINCT p_brand AS v FROM part)
+    ), f AS (
+      SELECT p_brand AS v, count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    ), b AS (
+      SELECT min(CASE WHEN v >= '{_DE_LO}' THEN code END) AS clo,
+             max(CASE WHEN v < '{_DE_HI}' THEN code END) AS chi
+      FROM d
+    )
+    SELECT v AS value, CAST(code AS BIGINT) AS code,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_fact_rows,
+           CAST(CASE WHEN v >= '{_DE_LO}' AND v < '{_DE_HI}'
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_range_str,
+           CAST(CASE WHEN code >= clo AND code <= chi
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_range_code
+    FROM d LEFT JOIN f USING (v) CROSS JOIN b
+    ORDER BY code
+    """,
+    "ORDER-PRESERVING GLOBAL DICTIONARY encoding — the columnar "
+    "late-materialization workhorse: distinct dimension values get "
+    "dense integer codes by SORT RANK (order-preserving, so range "
+    "predicates survive translation), the fact is encoded through a "
+    "broadcast dictionary join, and the output PROVES the "
+    "translation: per dictionary entry, the string-predicate "
+    f"membership ('{_DE_LO}' <= v < '{_DE_HI}') and the code-range "
+    "membership (code between the dict-derived bounds) are emitted "
+    "side by side — any divergence (a non-order-preserving code "
+    "assignment, an off-by-one bound) breaks the hash.  Scale "
+    "shape: the dictionary is |distinct values| rows (the ONE "
+    "reviewed SinglePartition rank over a post-distinct relation — "
+    "global dictionaries are built once per column, exactly like "
+    "Parquet/ORC dictionary pages); the fact is touched once "
+    "through a broadcast equi-join; at 100 TB the encoded fact "
+    "scans integer codes (bit-packed, RLE-friendly) and string "
+    "bytes are read only at final materialization.",
+)
+def b179_dictionary_encoding_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    dic = (part.select(F.col("p_brand").alias("v")).distinct()
+           .withColumn("code", F.row_number().over(W.orderBy("v"))))
+    fact = (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .groupBy(F.col("p_brand").alias("v"))
+            .agg(F.count("*").alias("n")))
+    bounds = dic.agg(
+        F.min(F.when(F.col("v") >= _DE_LO, F.col("code")))
+        .alias("clo"),
+        F.max(F.when(F.col("v") < _DE_HI, F.col("code")))
+        .alias("chi"))
+    return (dic.join(fact, "v", "left")
+            .crossJoin(F.broadcast(bounds))
+            .select(F.col("v").alias("value"),
+                    F.col("code").cast("long").alias("code"),
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_fact_rows"),
+                    F.when((F.col("v") >= _DE_LO)
+                           & (F.col("v") < _DE_HI), 1).otherwise(0)
+                    .cast("long").alias("in_range_str"),
+                    F.when((F.col("code") >= F.col("clo"))
+                           & (F.col("code") <= F.col("chi")), 1)
+                    .otherwise(0).cast("long").alias("in_range_code"))
+            .orderBy("code"))

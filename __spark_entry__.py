@@ -98,6 +98,8 @@ _NEW_THIS_ROUND: list = [
     "c144_sq8_quantization_audit",
     "b178_gap_fill_interpolation",
     "b179_dictionary_encoding_audit",
+    "c145_char5_minhash_neardup",
+    "b180_join_view_delta_maintenance",
 ]
 
 

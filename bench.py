@@ -130,7 +130,14 @@ HEADLINE = [
     "c144_sq8_quantization_audit",     # int8 SQ recall + error audit
     "b178_gap_fill_interpolation",     # day-spine linear gap fill
     "b179_dictionary_encoding_audit",  # order-preserving global dict
+    "b180_join_view_delta_maintenance",  # IVM delta-join expansion
 ]
+# c145_char5_minhash_neardup is intentionally NOT in HEADLINE: char
+# 5-grams are ~6x the shingle rows of the word-3-gram c06f that IS
+# benched (same pipeline shape, same plan gates), and its ~17 s
+# steady cost at sf0.1 would dominate the suite without adding plan
+# coverage.  Its perf record: NOTES.md r10 (measured 17.6 s exploded
+# join vs 47.7 s array-intersect variant — the shape decision).
 
 
 def main() -> None:

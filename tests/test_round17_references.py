@@ -229,6 +229,78 @@ def test_b179_code_range_equals_string_range(spark):
         assert r.n_fact_rows == int(n.get(r.value, 0))
 
 
+def test_c145_char5_minhash_matches_hashlib_reference(spark):
+    """Full-pipeline recomputation of the char-5-gram MinHash LSH
+    with hashlib + pure-Python sets (the test_lsh_banding_references
+    failure-independence pattern, applied to the char-shingle unit):
+    candidate banding AND verified pairs must match exactly."""
+    import hashlib
+    import re
+
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+
+    got = (REGISTRY["c145_char5_minhash_neardup"].fn(spark, SF)
+           .toPandas())
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    P = D.MINHASH_P
+    coeffs = D.minhash_coefficients(16)
+
+    def grams(text: str) -> set[str]:
+        s = re.sub(" +", " ", text.lower().strip())
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    def h60(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    sh = {r.doc_id: grams(r.text) for _, r in docs.iterrows()}
+    sig = {}
+    for d, g in sh.items():
+        hs = [h60(s) % P for s in g]
+        sig[d] = [min((h * a + b) % P for h in hs) for a, b in coeffs]
+    buckets: dict = {}
+    for d, s in sig.items():
+        for b in range(4):
+            key = (b, hashlib.md5(
+                ",".join(str(m) for m in s[b * 4:b * 4 + 4])
+                .encode()).hexdigest())
+            buckets.setdefault(key, []).append(d)
+    cand = {(min(a, b), max(a, b))
+            for ds in buckets.values() if len(ds) > 1
+            for i, a in enumerate(ds) for b in ds[i + 1:]}
+    expect = {}
+    for d1, d2 in cand:
+        inter = len(sh[d1] & sh[d2])
+        j = inter / (len(sh[d1]) + len(sh[d2]) - inter)
+        if j >= 0.8:
+            expect[(d1, d2)] = j
+    assert {(r.d1, r.d2) for _, r in got.iterrows()} == set(expect)
+    for _, r in got.iterrows():
+        assert abs(r.jaccard - expect[(r.d1, r.d2)]) < 1e-12
+
+
+def test_b180_ivm_exact_and_matches_pandas(spark):
+    import numpy as np
+
+    got = (REGISTRY["b180_join_view_delta_maintenance"].fn(spark, SF)
+           .toPandas())
+    assert (got.ivm_exact == 1).all()
+    assert (got.n_full == got.n_ivm).all()
+    assert (got.cents_full == got.cents_ivm).all()
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    li["cents"] = np.floor(li.l_extendedprice.values * 100
+                           ).astype("int64")
+    j = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    ref = j.groupby("o_orderpriority").agg(
+        n=("cents", "size"), cents=("cents", "sum"))
+    for _, r in got.iterrows():
+        assert r.n_full == int(ref.loc[r.prio, "n"])
+        assert r.cents_full == int(ref.loc[r.prio, "cents"])
+
+
 def test_b177_postconditions_all_keep_depth_one(b177):
     """The two properties a clustering rewrite promises: the re-run
     planner finds only singleton groups, and no day is covered by

@@ -72,10 +72,30 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     return shingles_of_tokens(_tokens(text), n)
 
 
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct CHARACTER n-gram shingles of a text column (native) —
+    the CCNet/Gopher production shingle unit: robust to small token
+    edits, punctuation drift and whitespace changes that word-level
+    shingles amplify.  Normalization = lower, trim, collapse runs of
+    spaces.  Texts shorter than n chars yield an empty array."""
+    s = F.regexp_replace(F.trim(F.lower(text)), " +", " ")
+    m = F.length(s) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.call_function("substring", s, i, F.lit(n)))
+    return F.array_distinct(
+        F.when(m >= 1, grams).otherwise(F.expr("array()")))
+
+
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                  n: int) -> DataFrame:
+                  n: int, shingle_fn=None) -> DataFrame:
     """(doc_id, sh) exploded shingle rows, tokenizing each text exactly
-    once behind a projection boundary."""
+    once behind a projection boundary.  `shingle_fn(text_col, n)`
+    overrides the default token-n-gram unit (e.g. char_shingles)."""
+    if shingle_fn is not None:
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.explode(shingle_fn(F.col(text_col), n))
+                         .alias("sh"))
     toks = df.select(F.col(id_col).alias("doc_id"),
                      _tokens(F.col(text_col)).alias("toks"))
     return toks.select(
@@ -158,7 +178,8 @@ def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
-                       hash_fn: HashFn = F.xxhash64) -> DataFrame:
+                       hash_fn: HashFn = F.xxhash64,
+                       shingle_fn=None) -> DataFrame:
     """Per-doc MinHash signature (doc_id, signature array<long>).
 
     One narrow pass: explode shingles, one base hash per shingle, then
@@ -168,7 +189,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     Default base hash is xxhash64 (JVM); pass hash_fn=portable_hash64
     when an external SQL oracle must reproduce signatures bit-for-bit.
     """
-    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    sh = _shingle_rows(df, id_col, text_col, shingle_n, shingle_fn)
     # pmod: xxhash64 is signed; the affine family needs h in [0, P).
     h = sh.select("doc_id",
                   F.pmod(hash_fn(F.col("sh")), F.lit(MINHASH_P)).alias("h"))
@@ -213,16 +234,17 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
                             num_hashes: int = 32, bands: int = 8,
                             shingle_n: int = 3, threshold: float = 0.5,
-                            hash_fn: HashFn = F.xxhash64) -> DataFrame:
+                            hash_fn: HashFn = F.xxhash64,
+                            shingle_fn=None) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of candidates only."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
-                             hash_fn)
+                             hash_fn, shingle_fn)
     cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
 
-    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    sh = _shingle_rows(df, id_col, text_col, shingle_n, shingle_fn)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Count shared shingles per candidate pair.  The second join keys
     # on (d2, sh) — shingle equality must be an equi-join key, not a

@@ -776,3 +776,230 @@ def b179_dictionary_encoding_audit(spark: SparkSession,
                            & (F.col("code") <= F.col("chi")), 1)
                     .otherwise(0).cast("long").alias("in_range_code"))
             .orderBy("code"))
+
+
+# ---------------------------------------------------------------------
+# c145: character-5-gram MinHash LSH near-dup (the CCNet/Gopher
+#       production shingle unit; word-shingle c06's robust twin)
+# ---------------------------------------------------------------------
+
+def _c145_oracle() -> str:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _duck_hash64, _duck_minhash_band_case, _duck_minhash_mins)
+
+    # Verify via list_intersect over per-doc gram LISTS, not an
+    # exploded gram join: char 5-grams are HOT (common substrings
+    # appear in most docs), and DuckDB is free to reorder the
+    # exploded three-way join into gram-first — measured 307 s at
+    # sf0.1 vs ~8 s for the list form (the engine side keys its
+    # exploded join on (doc_id, sh) so the hot-gram product never
+    # forms there).
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS s
+      FROM documents
+    ), gl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(s) - 3, 1)),
+               i -> substr(s, i, 5))) AS gs
+      FROM t
+    ), sh AS (SELECT doc_id, unnest(gs) AS sh FROM gl),
+    hx AS (SELECT doc_id, {_duck_hash64('sh')} % {D.MINHASH_P} AS h
+           FROM sh),
+    m AS (SELECT doc_id,
+                {_duck_minhash_mins(16)}
+          FROM hx GROUP BY doc_id),
+    banded AS (SELECT doc_id, b.band AS band,
+                      md5({_duck_minhash_band_case(16, 4)}) AS bucket
+               FROM m, range(0, 4) b(band)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id),
+    common AS (SELECT c.d1, c.d2,
+                      len(list_intersect(x.gs, y.gs)) AS n_common,
+                      len(x.gs) AS n1, len(y.gs) AS n2
+               FROM cand c
+               JOIN gl x ON x.doc_id = c.d1
+               JOIN gl y ON y.doc_id = c.d2)
+    SELECT d1, d2,
+           n_common * 1.0 / (n1 + n2 - n_common) AS jaccard
+    FROM common
+    WHERE n_common > 0
+      AND n_common * 1.0 / (n1 + n2 - n_common) >= 0.8
+    """
+
+
+@_register(
+    "c145_char5_minhash_neardup",
+    None,  # oracle attached below (shares the c06 SQL helpers)
+    "CHARACTER-5-GRAM MinHash LSH near-dup — the production shingle "
+    "unit (CCNet dedups on char 5-grams; Gopher's repetition rules "
+    "likewise count char grams): robust to the small token edits, "
+    "punctuation drift and whitespace changes that make word-shingle "
+    "Jaccard (c06) brittle — one token substitution kills 3 word "
+    "shingles but only ~7 of ~300 char grams.  Same engine pipeline "
+    "as c06 with the shingle unit swapped (shingle_fn=char_shingles): "
+    "portable md5-48 minwise family, 16 hashes banded 4x4 "
+    "(t* = 0.71), exact char-gram Jaccard verify >= 0.8 — the "
+    "RefinedWeb-style operating point, PICKED FROM THE DATA the way "
+    "c141 prescribes: measured baseline char-J between unrelated "
+    "docs here is 0.1-0.3 (tiny shared vocab) while planted "
+    "near-dups sit >= 0.8, so 4x4 passes <= 3% of background pairs "
+    "(S-curve at 0.3) and >= 99.9% of true dups — the 8x2 banding "
+    "c06f ships for WORD shingles floods O(n^2) candidates at char "
+    "grain (28% of all pairs at J = 0.2; measured, not theorized).  "
+    "The oracle reproduces the BANDING itself, so parity holds at "
+    "every scale including recall misses.  Scale shape: identical "
+    "to c06 — one narrow shingle+hash pass, 16 min-aggregates in "
+    "one groupBy, banded bucket join, collision-bounded verify; "
+    "char grams are ~6x more shingle rows than word 3-grams (the "
+    "price of the robustness, paid in the map phase, never the "
+    "join).",
+)
+def c145_char5_minhash_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from tp_airflow_gtfs_snowflake_spark.operators import dedup as D
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
+        _spread)
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # Verify stays the exploded (doc_id, gram)-keyed join of the
+    # shared operator: measured 17.6 s vs 47.7 s for a per-pair
+    # array_intersect at sf0.1 — Spark's hash join on composite keys
+    # beats per-row set intersection over 200-element string arrays
+    # (the opposite holds in DuckDB, where the oracle uses
+    # list_intersect; each engine gets its native-strength shape).
+    out = D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=5,
+        threshold=0.8, hash_fn=D.portable_hash64,
+        shingle_fn=D.char_shingles)
+    return out.select(F.col("d1").cast("long").alias("d1"),
+                      F.col("d2").cast("long").alias("d2"), "jaccard")
+
+
+def _attach_c145_oracle() -> None:
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
+        REGISTRY, QuerySpec)
+
+    spec = REGISTRY["c145_char5_minhash_neardup"]
+    REGISTRY["c145_char5_minhash_neardup"] = QuerySpec(
+        fn=spec.fn, oracle=_c145_oracle(), note=spec.note)
+
+
+_attach_c145_oracle()
+
+
+# ---------------------------------------------------------------------
+# b180: incremental JOIN-view maintenance (delta-join expansion) —
+#       the matview delta rule b158's agg-retraction tier lacks
+# ---------------------------------------------------------------------
+
+_VM_MOD = 10               # rows with orderkey % 10 == 0 are the delta
+
+
+@_register(
+    "b180_join_view_delta_maintenance",
+    f"""
+    WITH o_old AS (SELECT * FROM orders
+                   WHERE o_orderkey % {_VM_MOD} != 0),
+    o_dlt AS (SELECT * FROM orders WHERE o_orderkey % {_VM_MOD} = 0),
+    l_old AS (SELECT * FROM lineitem
+              WHERE l_orderkey % {_VM_MOD} != 0
+                 OR l_linenumber % 2 = 0),
+    l_dlt AS (SELECT * FROM lineitem
+              WHERE l_orderkey % {_VM_MOD} = 0 AND l_linenumber % 2 = 1),
+    pairs AS (
+      SELECT o_orderpriority AS prio, l_extendedprice AS px
+      FROM o_old JOIN l_old ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice
+      FROM o_dlt JOIN l_old ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice
+      FROM o_old JOIN l_dlt ON o_orderkey = l_orderkey
+      UNION ALL
+      SELECT o_orderpriority, l_extendedprice
+      FROM o_dlt JOIN l_dlt ON o_orderkey = l_orderkey
+    ), ivm AS (
+      SELECT prio, count(*) AS n_ivm,
+             sum(CAST(floor(px * 100) AS BIGINT)) AS cents_ivm
+      FROM pairs GROUP BY 1
+    ), full_v AS (
+      SELECT o_orderpriority AS prio, count(*) AS n_full,
+             sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS cents_full
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT prio,
+           CAST(n_full AS BIGINT) AS n_full,
+           CAST(cents_full AS BIGINT) AS cents_full,
+           CAST(n_ivm AS BIGINT) AS n_ivm,
+           CAST(cents_ivm AS BIGINT) AS cents_ivm,
+           CAST(CASE WHEN n_full = n_ivm AND cents_full = cents_ivm
+                     THEN 1 ELSE 0 END AS BIGINT) AS ivm_exact
+    FROM full_v JOIN ivm USING (prio)
+    ORDER BY prio
+    """,
+    "INCREMENTAL JOIN-VIEW maintenance — the delta-join expansion "
+    "every matview engine applies when BOTH join inputs receive "
+    "inserts: (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, so the "
+    "refresh joins each DELTA against the other side's old snapshot "
+    "plus the delta-delta corner, never re-joining the two big "
+    "snapshots (b158 covers the aggregate-retraction tier; this is "
+    "the join tier it feeds).  Deterministic deltas (orderkey/"
+    "linenumber residues — note the lineitem delta deliberately "
+    "splits WITHIN orders, exercising the cross terms), and the "
+    "output emits the maintained view NEXT TO the full recompute "
+    "with an exactness flag — a wrong or missing delta term breaks "
+    "the hash.  Scale shape: the three delta terms join delta-sized "
+    "inputs against snapshots (broadcast when the delta batch is "
+    "small — the streaming b145 posture); the full recompute exists "
+    "here only as the embedded proof and would be ABSENT in "
+    "production, which is the entire point of IVM.",
+)
+def b180_join_view_delta_maintenance(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    o_old = o.filter(F.col("o_orderkey") % _VM_MOD != 0)
+    o_dlt = o.filter(F.col("o_orderkey") % _VM_MOD == 0)
+    l_old = li.filter((F.col("l_orderkey") % _VM_MOD != 0)
+                      | (F.col("l_linenumber") % 2 == 0))
+    l_dlt = li.filter((F.col("l_orderkey") % _VM_MOD == 0)
+                      & (F.col("l_linenumber") % 2 == 1))
+
+    def term(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.join(b, a.o_orderkey == b.l_orderkey)
+                .select(F.col("o_orderpriority").alias("prio"),
+                        F.expr("CAST(floor(l_extendedprice * 100) "
+                               "AS BIGINT)").alias("cents")))
+
+    pairs = (term(o_old, l_old).unionByName(term(o_dlt, l_old))
+             .unionByName(term(o_old, l_dlt))
+             .unionByName(term(o_dlt, l_dlt)))
+    ivm = pairs.groupBy("prio").agg(
+        F.count("*").alias("n_ivm"),
+        F.sum("cents").alias("cents_ivm"))
+    full_v = (o.join(li, o.o_orderkey == li.l_orderkey)
+              .groupBy(F.col("o_orderpriority").alias("prio"))
+              .agg(F.count("*").alias("n_full"),
+                   F.sum(F.expr("CAST(floor(l_extendedprice * 100) "
+                                "AS BIGINT)")).alias("cents_full")))
+    return (full_v.join(ivm, "prio")
+            .select("prio",
+                    F.col("n_full").cast("long"),
+                    F.col("cents_full").cast("long"),
+                    F.col("n_ivm").cast("long"),
+                    F.col("cents_ivm").cast("long"),
+                    F.when((F.col("n_full") == F.col("n_ivm"))
+                           & (F.col("cents_full")
+                              == F.col("cents_ivm")), 1)
+                    .otherwise(0).cast("long").alias("ivm_exact"))
+            .orderBy("prio"))

@@ -100,6 +100,13 @@ _NEW_THIS_ROUND: list = [
     "b179_dictionary_encoding_audit",
     "c145_char5_minhash_neardup",
     "b180_join_view_delta_maintenance",
+    "c146_heaps_law_vocab_growth",
+    "c147_pmi_collocations",
+    "c148_taxonomy_keyword_tagging",
+    "b181_t_closeness_audit",
+    "b182_session_threshold_audit",
+    "c149_good_turing_unseen_mass",
+    "b183_conversion_hazard",
 ]
 
 

@@ -131,6 +131,13 @@ HEADLINE = [
     "b178_gap_fill_interpolation",     # day-spine linear gap fill
     "b179_dictionary_encoding_audit",  # order-preserving global dict
     "b180_join_view_delta_maintenance",  # IVM delta-join expansion
+    "c146_heaps_law_vocab_growth",     # doubling-grid Heaps audit
+    "c147_pmi_collocations",           # integer-lift PMI top-k
+    "c148_taxonomy_keyword_tagging",   # broadcast-dict topic shares
+    "b181_t_closeness_audit",          # ordered-EMD privacy audit
+    "b182_session_threshold_audit",    # gap-band threshold pricing
+    "c149_good_turing_unseen_mass",    # count-of-counts GT audit
+    "b183_conversion_hazard",          # censored KM hazard curve
 ]
 # c145_char5_minhash_neardup is intentionally NOT in HEADLINE: char
 # 5-grams are ~6x the shingle rows of the word-3-gram c06f that IS

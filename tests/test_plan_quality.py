@@ -998,6 +998,15 @@ _SP_ORDERING_REVIEWED = {
         "|distinct dictionary values| rank over a post-distinct "
         "relation — global dictionaries are column-cardinality-"
         "bounded by design (Parquet/ORC dictionary-page posture)",
+    "c146_heaps_law_vocab_growth":
+        "14-row literal doubling grid — cumsum/lag run over the "
+        "grid-bucketed aggregates, never the corpus",
+    "b182_session_threshold_audit":
+        "|threshold bands| = 7 literal grid rows — the suffix cumsum "
+        "runs over band counts, never the gap stream",
+    "b183_conversion_hazard":
+        "|lag-days| cell table — calendar-bounded; the risk-set "
+        "prefix sum never touches per-user rows",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")

@@ -1213,3 +1213,45 @@ def test_pq_encode_impls_agree_on_non_dense_codebook(spark):
     arr = {r["vec_id"]: list(r["codes"]) for r in
            pq_encode(emb, books, impl="arrow").collect()}
     assert nat == arr == {1: [0, 0], 2: [1, 1]}
+
+
+def test_containment_prefix_filter_equals_naive(spark):
+    """The asymmetric (min-side-prefix) containment join is complete:
+    identical pair set, overlap counts and sizes as the naive
+    inverted-index join on the real corpus."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        containment_pairs_prefix_filtered, ngram_jaccard_pairs)
+    from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import _t
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    tau = 800_000
+    naive = {}
+    for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.0,
+                                 keep_sizes=True).collect():
+        if r["n_common"] * 1000000 // min(r["n1"], r["n2"]) >= tau:
+            naive[(r["d1"], r["d2"])] = (r["n_common"], r["n1"], r["n2"])
+    pref = {(r["d1"], r["d2"]): (r["n_common"], r["n1"], r["n2"])
+            for r in containment_pairs_prefix_filtered(
+                docs, "doc_id", "text", n=3, tau_ppm=tau).collect()}
+    assert naive == pref
+    assert naive, "fixture produced no containment pairs (vacuous test)"
+
+
+def test_containment_prefix_filter_catches_exact_inclusion(spark):
+    """Adversarial completeness control: a small doc fully quoted
+    inside a large one (C = 1, J far below threshold) MUST surface,
+    including when the pair's shingles are the corpus's hottest."""
+    from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
+        containment_pairs_prefix_filtered)
+    inner = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, inner),
+            (2, "preamble words " + inner + " trailing boilerplate"),
+            # hot-shingle noise: many docs sharing one dominant trigram
+            *[(10 + i, f"alpha beta gamma filler{i} x{i} y{i}")
+              for i in range(20)]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["d1"], r["d2"]): r["n_common"]
+           for r in containment_pairs_prefix_filtered(
+               docs, "doc_id", "text", n=3, tau_ppm=800_000).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)] == 4  # all 4 trigrams of the inner doc

@@ -435,30 +435,34 @@ _CT_JAC = 500_000          # the dup pipeline's Jaccard threshold
     "wrapping, quote inclusion, licence headers), J = |A∩B|/|A∪B| "
     "stays below the dup threshold while containment "
     f"C = |A∩B|/min(|A|,|B|) is ~1.  Pairs with C >= {_CT_TAU} ppm "
-    "over the c08 inverted-index join, emitting both measures in "
-    "exact truncating integer ppm plus the class flag ('wrap' = "
-    "containment-dup that the Jaccard pipeline would MISS — the "
-    "Broder containment measure, the reason CC-style pipelines "
-    "dedup with both).  Scale shape: identical to c08 — "
-    "collision-driven inverted-index join, never docs^2; at "
-    "production scale the same banded-LSH candidates feed this "
-    "verifier (min-side MinHash containment estimate), so the "
-    "exact pass stays collision-bounded.",
+    "via ASYMMETRIC PREFIX FILTERING (All-Pairs/PPJoin family): the "
+    "smaller doc's globally-rarest-shingle prefix joins the larger "
+    "doc's full postings, so hot shingles (which rank last in every "
+    "doc) never enter the candidate join — exact, no recall loss "
+    "(pigeonhole on the containment overlap bound).  Emits both "
+    "measures in exact truncating integer ppm plus the class flag "
+    "('wrap' = containment-dup that the Jaccard pipeline would MISS "
+    "— the Broder containment measure, the reason CC-style "
+    "pipelines dedup with both).  Scale shape: the r10 sf1 sweep "
+    "measured the symmetric inverted-index join at 2594 s (50k "
+    "docs, fixed-vocabulary corpus — every doc pair collides); the "
+    "prefix rewrite prices the same exact output "
+    "collision-prefix-bounded, and at production scale banded-LSH "
+    "candidates feed the identical verify tail.",
 )
 def c143_shingle_containment(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     from tp_airflow_gtfs_snowflake_spark.operators.dedup import (
-        ngram_jaccard_pairs)
+        containment_pairs_prefix_filtered)
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                threshold=0.0, keep_sizes=True)
+    pairs = containment_pairs_prefix_filtered(docs, "doc_id", "text",
+                                              n=3, tau_ppm=_CT_TAU)
     cont = F.expr("n_common * 1000000 div least(n1, n2)")
     jac = F.expr("n_common * 1000000 div (n1 + n2 - n_common)")
     return (pairs
             .withColumn("containment_ppm", cont.cast("long"))
             .withColumn("jaccard_ppm", jac.cast("long"))
-            .filter(F.col("containment_ppm") >= _CT_TAU)
             .select(F.col("d1").cast("long"), F.col("d2").cast("long"),
                     F.col("n_common").cast("long").alias("n_common"),
                     F.col("n1").cast("long").alias("n1"),

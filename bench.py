@@ -172,6 +172,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Scheduler-floor calibration (VERDICT r10 task 1a): the host's
+    # 1-task job cost has drifted across rounds (~60 ms r05, ~103 ms
+    # r07, 257-381 ms r10) and per-query wall is ~ jobs x floor +
+    # data time, so job-count-heavy queries inflate 4-10x while
+    # scan-bound ones move 1.2-1.4x.  Emitting the measured floor
+    # with every run lets cross-round comparisons be normalized
+    # mechanically instead of adjudicated by narrative.  min-of-10
+    # after the warm-up sweep so JIT is not billed to the floor.
+    floor_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_times.append(time.perf_counter() - t0)
+    job_floor = round(min(floor_times), 4)
+    job_floor_median = round(sorted(floor_times)[len(floor_times) // 2], 4)
+
     # min of 3 runs per query: the steady-state number a resident
     # cluster would see (run 1 pays codegen compilation + broadcast
     # warmup that is per-process, not per-query, cost).  A JVM GC
@@ -221,6 +237,8 @@ def main() -> None:
         "baseline_r01_subset_seconds": round(
             sum(per_query.get(n, 0.0) for n in r01_suite), 3),
         "baseline_r01_subset_n": sum(1 for n in r01_suite if n in per_query),
+        "job_floor_seconds": job_floor,
+        "job_floor_median_seconds": job_floor_median,
         "queries": per_query,
         "sf": sf,
     }
@@ -253,6 +271,7 @@ def main() -> None:
     summary = {k: out[k] for k in
                ("metric", "value", "unit", "n_queries",
                 "baseline_r01_subset_seconds", "baseline_r01_subset_n",
+                "job_floor_seconds", "job_floor_median_seconds",
                 "sf") if k in out}
     if "streaming" in out:
         summary["streaming"] = out["streaming"]

@@ -1262,6 +1262,12 @@ def test_checkpoint_sites_are_audited():
         # scaled post-aggregate reused by four marginals; never feeds
         # a SinglePartition exchange
         ("plans/driver_queries_round17.py", "c142_label_signal_ceiling"),
+        # c144: |corpus|-row (vec_id, exact_dot, approx_dot) relation
+        # consumed by two TakeOrdereds — lazy-checkpointed so the
+        # interpreted HOF dots evaluate once (VERDICT r10 weak fix);
+        # never feeds a SinglePartition exchange
+        ("plans/driver_queries_round17.py",
+         "c144_sq8_quantization_audit"),
     }
     found = set()
     for path in sorted(pkg.rglob("*.py")):

@@ -789,7 +789,7 @@ def b153_hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("m").alias("r")))
     # |days| x 64 rows: materialize once — the register merge and the
     # n_partials count both consume it.
-    partials = partials.localCheckpoint()
+    partials = partials.localCheckpoint(eager=False)
     regs = partials.groupBy("bucket").agg(F.max("r").alias("rr"))
     summary = regs.agg(
         F.count("*").alias("n_present"),
@@ -913,7 +913,7 @@ def b154_sliding_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("m")))
     partials = (ranked.groupBy("day", "bucket")
                 .agg(F.max("m").alias("r"))
-                .localCheckpoint())  # |days| x 64; spine + window reuse it
+                .localCheckpoint(eager=False))  # |days| x 64; spine + window reuse it
     spine = partials.select("day").distinct()
     win = (F.broadcast(spine.select(F.col("day").alias("wday")))
            .join(partials,

@@ -293,7 +293,7 @@ def b156_mips_norm_pruned_topk(spark: SparkSession,
                        >= F.col("l") * F.col("l")))
             .select("q_id", "vec_id",
                     dot(F.col("v"), F.col("qv")).alias("ip")))
-    cand = cand.localCheckpoint()  # ranked + stats both consume it
+    cand = cand.localCheckpoint(eager=False)  # ranked + stats both consume it
     stats = cand.groupBy("q_id").agg(
         F.count("*").cast("long").alias("n_scanned"))
     return (cand.withColumn("rn", F.row_number().over(w_topk))
@@ -373,7 +373,7 @@ def b157_skew_salt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     h = _B157_H
     k = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    k = k.localCheckpoint()  # tiny (|keys| rows); 4 branches consume it
+    k = k.localCheckpoint(eager=False)  # tiny (|keys| rows); 4 branches consume it
     tot = k.agg(F.sum("n").alias("total"))
     keyed = (k.crossJoin(F.broadcast(tot))
              .select("event_type", "n", "total",
@@ -473,7 +473,7 @@ def b158_incremental_agg_retraction(spark: SparkSession,
                         "ts_us", "event_id"))
 
     # the maintained state: base latest-per-user + its aggregate
-    base_state = latest_per_user(base).localCheckpoint()
+    base_state = latest_per_user(base).localCheckpoint(eager=False)
     base_agg = (base_state.groupBy("event_type")
                 .agg(F.count("*").alias("d_users"),
                      F.sum("value_cents").alias("d_cents")))
@@ -493,7 +493,7 @@ def b158_incremental_agg_retraction(spark: SparkSession,
                        F.col("d.value_cents").alias("new_cents"),
                        F.col("b.event_type").alias("old_type"),
                        F.col("b.value_cents").alias("old_cents"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
     # retraction rows (old contribution out) + addition rows (new in)
     retract = (winners.filter(F.col("old_type").isNotNull())
                .select(F.col("old_type").alias("event_type"),
@@ -557,7 +557,7 @@ def c132_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_chars",
                     F.when(F.col("lang") == "en", 1).otherwise(0)
                     .alias("pos")))
-    docs = docs.localCheckpoint()  # histogram + rank join share it
+    docs = docs.localCheckpoint(eager=False)  # histogram + rank join share it
     hist = (docs.groupBy("n_chars")
             .agg(F.count("*").alias("cnt"), F.sum("pos").alias("pcnt")))
     w_hi = (W.orderBy(F.desc("n_chars"))
@@ -730,8 +730,8 @@ def b159_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100).cast("long"),
             F.lit(_QD_U - 1))).alias("v"))
         .groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint())  # audit branch + digest build share it
-    tot = (hist.agg(F.sum("cnt").alias("n")).localCheckpoint())
+        .localCheckpoint(eager=False))  # audit branch + digest build share it
+    tot = (hist.agg(F.sum("cnt").alias("n")).localCheckpoint(eager=False))
 
     def _compress(pdf: pd.DataFrame) -> pd.DataFrame:
         cur = {int(v) + _QD_U: int(c)
@@ -743,7 +743,7 @@ def b159_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     digest = (hist.groupBy(F.lit(1).alias("g"))
               .applyInPandas(_compress, "id long, cnt long, ub long")
-              .localCheckpoint())  # cum walk + n_nodes share it
+              .localCheckpoint(eager=False))  # cum walk + n_nodes share it
     # global windows below run on sketch-sized relations (O(k log U)
     # nodes / <= U histogram buckets), never a raw scan
     cum = digest.select(
@@ -902,7 +902,7 @@ def b160_sliding_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100).cast("long"),
             F.lit(_QD_U - 1))).alias("v"))
         .groupBy("day", "v").agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint())  # mergeable per-day histogram partials
+        .localCheckpoint(eager=False))  # mergeable per-day histogram partials
     spine = dayhist.select(F.col("day").alias("wday")).distinct()
     merged = (F.broadcast(spine)
               .join(dayhist,
@@ -910,7 +910,7 @@ def b160_sliding_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("day") <= F.col("wday")))
               .groupBy("wday", "v")
               .agg(F.sum("cnt").cast("long").alias("cnt"))
-              .localCheckpoint())  # digest build + exact audit share it
+              .localCheckpoint(eager=False))  # digest build + exact audit share it
 
     def _compress_win(pdf: pd.DataFrame) -> pd.DataFrame:
         wday = pdf["wday"].iloc[0]
@@ -926,7 +926,7 @@ def b160_sliding_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = (merged.groupBy("wday")
               .applyInPandas(_compress_win,
                              "wday date, id long, cnt long, ub long")
-              .localCheckpoint())  # cum walk + per-day n_nodes share it
+              .localCheckpoint(eager=False))  # cum walk + per-day n_nodes share it
     cum = digest.select(
         "wday", "ub", F.sum("cnt").over(
             W.partitionBy("wday").orderBy("ub", F.desc("id"))

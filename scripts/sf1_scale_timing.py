@@ -9,6 +9,11 @@ rows.  ANSI mode means integer overflow at the larger SF throws
 instead of wrapping, so a clean sweep is also a correctness signal.
 
 Usage: python scripts/sf1_scale_timing.py [sf_dir] [-excludeprefix ...]
+                                          [--names-file FILE]
+
+--names-file limits the sweep to the newline-separated query names in
+FILE (the r11 back-half resume path: names not yet present in the r10
+sweep logs).
 """
 
 from __future__ import annotations
@@ -26,7 +31,13 @@ import __spark_entry__ as entry
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
-    excludes = [a[1:] for a in sys.argv[2:] if a.startswith("-")]
+    args = sys.argv[2:]
+    only: set[str] | None = None
+    if "--names-file" in args:
+        i = args.index("--names-file")
+        only = set(open(args[i + 1]).read().split())
+        args = args[:i] + args[i + 2:]
+    excludes = [a[1:] for a in args if a.startswith("-")]
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.driver.memory", "8g")
@@ -35,6 +46,8 @@ def main() -> int:
     qs = entry.queries()
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         if any(name.startswith(p) for p in excludes):
             print(f"{name:44s}   SKIP (excluded)", flush=True)
             continue

@@ -78,12 +78,18 @@ from tp_airflow_gtfs_snowflake_spark.plans.driver_queries_ext import (
 # ---------------------------------------------------------------------
 
 # Doubling grid over doc_id prefixes: level k covers doc_id in
-# [lo, hi) with hi = 2^k; the first level absorbs [0, 16).  14 levels
-# reach 128k docs — beyond every test SF; saturated levels (no new
-# docs) are dropped in the final projection, so the grid needs no
-# per-SF tuning.
-_HP_LEVELS = [(k, 0 if k == 4 else 2 ** (k - 1), 2 ** k)
-              for k in range(4, 18)]
+# [lo, hi) with hi = 2^k; the first level absorbs [0, 16).  14
+# doubling levels reach 128k docs — beyond every test SF — and a
+# final catch-all level [2^17, 2^62) absorbs any corpus beyond the
+# grid (ADVICE r10: without it, docs past 2^17 were silently
+# EXCLUDED from every cumulative count, and oracle parity could not
+# catch the truncation since both engines shared the grid).  The
+# catch-all's ratio rows are a ">=2x tail", not a doubling; levels
+# with no new docs are dropped in the final projection, so the grid
+# needs no per-SF tuning.
+_HP_LEVELS = ([(k, 0 if k == 4 else 2 ** (k - 1), 2 ** k)
+               for k in range(4, 18)]
+              + [(18, 2 ** 17, 2 ** 62)])
 _HP_GRID_SQL = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _HP_LEVELS)
 
 
@@ -202,7 +208,8 @@ _PMI_TOPK = 50
            CAST(c_xy AS BIGINT) AS c_xy,
            CAST(u1.cw AS BIGINT) AS c_x,
            CAST(u2.cw AS BIGINT) AS c_y,
-           CAST(c_xy * n.n * 1000000 // (u1.cw * u2.cw) AS BIGINT)
+           CAST(CAST(c_xy AS HUGEINT) * n.n * 1000000
+                // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT)
              AS lift_ppm
     FROM bgc JOIN uni u1 ON u1.w = w1
              JOIN uni u2 ON u2.w = w2
@@ -244,8 +251,16 @@ def c147_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_xy").cast("long").alias("c_xy"),
                     F.col("c_x").cast("long").alias("c_x"),
                     F.col("c_y").cast("long").alias("c_y"),
-                    F.expr("c_xy * n * 1000000 div (c_x * c_y)")
-                    .cast("long").alias("lift_ppm"))
+                    # 128-bit (DECIMAL(38,0) / HUGEINT in the oracle)
+                    # intermediates: c_xy*n*1e6 <= n^2*1e6 overflows
+                    # int64 past ~1e8 corpus tokens with a hot bigram
+                    # (ADVICE r10); decimal keeps the lift exact to
+                    # ~1e16 tokens in both engines.
+                    F.expr(
+                        "CAST(CAST(c_xy AS DECIMAL(38,0)) * n * 1000000"
+                        " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+                        " AS BIGINT)")
+                    .alias("lift_ppm"))
             .orderBy(F.desc("lift_ppm"), "w1", "w2")
             .limit(_PMI_TOPK))
 
@@ -379,8 +394,9 @@ _TC_THRESH = 150_000       # t threshold in ppm
             FROM p)
     SELECT n_name, c_mktsegment,
            CAST(any_value(n_grp) AS BIGINT) AS n_rows,
-           CAST(sum(abs(cd)) // (any_value(m) - 1) AS BIGINT) AS t_ppm,
-           CASE WHEN sum(abs(cd)) // (any_value(m) - 1)
+           CAST(sum(abs(cd)) // greatest(any_value(m) - 1, 1)
+                AS BIGINT) AS t_ppm,
+           CASE WHEN sum(abs(cd)) // greatest(any_value(m) - 1, 1)
                      > {_TC_THRESH} THEN 'breach' ELSE 'ok' END
              AS verdict
     FROM cum GROUP BY n_name, c_mktsegment
@@ -426,7 +442,14 @@ def b181_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("dppm").over(cw).alias("cd"))
     return (cum.groupBy("n_name", "c_mktsegment")
             .agg(F.any_value("n_grp").cast("long").alias("n_rows"),
-                 F.expr("sum(abs(cd)) div (any_value(m) - 1)")
+                 # greatest(m-1, 1): if the data collapses into a
+                 # single global bucket the EMD denominator is 0 and
+                 # a NULL t_ppm would read as an 'ok' verdict in a
+                 # privacy audit (ADVICE r10) — with m=1 every
+                 # group's distribution equals the global one, so
+                 # t_ppm=0 is also the correct answer.
+                 F.expr("sum(abs(cd)) div greatest(any_value(m) - 1,"
+                        " 1)")
                  .cast("long").alias("t_ppm"))
             .select("n_name", "c_mktsegment", "n_rows", "t_ppm",
                     F.when(F.col("t_ppm") > _TC_THRESH, "breach")
@@ -486,7 +509,15 @@ _ST_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _ST_BANDS)
     "created, gaps split, split fraction and sessions-per-user in "
     "exact integer ppm/milli.  A knee in n_sessions(T) is the "
     "natural session gap; a flat curve means the threshold is "
-    "arbitrary and downstream session KPIs are artifacts.  Scale "
+    "arbitrary and downstream session KPIs are artifacts.  Split "
+    "convention: a gap equal to a candidate threshold counts as a "
+    "break for that threshold (gap >= T, half-open bands [lo, hi)) — "
+    "b29's sessionizer splits on gap > T, so a gap landing exactly "
+    "on a boundary is priced here as split; with microsecond gaps "
+    "and second-grained candidates the boundary set is measure-zero "
+    "in practice, and the convention is pinned identically in both "
+    "engines (ADVICE r10: documented, not silently divergent).  "
+    "Scale "
     "shape: ONE pass computes per-user lag gaps (the same single "
     "user_id shuffle b29 pays), each gap lands in exactly one "
     "half-open band of a literal broadcast grid, and every relation "

@@ -88,25 +88,10 @@ def _driver_verified() -> frozenset:
 # rows_only bucket sorts ahead of verified names, so r09's window
 # picks them up automatically once `front` is empty.
 _NEW_THIS_ROUND: list = [
-    # brand-new this round (r10); names are appended as each query
+    # brand-new this round (r11); names are appended as each query
     # goes oracle-green at three SFs.  Registry provenance closed in
     # r09 (every name has a driver row), so all remaining window
     # slots sweep the staleness-ordered `back` bucket.
-    "b177_merge_plan_execution_proof",
-    "c142_label_signal_ceiling",
-    "c143_shingle_containment",
-    "c144_sq8_quantization_audit",
-    "b178_gap_fill_interpolation",
-    "b179_dictionary_encoding_audit",
-    "c145_char5_minhash_neardup",
-    "b180_join_view_delta_maintenance",
-    "c146_heaps_law_vocab_growth",
-    "c147_pmi_collocations",
-    "c148_taxonomy_keyword_tagging",
-    "b181_t_closeness_audit",
-    "b182_session_threshold_audit",
-    "c149_good_turing_unseen_mass",
-    "b183_conversion_hazard",
 ]
 
 
@@ -114,7 +99,25 @@ _NEW_THIS_ROUND: list = [
 # driver row — the one case where burning a window slot on a verified
 # name is the right call (r06 precedent: the b153/b154 HLL clamp).
 # Populate explicitly per round; empty when no verified query changed.
-_REVERIFY_CHANGED: list = []
+_REVERIFY_CHANGED: list = [
+    # r11 changes, all re-validated hash-green at sf0.01 locally:
+    # c144 single-pass zip_with scoring rewrite (VERDICT r10 task 2);
+    # the lazy-checkpoint job-count diet (VERDICT r10 task 1b);
+    # the four advisory hardenings (c146/c147/b181/b182).
+    "c144_sq8_quantization_audit",
+    "b153_hll_portable_sketch",
+    "b154_sliding_hll_distinct",
+    "b156_mips_norm_pruned_topk",
+    "b157_skew_salt_audit",
+    "b158_incremental_agg_retraction",
+    "b159_qdigest_quantiles",
+    "b160_sliding_qdigest",
+    "c132_average_precision",
+    "c146_heaps_law_vocab_growth",
+    "c147_pmi_collocations",
+    "b181_t_closeness_audit",
+    "b182_session_threshold_audit",
+]
 
 
 def _rotated(d: dict) -> dict:

@@ -92,6 +92,15 @@ _NEW_THIS_ROUND: list = [
     # goes oracle-green at three SFs.  Registry provenance closed in
     # r09 (every name has a driver row), so all remaining window
     # slots sweep the staleness-ordered `back` bucket.
+    "b184_watermark_delay_audit",
+    "b185_column_profile",
+    "b186_hll_hierarchy_rollup",
+    "c150_dedup_threshold_curve",
+    "c151_context_packing_audit",
+    "c152_stratified_split_audit",
+    "c153_vocab_coverage_curve",
+    "b187_scd2_late_arrival_repair",
+    "c154_temperature_mixture_weights",
 ]
 
 

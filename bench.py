@@ -138,6 +138,15 @@ HEADLINE = [
     "b182_session_threshold_audit",    # gap-band threshold pricing
     "c149_good_turing_unseen_mass",    # count-of-counts GT audit
     "b183_conversion_hazard",          # censored KM hazard curve
+    "b184_watermark_delay_audit",      # batch-boundary lateness grid
+    "b185_column_profile",             # one-pass catalog stats
+    "b186_hll_hierarchy_rollup",       # register merge up a hierarchy
+    "c150_dedup_threshold_curve",      # Jaccard-knob pricing curve
+    "c151_context_packing_audit",      # concat-and-split packing grid
+    "c152_stratified_split_audit",     # hash-split mixture balance
+    "c153_vocab_coverage_curve",       # top-k token-mass coverage
+    "b187_scd2_late_arrival_repair",   # late-batch interval diff
+    "c154_temperature_mixture_weights",  # isqrt T=2 source weights
 ]
 # c145_char5_minhash_neardup is intentionally NOT in HEADLINE: char
 # 5-grams are ~6x the shingle rows of the word-3-gram c06f that IS

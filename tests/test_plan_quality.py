@@ -1007,6 +1007,23 @@ _SP_ORDERING_REVIEWED = {
     "b183_conversion_hazard":
         "|lag-days| cell table — calendar-bounded; the risk-set "
         "prefix sum never touches per-user rows",
+    "b184_watermark_delay_audit":
+        "|batches| running-max table + 6-row literal delay grid — "
+        "both windows run over post-aggregate tiny relations, never "
+        "the event stream",
+    "b185_column_profile":
+        "1-row wide aggregate unpivoted to |columns| rows — the "
+        "final sort orders 6 rows",
+    "c150_dedup_threshold_curve":
+        "5-row literal threshold grid — the suffix cumsum runs over "
+        "band counts, never the pair table",
+    "c151_context_packing_audit":
+        "block-offset table (b107 two-pass form) + 3-row window "
+        "grid",
+    "c153_vocab_coverage_curve":
+        "vocabulary-sized frequency rank (the quantity c146 audits "
+        "as sublinear; b179's dictionary lenience) + 6-row k grid "
+        "cumsum",
 }
 
 _SP_ORDER_CONSUMERS = ("Window", "Sort", "WindowGroupLimit")
@@ -1268,6 +1285,15 @@ def test_checkpoint_sites_are_audited():
         # never feeds a SinglePartition exchange
         ("plans/driver_queries_round17.py",
          "c144_sq8_quantization_audit"),
+        # b186: |nations| x 64 register partials — three hierarchy
+        # merges consume them; never feeds a SinglePartition exchange
+        ("plans/driver_queries_round19.py",
+         "b186_hll_hierarchy_rollup"),
+        # c150: threshold-qualified similarity pairs (collision-
+        # bounded by prefix filtering) — pair bands + per-doc max
+        # bands both consume them
+        ("plans/driver_queries_round19.py",
+         "c150_dedup_threshold_curve"),
     }
     found = set()
     for path in sorted(pkg.rglob("*.py")):

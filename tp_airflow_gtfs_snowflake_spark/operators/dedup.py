@@ -389,7 +389,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
 
 def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str,
                                   text_col: str, n: int = 3,
-                                  threshold: float = 0.5) -> DataFrame:
+                                  threshold: float = 0.5,
+                                  keep_sizes: bool = False) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (All-Pairs/PPJoin,
     Bayardo et al. WWW'07; Xiao et al. WWW'08 — public papers): order
     every doc's shingle set by ascending global frequency and index
@@ -444,7 +445,8 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str,
                         F.col("n_common")
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
-            .select("d1", "d2", "n_common", "jaccard"))
+            .select("d1", "d2", "n_common", "jaccard",
+                    *(["n1", "n2"] if keep_sizes else [])))
 
 
 def containment_pairs_prefix_filtered(df: DataFrame, id_col: str,

@@ -939,6 +939,7 @@ from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_round15  # noqa
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_round16  # noqa: E402,F401
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_round17  # noqa: E402,F401
 from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_round18  # noqa: E402,F401
+from tp_airflow_gtfs_snowflake_spark.plans import driver_queries_round19  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

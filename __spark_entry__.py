@@ -126,6 +126,11 @@ _REVERIFY_CHANGED: list = [
     "c147_pmi_collocations",
     "b181_t_closeness_audit",
     "b182_session_threshold_audit",
+    "b150_simpson_reversal_audit",
+    "c130_jsd_lang_divergence",
+    "c131_cluster_purity_mi",
+    "b155_streaming_datasource_restart",
+    "b161_streaming_retraction_restart",
 ]
 
 

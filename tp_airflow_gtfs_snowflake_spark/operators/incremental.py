@@ -261,7 +261,7 @@ def retraction_apply_batch(
         winners = (blat
                    .withColumn("old_grp", F.lit(None).cast("string"))
                    .withColumn("old_val", F.lit(None).cast("long")))
-    winners = winners.localCheckpoint()  # feeds both branches
+    winners = winners.localCheckpoint(eager=False)  # feeds both branches
     retract = (winners.filter(F.col("old_grp").isNotNull())
                .select(F.col("old_grp").alias(group_col),
                        F.lit(-1).cast("long").alias("d_users"),

@@ -203,7 +203,7 @@ def b150_simpson_reversal_audit(spark: SparkSession,
         .alias("hi_a"),
         F.sum(F.when(F.col("seg") == _SEG_B, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("seg") == _SEG_B, F.col("hi")).otherwise(0))
-        .alias("hi_b"))).localCheckpoint()
+        .alias("hi_b"))).localCheckpoint(eager=False)
     pooled = per_nation.agg(
         F.expr("sum(hi_a) * 1000000 div sum(n_a)").alias("pooled_a_ppm"),
         F.expr("sum(hi_b) * 1000000 div sum(n_b)").alias("pooled_b_ppm"))
@@ -556,7 +556,7 @@ def c130_jsd_lang_divergence(spark: SparkSession,
               .groupBy("tk")
               .agg(*[F.sum(F.when(F.col("lang") == lng, 1).otherwise(0))
                      .alias(f"cnt_{lng}") for lng in _LANGS])
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     totals = counts.agg(
         *[F.sum(f"cnt_{lng}").alias(f"n_{lng}") for lng in _LANGS],
         F.count("*").alias("v"))
@@ -658,7 +658,7 @@ def c131_cluster_purity_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the N total and the main branch don't each rescan the corpus.
     cells = (emb.select(sign.cast("long").alias("cluster"), "label")
              .groupBy("cluster", "label").agg(F.count("*").alias("n_cl"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     tot = cells.agg(F.sum("n_cl").alias("n"))
     w_c = W.partitionBy("cluster")
     w_l = W.partitionBy("label")

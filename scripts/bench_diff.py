@@ -39,6 +39,14 @@ _META_KEYS = {
 }
 
 
+def load_floor(path: str) -> float | None:
+    """job_floor_seconds from a bench stdout / driver artifact, if the
+    run recorded one (bench.py emits it from r11 on)."""
+    text = open(path).read()
+    m = re.search(r'"job_floor_seconds": ([0-9.]+)', text)
+    return float(m.group(1)) if m else None
+
+
 def load_queries(path: str) -> tuple[dict[str, float], str]:
     """Returns (name -> seconds, provenance-note)."""
     text = open(path).read()
@@ -87,6 +95,19 @@ def main() -> None:
     print(f"old: {po} ({len(qo)} queries)   new: {pn} ({len(qn)})")
     print(f"overlap {len(common)}: {to:.2f}s -> {tn:.2f}s "
           f"= {tn / to:.3f}x   median per-query {1 + med:.3f}x")
+    fo, fn = load_floor(a.old), load_floor(a.new)
+    if fo and fn:
+        # wall ~ jobs x floor + data time (BASELINE.md r07 profile),
+        # so a floor ratio R means job-count-bound queries may move
+        # up to ~Rx with byte-identical plans.  Divide the floor
+        # model out BEFORE reading any delta as a regression.
+        print(f"job floor: {fo * 1000:.0f}ms -> {fn * 1000:.0f}ms "
+              f"= {fn / fo:.2f}x — deltas on job-heavy queries up to "
+              f"{fn / fo:.2f}x are floor, not plan")
+    elif fn:
+        print(f"job floor (new only): {fn * 1000:.0f}ms — old run "
+              "predates floor calibration; job-heavy deltas "
+              "unreadable without it")
     if abs(med) > a.rel:
         print(f"!! uniform shift (median {med:+.0%}) — environment "
               "band; re-run idle before reading per-query deltas")

@@ -157,7 +157,8 @@ def c146_heaps_law_vocab_growth(spark: SparkSession,
     wl = (w.join(grid, (w.fd >= grid.lo) & (w.fd < grid.hi))
           .groupBy("lvl").agg(F.count("*").alias("nw")))
     cum = W.orderBy("lvl").rowsBetween(W.unboundedPreceding, 0)
-    c = (grid.join(dl, "lvl", "left").join(wl, "lvl", "left")
+    c = (grid.join(F.broadcast(dl), "lvl", "left")
+         .join(F.broadcast(wl), "lvl", "left")
          .select("lvl", "hi",
                  F.coalesce("nd", F.lit(0)).alias("nd"),
                  F.sum(F.coalesce("nd", F.lit(0))).over(cum)
@@ -537,7 +538,7 @@ def b182_session_threshold_audit(spark: SparkSession,
                     & (gaps.gap < grid.hi_us))
           .groupBy("band").agg(F.count("*").alias("c")))
     sw = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
-    s = (grid.join(bc, "band", "left")
+    s = (grid.join(F.broadcast(bc), "band", "left")
          .select("band", "lo_us",
                  F.sum(F.coalesce("c", F.lit(0))).over(sw)
                  .alias("n_breaks")))

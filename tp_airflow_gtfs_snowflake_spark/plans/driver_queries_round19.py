@@ -162,7 +162,7 @@ def b184_watermark_delay_audit(spark: SparkSession,
                    & (lat.lateness_us <= grid.hi_us))
           .groupBy("band").agg(F.count("*").alias("c")))
     sw = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
-    s = (grid.join(bc, "band", "left")
+    s = (grid.join(F.broadcast(bc), "band", "left")
          .select("band", "lo_us",
                  F.sum(F.coalesce("c", F.lit(0))).over(sw)
                  .alias("n_late")))
@@ -552,7 +552,8 @@ def c150_dedup_threshold_curve(spark: SparkSession,
                                F.sum("n_toks").alias("nt")))
     tot = dtok.agg(F.count("*").alias("n_docs"))
     sw = W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, 0)
-    s = (grid.join(pb, "band", "left").join(db, "band", "left")
+    s = (grid.join(F.broadcast(pb), "band", "left")
+         .join(F.broadcast(db), "band", "left")
          .select("band", "lo",
                  F.sum(F.coalesce("c", F.lit(0))).over(sw)
                  .alias("n_pairs"),
@@ -826,7 +827,7 @@ def c153_vocab_coverage_curve(spark: SparkSession,
     tot = u.agg(F.sum("cnt").alias("total"),
                 F.count("*").alias("vocab"))
     cw = W.orderBy("band").rowsBetween(W.unboundedPreceding, 0)
-    s = (grid.join(bs, "band", "left")
+    s = (grid.join(F.broadcast(bs), "band", "left")
          .select("band", "hi",
                  F.sum(F.coalesce("c", F.lit(0))).over(cw)
                  .alias("covered")))

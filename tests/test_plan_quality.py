@@ -1249,6 +1249,11 @@ def test_checkpoint_sites_are_audited():
         ("plans/driver_queries_round6.py", "c84_bpe_fertility_by_lang"),
         ("plans/driver_queries_round6.py", "c89_unigram_surprise"),
         ("plans/driver_queries_round6.py", "c94_quantile_normalization"),
+        # c95: (doc, 13-gram-hash) explode reused by the train-distinct
+        # and test-probe sides of the decontamination semi-join —
+        # corpus-scale like c138's shingles, re-shuffled on the hash
+        # key by both consumers, never SinglePartition (r11 job diet)
+        ("plans/driver_queries_round6.py", "c95_contamination_13gram"),
         ("plans/driver_queries_round6.py", "c98_triangle_count"),
         ("plans/driver_queries_round7.py", "b123_spearman_corr"),
         ("plans/driver_queries_round7.py", "b125_cuped_adjustment"),

@@ -140,6 +140,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     MinHash path below is the remedy; this operator is the exact
     verifier / small-corpus tool.
     """
+    # NOTE (r11, measured): no checkpoint here on purpose — the three
+    # consumers of sh (both self-join legs + the size agg) shuffle the
+    # IDENTICAL subtree and AQE's exchange reuse computes it once at
+    # runtime; a lazy cut was timing-neutral at sf0.1 (c19/c137/c141
+    # back-to-back) and would add a needless corpus-scale
+    # materialization.
     sh = _shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -221,6 +227,10 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
                            rows_per_band: int) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidate
     pairs.  Shuffles only (band_id, band_hash, doc_id)."""
+    # NOTE (r11, measured): no checkpoint — both self-join legs are
+    # the identical subtree; AQE exchange reuse computes it once, and
+    # a lazy cut REGRESSED c06f 1.74 -> 2.21 s at sf0.1 (it replaces
+    # the reused in-flight shuffle with a materialize-then-reshuffle).
     banded = _banded(signatures, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -373,6 +383,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
     blocks = F.array(*[
         F.struct(F.lit(i).alias("tbl"), _blk(i).alias("blk"))
         for i in range(n_tables)])
+    # NOTE (r11, measured): no checkpoint — both self-join legs
+    # shuffle the identical (tbl, blk)-keyed subtree and AQE's
+    # exchange reuse computes it once at runtime (same finding as
+    # the minhash bucket join: a lazy cut there regressed c06f
+    # 1.74 -> 2.21 s by replacing the reused in-flight shuffle with
+    # a materialize-then-reshuffle).
     ex = (sig.select("doc_id", "sig", F.explode(blocks).alias("b"))
           .select("doc_id", "sig", "b.tbl", "b.blk"))
     a, b = ex.alias("a"), ex.alias("b")

@@ -1916,11 +1916,17 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles(F.col("text"), 13).alias("shs"),
         F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_t"))
     toks = toks.filter(F.col("n_t") >= 13)
+    # g is consumed by BOTH the train-distinct side and the test probe
+    # side of the semi-join; uncut, the tokenize+13-gram+md5 explode
+    # over the corpus runs twice.  Lazy cut: the n_hit count is the
+    # first action and materializes one explode (measured 7.5 s ->
+    # 4.4 s at sf0.1, r11).  Corpus-scale like c138's shingles; both
+    # consumers re-shuffle on the hash key, never SinglePartition.
     g = toks.select(
         "doc_id", "is_test",
         F.explode(F.array_distinct(F.transform(
             F.col("shs"), lambda sh: _kmv.portable_hash48(sh))))
-        .alias("h"))
+        .alias("h")).localCheckpoint(eager=False)
     train = g.filter(~F.col("is_test")).select("h").distinct()
     hit = (g.filter(F.col("is_test"))
            .join(train, "h", "left_semi")
@@ -2037,19 +2043,22 @@ def c96_source_score_normalize(spark: SparkSession,
 def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pl = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
+                   F.col("l_partkey").alias("p"))
     # pair generation WITHOUT a self-join: one groupBy(order) into a
     # sorted parts array, pairs via an explode of the slice HOF (the
-    # per-order basket is small, so the array stays tiny)
+    # per-order basket is small, so the array stays tiny).  collect_set
+    # dedupes (o, p) within the basket, so no pre-distinct shuffle.
     arr = pl.groupBy("o").agg(F.sort_array(F.collect_set("p"))
                               .alias("ps"))
     pairs = arr.select(F.explode(F.expr(
         "flatten(transform(ps, (x, i) -> transform("
         "slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
     )).alias("e")).select("e.p1", "e.p2")
-    e = pairs.distinct().localCheckpoint(eager=True)  # reused 3x
-    n_nodes = pl.select("p").distinct().count()
+    # lazy: the n_edges count is the first action and materializes the
+    # cut as a side effect (reused 3x afterwards)
+    e = pairs.distinct().localCheckpoint(eager=False)
     n_edges = e.count()
+    n_nodes = pl.select("p").distinct().count()
     # degree-oriented arrows: from the (deg, id)-smaller endpoint
     deg = (e.select(F.col("p1").alias("p"))
            .unionAll(e.select(F.col("p2").alias("p")))
@@ -2064,7 +2073,11 @@ def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.struct(F.col("p1").alias("u"), F.col("p2").alias("v")))
         .otherwise(F.struct(F.col("p2").alias("u"),
                             F.col("p1").alias("v"))).alias("s")
-    ).select("s.u", "s.v")
+    ).select("s.u", "s.v").localCheckpoint(eager=False)
+    # ^ arrows is consumed three times below (probe side + twice via
+    # adj); uncut, the e+deg orientation joins replay 3x — the lazy
+    # cut folds materialization into the close job (measured: close
+    # phase 4.6 s -> 2.5 s at sf0.1, r11 job diet)
     # edge-iterator close: each arrow (u, v) contributes
     # |N+(u) n N+(v)| — the wedge set is never materialized (the
     # naive wedge join at sf0.1 builds ~8x more rows than edges);

@@ -1234,6 +1234,10 @@ def test_checkpoint_sites_are_audited():
         ("plans/driver_queries_round11.py", "b159_qdigest_quantiles"),
         ("plans/driver_queries_round11.py", "b160_sliding_qdigest"),
         ("plans/driver_queries_round11.py", "c132_average_precision"),
+        # c139: |docs| x 2 (gold, pred) label relation consumed by
+        # three different-key marginal aggregates — distinct subtrees
+        # AQE reuse cannot share; one lang-id pass instead of three
+        ("plans/driver_queries_round14.py", "c139_cohens_kappa_langid"),
         # c138: distinct (doc, shingle) relation reused k+1 times by
         # the greedy rounds — corpus-scale like CC's edges, never
         # feeds a SinglePartition exchange (each round re-shuffles on
@@ -1292,6 +1296,8 @@ def test_checkpoint_sites_are_audited():
          "c144_sq8_quantization_audit"),
         # b186: |nations| x 64 register partials — three hierarchy
         # merges consume them; never feeds a SinglePartition exchange
+        # (r11 adds the |orders|-row joined fact f: four different-key
+        # consumers, one join pass)
         ("plans/driver_queries_round19.py",
          "b186_hll_hierarchy_rollup"),
         # c150: threshold-qualified similarity pairs (collision-

@@ -389,8 +389,13 @@ def c139_cohens_kappa_langid(spark: SparkSession,
     from tp_airflow_gtfs_snowflake_spark.plans.driver_queries import (
         REGISTRY)
 
+    # pred feeds THREE different-key aggregates (global po, gold
+    # marginal, pred marginal) — different subtrees, so AQE exchange
+    # reuse cannot share them and the full-corpus lang-id pass would
+    # run three times.  Lazy cut: one pass, |docs| x 2 narrow rows
+    # (r11 job diet; the c144 shared-relation treatment).
     pred = REGISTRY["c03c_lang_id"].fn(spark, sf_dir) \
-        .select("lang", "lang_pred")
+        .select("lang", "lang_pred").localCheckpoint(eager=False)
     tot = pred.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1)

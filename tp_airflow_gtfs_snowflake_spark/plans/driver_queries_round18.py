@@ -426,6 +426,10 @@ def b181_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("n_name", "c_mktsegment",
                  F.floor(F.col("o_totalprice") / _TC_BUCKET)
                  .cast("long").alias("bkt")))
+    # NOTE (r11, measured): cells feeds four consumers, but its OWN
+    # aggregate exchange is the identical subtree in all four, so AQE
+    # exchange reuse already computes the fact join + shuffle once; a
+    # lazy cut here regressed 12% at sf0.1 (interleaved A/B), reverted.
     cells = (j.groupBy("n_name", "c_mktsegment", "bkt")
              .agg(F.count("*").alias("cnt")))
     grp = (cells.groupBy("n_name", "c_mktsegment")
@@ -710,7 +714,12 @@ def b183_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("conv").alias("n_conv"),
                  (F.count("*") - F.sum("conv")).alias("n_cens"),
                  F.count("*").alias("n_all")))
-    tot = lab.agg(F.count("*").alias("n"))
+    # risk-set total from the |lag-days| cells, not a second pass
+    # over lab: count(*) over lab == sum(n_all) over cell exactly,
+    # and cell's aggregate exchange is shared with the spine by AQE
+    # reuse (r11, interleaved A/B -18%; adding localCheckpoints to
+    # su/cell was neutral-to-worse and is deliberately omitted)
+    tot = cell.agg(F.sum("n_all").alias("n"))
     pw = (W.orderBy("lag_d")
           .rowsBetween(W.unboundedPreceding, -1))
     s = (cell.crossJoin(F.broadcast(tot))

@@ -388,7 +388,13 @@ def b186_hll_hierarchy_rollup(spark: SparkSession,
                  portable_hash48(
                      F.concat(F.lit("u:"),
                               F.col("o_custkey").cast("string")))
-                 .alias("hv")))
+                 .alias("hv"))
+         # f feeds the register partials AND three different-key
+         # exact countDistinct branches — four distinct subtrees, so
+         # without a cut the orders x customer join replays four
+         # times (AQE reuse only dedupes identical subtrees).  Lazy:
+         # one join pass, |orders| x 4 narrow rows (r11 job diet).
+         .localCheckpoint(eager=False))
     ranked = f.select(
         "n_name", "r_name", "o_custkey",
         F.expr(f"hv div {two_r}").alias("bucket"),

@@ -1198,6 +1198,11 @@ def test_checkpoint_sites_are_audited():
         # IS corpus-scale (edges / label / word state), but none ever
         # feeds a SinglePartition exchange — the loops re-shuffle on
         # keys each round; lineage cut is the point
+        # c143 (r11): shingle rows feed six consumers across both
+        # key families (doc_id- and sh-keyed exchanges) — differing
+        # partitionings defeat AQE reuse; corpus-scale-but-narrow,
+        # never SinglePartition
+        ("operators/dedup.py", "containment_pairs_prefix_filtered"),
         ("operators/bpe.py", "bpe_token_frequencies"),
         ("operators/bpe.py", "encode_words"),
         ("operators/bpe.py", "learn_bpe"),

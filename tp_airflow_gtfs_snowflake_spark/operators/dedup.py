@@ -496,7 +496,14 @@ def containment_pairs_prefix_filtered(df: DataFrame, id_col: str,
     pairs with containment >= tau_ppm survive (exact integer ppm).
     """
     from pyspark.sql.window import Window
-    sh = _shingle_rows(df, id_col, text_col, n)
+    # sh feeds six consumers across BOTH key families (doc_id-keyed:
+    # sizes/full/sa; sh-keyed: freq/prefix-join/sb) — the differing
+    # partitionings defeat AQE exchange reuse, so the tokenize+shingle
+    # explode would replay per family.  Lazy cut (r11 job diet);
+    # corpus-scale-but-narrow like c138's shingles, every consumer
+    # re-shuffles on doc/sh keys, never SinglePartition.
+    sh = _shingle_rows(df, id_col, text_col, n).localCheckpoint(
+        eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("gf"))
     # prefix length in exact integer ppm: |S| - ceil(tau*|S|) + 1

@@ -1203,6 +1203,11 @@ def test_checkpoint_sites_are_audited():
         # partitionings defeat AQE reuse; corpus-scale-but-narrow,
         # never SinglePartition
         ("operators/dedup.py", "containment_pairs_prefix_filtered"),
+        # c102 (r11): (doc_id, start, h) window rows feed the dup-hash
+        # aggregate and the semi-join probe side — partial-agg vs raw
+        # exchanges, no AQE reuse; narrow 3-int-column relation, both
+        # consumers re-shuffle on h, never SinglePartition
+        ("operators/dedup.py", "duplicated_spans"),
         ("operators/bpe.py", "bpe_token_frequencies"),
         ("operators/bpe.py", "encode_words"),
         ("operators/bpe.py", "learn_bpe"),
@@ -1249,6 +1254,12 @@ def test_checkpoint_sites_are_audited():
         # doc/shingle keys); lineage cut is the point
         ("plans/driver_queries_round14.py",
          "c138_greedy_max_coverage_selection"),
+        # c128 (r11): hashed-bigram stream feeds four different-key
+        # consumers (filtered b-agg, b-agg, global count, per-doc
+        # score agg) — no shared exchange for AQE to reuse; narrow
+        # (doc_id, source, b) relation, never SinglePartition
+        # un-aggregated
+        ("plans/driver_queries_round9.py", "c128_dsir_importance"),
         ("plans/driver_queries_round6.py",
          "b109_exact_global_median_two_pass"),
         ("plans/driver_queries_round6.py", "b112_periodicity_detection"),

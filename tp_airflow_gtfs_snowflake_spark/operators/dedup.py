@@ -692,6 +692,14 @@ def duplicated_spans(df: DataFrame, id_col: str, text_col: str, *,
                  .alias("p0", "win"))
          .select("doc_id", F.expr("p0 + 1").alias("start"),
                  _kmv.portable_hash48(F.col("win")).alias("h")))
+    # w feeds the dup-hash aggregate AND the left-semi probe side;
+    # the aggregate's exchange carries partial-agg rows, the probe's
+    # carries raw (doc_id, start, h) — different subtrees, so AQE
+    # reuse cannot share them and the L-token window explode + hash
+    # replayed twice.  Lazy cut -> one pass (r11 job diet);
+    # corpus-scale-but-narrow (3 int columns), both consumers
+    # re-shuffle on h, never SinglePartition.
+    w = w.localCheckpoint(eager=False)
     dup = (w.groupBy("h")
            .agg(F.count("*").alias("c"))
            .filter(F.col("c") > 1)

@@ -614,10 +614,19 @@ def c128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b))
     targets = ["src0", "src1", "src2", "src3", "src4"]
+    # grams feeds FOUR consumers (tgt, corp, tot, the per-doc score
+    # join) whose first exchanges all differ (filtered b-agg, b-agg,
+    # SinglePartition global count, doc_id+source agg) — AQE exchange
+    # reuse covers none of them, so the tokenize+bigram explode+hash
+    # replayed four times.  Lazy cut -> one pass (r11 job diet);
+    # corpus-scale-but-narrow (doc_id, source, b), never feeds a
+    # SinglePartition exchange un-aggregated (tot is a partial-agg
+    # global count).
     grams = (docs.select("doc_id", "source",
                          F.explode(grams_arr).alias("g"))
              .withColumn("b", portable_hash48(F.col("g")) % _DSIR_B)
-             .drop("g"))
+             .drop("g")
+             .localCheckpoint(eager=False))
     tgt = (grams.filter(F.col("source").isin(targets))
            .groupBy("b").agg(F.count("*").alias("cnt_t")))
     corp = grams.groupBy("b").agg(F.count("*").alias("cnt_c"))

@@ -121,6 +121,15 @@ def pagerank_int(edges: DataFrame, src: str = "a", dst: str = "b",
     task time).  A handful of join+agg rounds is well within
     Catalyst's planning budget; cut only as often as lineage growth
     demands, not every round.
+
+    The three upfront checkpoints stay EAGER deliberately: an r11
+    interleaved A/B of the lazy flip measured +6% on c104 at sf0.1
+    (3.11 -> 3.30 s min-of-3).  With AQE, a lazy cut still runs every
+    shuffle stage at toRdd time and only defers the final stages —
+    here that stacks three deferred finals into round 1's first
+    action instead of three well-parallelized standalone jobs, and
+    the round-1 join becomes the straggler.  Negative result pinned
+    so the job-diet sweep doesn't re-try it.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if checkpoint:

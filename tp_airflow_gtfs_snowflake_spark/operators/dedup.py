@@ -196,6 +196,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     when an external SQL oracle must reproduce signatures bit-for-bit.
     """
     sh = _shingle_rows(df, id_col, text_col, shingle_n, shingle_fn)
+    return _signatures_of_shingle_rows(sh, num_hashes, hash_fn)
+
+
+def _signatures_of_shingle_rows(sh: DataFrame, num_hashes: int,
+                                hash_fn: HashFn) -> DataFrame:
+    """minhash_signatures body over pre-built (doc_id, sh) rows — lets
+    callers that also need the raw shingle rows (e.g. the bipartite
+    verify join) share one tokenize+explode pass."""
     # pmod: xxhash64 is signed; the affine family needs h in [0, P).
     h = sh.select("doc_id",
                   F.pmod(hash_fn(F.col("sh")), F.lit(MINHASH_P)).alias("h"))
@@ -421,6 +429,14 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str,
     loss.  Cost: +1 aggregate (global shingle frequencies) and +1
     window (per-doc frequency ranks) to shrink the join that
     dominates at 100 TB.
+
+    `sh` is deliberately NOT checkpointed (unlike its containment
+    sibling below): an r11 interleaved A/B of the same lazy cut
+    measured +14% on c150 and 0% on c35 at sf0.1 — here the hot
+    consumers (freq, ranked's probe, sa/sb) sit under exchanges AQE
+    already shares or prunes, so the extra materialization pass buys
+    nothing.  Negative result pinned so the job-diet sweep doesn't
+    re-try it.
     """
     from pyspark.sql.window import Window
     sh = _shingle_rows(df, id_col, text_col, n)
@@ -568,6 +584,14 @@ def minhash_bipartite_pairs(df_a: DataFrame, df_b: DataFrame,
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    # NOTE (r11, measured): the per-side shingle rows are deliberately
+    # NOT checkpointed even though signatures and the verify join both
+    # re-derive them — an interleaved A/B of the shared-pass cut
+    # measured +9% on c41 at sf0.1 (2.83 -> 3.09 s min-of-3).
+    # Materializing the string-heavy (doc_id, sh) rows costs more
+    # than re-running the tokenize+explode; cuts only pay when the
+    # replayed compute is heavy per row (c102's md5 windows) or the
+    # consumer count is high (c143's six).  Negative result pinned.
     ba = _banded(minhash_signatures(df_a, id_col, text_col, num_hashes,
                                     shingle_n, hash_fn), bands, rows)
     bb = _banded(minhash_signatures(df_b, id_col, text_col, num_hashes,

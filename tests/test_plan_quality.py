@@ -1260,6 +1260,10 @@ def test_checkpoint_sites_are_audited():
         # (doc_id, source, b) relation, never SinglePartition
         # un-aggregated
         ("plans/driver_queries_round9.py", "c128_dsir_importance"),
+        # c64b (r11): |sources|-row KMV sketch/estimate table feeding
+        # both legs of a non-equi BNLJ self-join — stream vs broadcast
+        # exchanges, no AQE reuse; trivially bounded
+        ("plans/driver_queries_round5.py", "c64b_source_overlap_sketched"),
         ("plans/driver_queries_round6.py",
          "b109_exact_global_median_two_pass"),
         ("plans/driver_queries_round6.py", "b112_periodicity_detection"),

@@ -1126,7 +1126,17 @@ def c64b_source_overlap_sketched(spark: SparkSession,
     hashed = sh.select(
         "g", _kmv.portable_hash48(F.col("sh")).alias("h")).distinct()
     sk = _kmv.kmv_sketch(hashed, "g", "h", k=256)
-    est = _kmv.with_distinct_estimate(sk, 256)
+    # est (|sources| rows) feeds BOTH legs of the non-equi self-join
+    # below, which compiles to a BroadcastNestedLoopJoin: one leg
+    # streams, the other builds a BroadcastExchange — different
+    # exchange kinds, so AQE exchange reuse cannot share the final
+    # sketch/estimate stages and they replay on the broadcast build.
+    # Lazy cut -> one evaluation (interleaved A/B at sf0.1: opt won
+    # 7-8 of 11 pairs, min 2.76 -> 2.42 s idle-ish / 3.85 -> 2.66 s
+    # contended, results identical, r11); tiny relation, trivially
+    # bounded, never SinglePartition un-aggregated.
+    est = _kmv.with_distinct_estimate(sk, 256).localCheckpoint(
+        eager=False)
     a = est.select(F.col("g").alias("src1"),
                    F.col("sketch").alias("sketch_a"),
                    F.col("est").alias("e1"))

@@ -1931,7 +1931,15 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = (g.filter(F.col("is_test"))
            .join(train, "h", "left_semi")
            .select("doc_id").distinct())
-    n_test = toks.filter(F.col("is_test")).count()
+    # n_test from g, not from a fresh toks pass: a test doc survives
+    # the n_t >= 13 filter iff it contributes >= 1 hash row to g
+    # (size(shs) = n_t - 12 >= 1, array_distinct keeps >= 1), so
+    # countDistinct(doc_id) over the checkpointed g equals the
+    # filtered test-doc count exactly — and replaces a second corpus
+    # tokenize with a partial-agg over in-memory rows (interleaved
+    # A/B min-of-4 at sf0.1: 5.03 -> 4.61 s, results identical, r11).
+    n_test = (g.filter(F.col("is_test"))
+              .agg(F.countDistinct("doc_id").alias("n")).first()["n"])
     n_hit = hit.count()
     return spark.createDataFrame(
         [(n_test, n_hit, n_hit * 1_000_000 // max(n_test, 1))],

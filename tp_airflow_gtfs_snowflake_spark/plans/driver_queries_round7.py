@@ -332,6 +332,12 @@ def c106_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b122_kmv_difference_estimate(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     vals, hashed = _kmv_user_day_hashes(spark, sf_dir)
+    # sk feeds both legs of the non-equi BNLJ below (the c64b
+    # stream-vs-broadcast replay shape), but a lazy checkpoint here
+    # measured NEUTRAL-to-worse (r11 interleaved A/B: opt lost 4 of
+    # 6 pairs, min 0.92 vs 0.88 s) — the replayed post-exchange
+    # stages emit <= k rows per (partition, group) partial, so the
+    # replay is cheap and the checkpoint barrier costs pipelining.
     sk = _kmv.kmv_sketch(hashed, "g", "h", k=128)
     a = sk.select(F.col("g").alias("g1"), F.col("sketch").alias("sketch_a"))
     b = sk.select(F.col("g").alias("g2"), F.col("sketch").alias("sketch_b"))

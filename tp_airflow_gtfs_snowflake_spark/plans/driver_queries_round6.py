@@ -1928,19 +1928,23 @@ def c95_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shs"), lambda sh: _kmv.portable_hash48(sh))))
         .alias("h")).localCheckpoint(eager=False)
     train = g.filter(~F.col("is_test")).select("h").distinct()
-    hit = (g.filter(F.col("is_test"))
-           .join(train, "h", "left_semi")
-           .select("doc_id").distinct())
     # n_test from g, not from a fresh toks pass: a test doc survives
     # the n_t >= 13 filter iff it contributes >= 1 hash row to g
-    # (size(shs) = n_t - 12 >= 1, array_distinct keeps >= 1), so
-    # countDistinct(doc_id) over the checkpointed g equals the
-    # filtered test-doc count exactly — and replaces a second corpus
-    # tokenize with a partial-agg over in-memory rows (interleaved
-    # A/B min-of-4 at sf0.1: 5.03 -> 4.61 s, results identical, r11).
-    n_test = (g.filter(F.col("is_test"))
-              .agg(F.countDistinct("doc_id").alias("n")).first()["n"])
-    n_hit = hit.count()
+    # (size(shs) = n_t - 12 >= 1, array_distinct keeps >= 1).
+    # ONE job for BOTH scalars (r11 job diet, second pass): the
+    # left-semi probe becomes a left join against the distinct train
+    # hashes (at most one match per row, so no fanout) carrying a hit
+    # flag; one groupBy(doc_id) then yields n_test = count(*) and
+    # n_hit = sum(max(flag)) together — replacing two actions (a
+    # countDistinct pass over g and a semi-join + distinct + count)
+    # with one (jobs 11 -> 8; interleaved A/B min 3.44 -> 3.31 s on a
+    # drifted host, results identical).
+    t = g.filter(F.col("is_test"))
+    marked = t.join(train.withColumn("m", F.lit(1)), "h", "left")
+    perdoc = marked.groupBy("doc_id").agg(F.max("m").alias("hit"))
+    _r = perdoc.agg(F.count("*").alias("nt"),
+                    F.sum("hit").alias("nh")).first()
+    n_test, n_hit = _r["nt"], int(_r["nh"] or 0)
     return spark.createDataFrame(
         [(n_test, n_hit, n_hit * 1_000_000 // max(n_test, 1))],
         "n_test long, n_contaminated long, contaminated_ppm long")
@@ -2062,11 +2066,17 @@ def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(ps, (x, i) -> transform("
         "slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
     )).alias("e")).select("e.p1", "e.p2")
-    # lazy: the n_edges count is the first action and materializes the
-    # cut as a side effect (reused 3x afterwards)
+    # lazy: the fused scalar job below is the first action and
+    # materializes the cut as a side effect (reused 3x afterwards)
     e = pairs.distinct().localCheckpoint(eager=False)
-    n_edges = e.count()
-    n_nodes = pl.select("p").distinct().count()
+    # ONE job for both scalar counts (r11 job diet): crossJoin of two
+    # 1-row aggs lets the e-materialization and the node-count scan
+    # schedule concurrently instead of as two serial actions
+    # (interleaved A/B x2 sessions: min 5.72->4.50 s, 6.89->5.26 s).
+    _c = (e.agg(F.count("*").alias("ne"))
+          .crossJoin(pl.agg(F.countDistinct("p").alias("nn")))
+          .first())
+    n_edges, n_nodes = _c["ne"], _c["nn"]
     # degree-oriented arrows: from the (deg, id)-smaller endpoint
     deg = (e.select(F.col("p1").alias("p"))
            .unionAll(e.select(F.col("p2").alias("p")))
@@ -2090,6 +2100,13 @@ def c98_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |N+(u) n N+(v)| — the wedge set is never materialized (the
     # naive wedge join at sf0.1 builds ~8x more rows than edges);
     # out-adjacency arrays are sqrt(2m)-bounded by the orientation.
+    # NEGATIVE (r11, measured): regenerating the probe side by
+    # exploding adj (cutting the arrows-by-u shuffle + first join)
+    # was slower-or-mixed across two interleaved sessions (min 8.08
+    # vs 6.89 s; heavy-tailed) — the exploded rows carry the nbrs
+    # array through the by-v exchange before the join can prune it,
+    # while the two-join shape ships narrow arrows and lets AQE
+    # broadcast the adj side.  Keep the two-join close.
     adj = arrows.groupBy("u").agg(F.sort_array(F.collect_list("v"))
                                   .alias("nbrs"))
     j = (arrows

@@ -59,12 +59,23 @@ def connected_components(edges: DataFrame, src: str = "d1",
         labels = labels.localCheckpoint(eager=False)
 
     for _ in range(max_iter):
-        # candidate for node a: the label of each neighbor b
+        # candidate for node a: the label of each neighbor b; the
+        # node's OWN current label rides along tagged in `old` so the
+        # min-agg below yields the new label AND the convergence flag
+        # in one pass — no per-round compare join of the new and old
+        # label tables (r11 job diet: c19 jobs 18 -> 15, label output
+        # proven identical; every node has exactly one self row, so
+        # max(old) recovers its previous label exactly).
+        _ctype = dict(labels.dtypes)["component"]
         cand = (sym.join(labels.withColumnRenamed("node", "b"), "b")
-                .select(F.col("a").alias("node"), "component"))
-        new_labels = (labels.unionByName(cand)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component")))
+                .select(F.col("a").alias("node"), "component",
+                        F.lit(None).cast(_ctype).alias("old")))
+        self_rows = labels.select(
+            "node", "component", F.col("component").alias("old"))
+        flagged = (cand.unionByName(self_rows)
+                   .groupBy("node")
+                   .agg(F.min("component").alias("component"),
+                        F.max("old").alias("old")))
         if checkpoint:
             # LAZY checkpoint: the convergence count below is the
             # first action, so it materializes the round's labels as
@@ -72,12 +83,11 @@ def connected_components(edges: DataFrame, src: str = "d1",
             # eager materialization followed by the count).  Each
             # job submission costs ~100 ms of scheduler floor on a
             # loaded container (BASELINE.md r07 profile).
-            new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
+            flagged = flagged.localCheckpoint(eager=False)
+        changed = (flagged
+                   .filter(F.col("component") != F.col("old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = flagged.select("node", "component")
         if changed == 0:
             break
     return labels

@@ -160,6 +160,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Optional subset mode (r12, VERDICT task 5): comma-separated query
+    # names restrict the timed sweep — used for the committed sf1
+    # hot-tail evidence runs.  Default (env unset) is the full HEADLINE,
+    # byte-identical behavior to r11.
+    subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    subset = [n.strip() for n in subset_env.split(",") if n.strip()]
+    headline = [n for n in HEADLINE if n in subset] if subset else HEADLINE
     spark = get_spark("bench")
 
     # warm-up: JVM + parquet footer caches
@@ -175,7 +182,7 @@ def main() -> None:
     # this warm-up cost landing inside the timed window, not a plan
     # regression.  Steady state is what a resident cluster sees and
     # what min-of-3 was already trying to isolate.
-    for name in HEADLINE:
+    for name in headline:
         try:
             REGISTRY[name].fn(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001
@@ -204,7 +211,7 @@ def main() -> None:
     # storm to the next (measured: single-query swings of 2-4 s at
     # sf0.1 without it, rotating across the suite run to run).
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name in errors:
             continue
         fn = REGISTRY[name].fn
@@ -270,7 +277,28 @@ def main() -> None:
             f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         out["errors"] = errors
+    if subset:
+        out["subset"] = True
+        out["subset_names"] = headline
     print(json.dumps(out))
+    # Persist the FULL result (including the per-query map) to a repo
+    # artifact (r12, VERDICT task 2a): the driver captures only the
+    # last ~2000 chars of stdout, so PERF_r11 had per_query {} — the
+    # full map printed first never survived the tail capture.  Writing
+    # it to a file makes per-query round-over-round data driver- and
+    # judge-visible.  Subset runs default to a separate file so an
+    # sf1 hot-tail sweep never masquerades as the full suite.
+    default_artifact = "BENCH_SUBSET.json" if subset else "BENCH_LAST.json"
+    artifact = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     default_artifact))
+    try:
+        with open(artifact, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# bench artifact write failed: {exc}")
     # The driver records only the last ~2000 chars of stdout, and the
     # full dump above (out["queries"] has 70+ entries at the front)
     # always overflows that window, truncating the headline totals

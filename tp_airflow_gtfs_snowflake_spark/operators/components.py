@@ -58,6 +58,10 @@ def connected_components(edges: DataFrame, src: str = "d1",
     if checkpoint:
         labels = labels.localCheckpoint(eager=False)
 
+    # component's type is round-invariant (min of the same column);
+    # resolve it ONCE — .dtypes inside the loop forced a full schema
+    # analysis of the round's growing plan every iteration (ADVICE r11)
+    _ctype = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
         # candidate for node a: the label of each neighbor b; the
         # node's OWN current label rides along tagged in `old` so the
@@ -66,7 +70,6 @@ def connected_components(edges: DataFrame, src: str = "d1",
         # label tables (r11 job diet: c19 jobs 18 -> 15, label output
         # proven identical; every node has exactly one self row, so
         # max(old) recovers its previous label exactly).
-        _ctype = dict(labels.dtypes)["component"]
         cand = (sym.join(labels.withColumnRenamed("node", "b"), "b")
                 .select(F.col("a").alias("node"), "component",
                         F.lit(None).cast(_ctype).alias("old")))
@@ -83,6 +86,11 @@ def connected_components(edges: DataFrame, src: str = "d1",
             # eager materialization followed by the count).  Each
             # job submission costs ~100 ms of scheduler floor on a
             # loaded container (BASELINE.md r07 profile).
+            # Width note (ADVICE r11): the checkpoint stores three
+            # columns (node, component, old) instead of two — ~1.5x
+            # wider per-round block, accepted for the saved job; if
+            # checkpoint memory ever binds at 100 TB, drop `old`
+            # before the cut at the cost of re-deriving the flag.
             flagged = flagged.localCheckpoint(eager=False)
         changed = (flagged
                    .filter(F.col("component") != F.col("old"))

@@ -239,7 +239,22 @@ def minhash_lsh_candidates(signatures: DataFrame, *, bands: int,
     # the identical subtree; AQE exchange reuse computes it once, and
     # a lazy cut REGRESSED c06f 1.74 -> 2.21 s at sf0.1 (it replaces
     # the reused in-flight shuffle with a materialize-then-reshuffle).
-    banded = _banded(signatures, bands, rows_per_band)
+    # (r12) Explicit width on the self-join (VERDICT r11 task 1): the
+    # banded relation is TINY in bytes (one id+band+bucket row per doc
+    # per band), so AQE's bytes-based coalescing shrank this join to a
+    # 2-task stage at sf1 while its OUTPUT — the bucket-quadratic
+    # candidate-pair fanout plus the distinct's partial agg — is the
+    # CPU-bound part (measured: the 2-task stage pinned two cores for
+    # >15 min; the whole query was 1530.9 s in the r11 sweep).
+    # repartition(width, band, bucket) is REPARTITION_BY_NUM (exempt
+    # from coalescing), keeps both legs one REUSED exchange (identical
+    # subtrees), and spreads bucket fanout across the cluster.  Width
+    # follows the session, never a local constant.
+    spark = signatures.sparkSession
+    width = max(spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions")))
+    banded = _banded(signatures, bands, rows_per_band).repartition(
+        width, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -261,9 +276,42 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n,
                              hash_fn, shingle_fn)
     cand = minhash_lsh_candidates(sig, bands=bands, rows_per_band=rows_per_band)
+    # Verify-stage parallelism (r12, VERDICT r11 task 1): the verify
+    # join's INPUT is small in bytes (pairs of ids + the shingle rows)
+    # but its per-row work and OUTPUT fan out by |shingles(d1)|, so
+    # AQE's bytes-based partition coalescing under-parallelizes it —
+    # measured at sf1: c145's verify ran as a 2-task coalesced stage
+    # for ~25 min of CPU-bound join fanout.  An explicit
+    # repartition(width, d1) pins the verify join to cluster width
+    # (REPARTITION_BY_NUM is exempt from AQE coalescing, and the join
+    # reuses the partitioning, so the exchange count is unchanged).
+    # Skew-by-d1 is structurally mild: a clique of s docs spreads its
+    # ~s^2/2 pairs over s-1 distinct d1 values (max/avg per key <= 2).
+    # Width follows the session (defaultParallelism = cluster cores),
+    # never a local constant.
+    width = max(df.sparkSession.sparkContext.defaultParallelism,
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
 
     sh = _shingle_rows(df, id_col, text_col, shingle_n, shingle_fn)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Size-compatibility prune BEFORE the gram-explode verify (r12,
+    # exact — zero recall loss): shingle sets are per-doc DISTINCT, so
+    # J(A,B) <= min(n1,n2)/max(n1,n2); any pair failing the ratio test
+    # can never pass the final jaccard >= threshold filter.  The sizes
+    # joins move from after the n_common aggregate to before the
+    # fanout, so false candidates between differently-sized docs are
+    # dropped while they are still two ids + two ints, not
+    # |shingles(d1)| exploded rows (measured at sf1: verify fanout is
+    # the dominant cost once the stage runs wide).  The 1e-9 slack
+    # covers double-rounding at the exact threshold boundary.
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    cand = (cand.join(s1, "d1").join(s2, "d2")
+            .filter(F.least("n1", "n2")
+                    >= F.greatest("n1", "n2") * threshold - 1e-9))
+    # pin the verify fanout join wide (see the banded note above: the
+    # pair rows are tiny in bytes, the fanout is the work)
+    cand = cand.repartition(width, "d1")
     # Count shared shingles per candidate pair.  The second join keys
     # on (d2, sh) — shingle equality must be an equi-join key, not a
     # post-join filter, or the intermediate is |sh_a| x |sh_b| rows
@@ -271,10 +319,9 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, *,
     common = (cand.join(sh.select(F.col("doc_id").alias("d1"), "sh"), "d1")
               .join(sh.select(F.col("doc_id").alias("d2"), "sh"),
                     ["d2", "sh"])
-              .groupBy("d1", "d2").agg(F.count("*").alias("n_common")))
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    return (common.join(s1, "d1").join(s2, "d2")
+              .groupBy("d1", "d2", "n1", "n2")
+              .agg(F.count("*").alias("n_common")))
+    return (common
             .withColumn("jaccard",
                         F.col("n_common")
                         / (F.col("n1") + F.col("n2") - F.col("n_common")))

@@ -62,6 +62,19 @@ def connected_components(edges: DataFrame, src: str = "d1",
     # resolve it ONCE — .dtypes inside the loop forced a full schema
     # analysis of the round's growing plan every iteration (ADVICE r11)
     _ctype = dict(labels.dtypes)["component"]
+
+    # NOTE (r12, measured NEGATIVE — VERDICT r11 task 4 probe): fusing
+    # TWO propagation hops per convergence check (count every second
+    # round; min-label propagation is idempotent at its fixpoint, so
+    # labels stay bit-identical — verified 0 mismatches at
+    # sf0.001/0.01) measured jobs c19 15 -> 19 and c119 21 -> 25: the
+    # intermediate hop needs its own lazy checkpoint (its consumers'
+    # first exchanges differ — propagate join by b vs self-union agg
+    # by node — so AQE exchange reuse cannot dedupe an uncut hop and
+    # it would compute twice), and under AQE every additional
+    # checkpoint boundary replays its shuffle stages as extra jobs at
+    # toRdd time, costing MORE jobs than the skipped count saved.
+    # One count per hop stays.
     for _ in range(max_iter):
         # candidate for node a: the label of each neighbor b; the
         # node's OWN current label rides along tagged in `old` so the

@@ -41,6 +41,19 @@ _EDGES_SQL = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (r12, measured NEGATIVE — VERDICT r11 task 3 probe): swapping
+    # this for prefix_filtered_jaccard_pairs (the c29b/c150 PPJoin
+    # shape) produces IDENTICAL edges and c19 labels (exceptAll 0/0,
+    # 0 label mismatches at sf0.1 AND sf1) but is 3x slower at sf0.1
+    # (interleaved min 10.36 vs 3.35 s) and ~30x slower at sf1
+    # (894/944 vs 25.5/36.6 s): this corpus' shuffled-token documents
+    # make most 3-gram shingles globally RARE, so the frequency-rank
+    # prefix barely shrinks any doc's index set while the global-freq
+    # aggregate + two row_number windows add two full shingle passes.
+    # Prefix filtering pays only when hot shingles dominate collision
+    # counts (its c150 home).  c19's sf1 wall re-measured at
+    # 25.5-36.6 s (~11x at 10x data) — the r11 sweep's 41 s / "17x"
+    # was host drift, not plan superlinearity.
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                   threshold=0.5)

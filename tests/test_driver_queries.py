@@ -28,8 +28,15 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_all_queries_return_rows(spark):
+    # Redundancy cut (r12): every oracled query is already EXECUTED at
+    # SF_SMALL by its test_query_matches_oracle[...] parameter above —
+    # re-running all 393 here made this the suite's single most
+    # expensive test (405.7 s of the 43-min wall, measured
+    # --durations) while adding coverage only for the rows-only
+    # names.  Sweep exactly those.
     for name, spec in REGISTRY.items():
-        assert spec.fn(spark, SF_SMALL).count() >= 0, name
+        if spec.oracle is None:
+            assert spec.fn(spark, SF_SMALL).count() >= 0, name
 
 
 # Queries whose oracle legitimately returns zero rows on this
